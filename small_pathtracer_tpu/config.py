@@ -1,0 +1,53 @@
+"""Render configuration.
+
+Every compile-time (un)comment knob in the reference becomes a flag here
+(SURVEY.md section 5, "Config / flag system"): resolution/spp
+(smallpt.cpp:507-508), estimator choice (:339-360, :464), scene preset
+(:287-311), RR start depth (:448).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+ESTIMATORS = (
+    "cosine",      # C11 (active in the reference)
+    "uniform",     # C12, as committed: no 2*cos(theta) correction (biased; parity)
+    "uniform_corrected",  # C12 with the textbook 2*cos(theta) weight (unbiased)
+    "nee",         # C13: NEE-as-continuation, exact reference weights
+    "mixture",     # C13 historic q<0.5 variant ("halflighthalfimportance")
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 512
+    height: int = 512
+    spp: int = 16               # smallpt.cpp:508
+    estimator: str = "nee"      # the HEAD integrator (C13)
+    mixture_q: float = 0.5      # NEE probability for estimator="mixture"
+    # Light-sample mode: "intended" = full-range sampling (the author's
+    # MinGW behavior and the committed renders); "glibc_overflow" =
+    # bit-faithful reproduction of the int32 overflow a glibc build of the
+    # reference exhibits (see sampling._glibc_overflow_offset).
+    light_sample_mode: str = "intended"
+    rr_start_depth: int = 5     # RR kicks in after this depth (C10, :448)
+    max_bounces: int = 256      # safety cap; RR terminates a.s. (tail ~88 measured)
+    spp_chunk: int = 0          # paths per device pass; 0 = auto
+    seed: int = 0
+    rng_backend: str = "mix"    # "mix" | "threefry"
+    use_pallas: bool = False    # fused Pallas bounce kernel (ops/)
+    wavefront: str = "scan"     # "scan" (fixed slots) | "regen" (regeneration)
+
+    def __post_init__(self):
+        if self.estimator not in ESTIMATORS:
+            raise ValueError(
+                f"unknown estimator {self.estimator!r}; one of {ESTIMATORS}"
+            )
+
+    def resolved_spp_chunk(self) -> int:
+        if self.spp_chunk:
+            return min(self.spp_chunk, self.spp)
+        # Keep the wavefront around <= 2^22 paths per pass.
+        budget = max(1, (1 << 22) // max(1, self.width * self.height))
+        return max(1, min(self.spp, budget))

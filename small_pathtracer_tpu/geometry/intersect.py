@@ -1,0 +1,138 @@
+"""Batched scene intersection — the hot kernel (SURVEY.md section 2, row 9).
+
+jnp reference implementation of the nearest-hit query over all primitives:
+(N rays) x (R rects + S spheres) -> argmin over the object axis. The Pallas
+fused version lives in ``ops/``; this module defines the semantics.
+
+Reference semantics reproduced (contracts C8/C9/C15,
+/root/reference/src/smallpt.cpp:102-112, 229-239, 323-335, 371-377):
+
+- rect hit: t = (k - o[axis]) / d[axis]; reject if the hit point is outside
+  the in-plane bounds (inclusive accept) or t <= 0 (the reference rejects
+  t < 0 and a literal t == 0 is discarded by the falsy ``(d=...) &&`` test);
+- sphere hit: quadratic with eps = 1e-4, near root preferred;
+- nearest t over all objects, miss sentinel 1e20;
+- on miss: object id is 0 (the reference leaves the caller's ``int id = 0``
+  unwritten) and the hit point is (0,0,0) (``hittingPoint`` returns Vec()).
+
+Deviation (documented): rects also use a small epsilon (SELF_HIT_EPS) instead
+of accepting any t > 0, suppressing floating-point self-intersection of the
+bounce origin with its own surface. In f64 the reference dodges this at ~1e-14
+scale by luck of rounding; in f32 an epsilon is required. Statistically
+invisible (grazing hits below 1e-3 units at scene scale ~100).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core import vecmath as vm
+from ..scene.types import OTHER_AXES, Scene, object_arrays
+
+MISS_T = 1e20  # smallpt.cpp:326
+SPHERE_EPS = 1e-4  # smallpt.cpp:231
+SELF_HIT_EPS = 1e-3  # f32 self-hit guard for rects (see module docstring)
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray        # (N,) distance, MISS_T on miss
+    obj_id: jnp.ndarray   # (N,) int32 global object id, 0 on miss (C15)
+    hit: jnp.ndarray      # (N,) bool
+
+
+def intersect_rects(rects, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Per-rect hit distances. o, d: (N,3). Returns (N,R), MISS_T on miss."""
+    R = rects.k.shape[0]
+    if R == 0:
+        return jnp.full((o.shape[0], 0), MISS_T, o.dtype)
+    ax = rects.axis                     # (R,)
+    other = jnp.asarray(OTHER_AXES)[ax]  # (R,2)
+    o_n = o[:, ax]                      # (N,R) origin component along normal
+    d_n = d[:, ax]                      # (N,R)
+    t = (rects.k[None, :] - o_n) / d_n  # (N,R); +-inf/nan when d_n == 0
+    # In-plane hit coordinates on the two bounded axes.
+    p0 = o[:, other[:, 0]] + t * d[:, other[:, 0]]
+    p1 = o[:, other[:, 1]] + t * d[:, other[:, 1]]
+    inb = (
+        (p0 >= rects.lo[None, :, 0])
+        & (p0 <= rects.hi[None, :, 0])
+        & (p1 >= rects.lo[None, :, 1])
+        & (p1 <= rects.hi[None, :, 1])
+    )
+    valid = inb & (t > SELF_HIT_EPS) & jnp.isfinite(t)
+    return jnp.where(valid, t, MISS_T)
+
+
+def intersect_spheres(spheres, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Per-sphere hit distances (smallpt.cpp:229-239). Returns (N,S)."""
+    S = spheres.radius.shape[0]
+    if S == 0:
+        return jnp.full((o.shape[0], 0), MISS_T, o.dtype)
+    op = spheres.center[None, :, :] - o[:, None, :]       # (N,S,3)
+    b = jnp.sum(op * d[:, None, :], axis=-1)              # (N,S)
+    det = b * b - jnp.sum(op * op, axis=-1) + (spheres.radius**2)[None, :]
+    sdet = jnp.sqrt(jnp.maximum(det, 0.0))
+    t_near = b - sdet
+    t_far = b + sdet
+    t = jnp.where(t_near > SPHERE_EPS, t_near, t_far)
+    valid = (det >= 0.0) & (t > SPHERE_EPS)
+    return jnp.where(valid, t, MISS_T)
+
+
+def trace(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> Hit:
+    """Nearest hit over all objects (smallpt.cpp:323-335)."""
+    ts = jnp.concatenate(
+        [intersect_rects(scene.rects, o, d), intersect_spheres(scene.spheres, o, d)],
+        axis=1,
+    )  # (N, R+S)
+    obj_id = jnp.argmin(ts, axis=1).astype(jnp.int32)  # 0 on all-miss => C15
+    t = jnp.min(ts, axis=1)
+    return Hit(t=t, obj_id=obj_id, hit=t < MISS_T)
+
+
+class Shade(NamedTuple):
+    x: jnp.ndarray         # (N,3) hit point, (0,0,0) on miss (C15)
+    n: jnp.ndarray         # (N,3) normal oriented against the ray (C9)
+    n_geom: jnp.ndarray    # (N,3) unoriented geometric normal (for REFR)
+    albedo: jnp.ndarray    # (N,3)
+    emission: jnp.ndarray  # (N,3)
+    refl: jnp.ndarray      # (N,) int32
+
+
+def shade_info(scene: Scene, o, d, hit: Hit) -> Shade:
+    """Hit point + oriented normal + material for each ray.
+
+    Mirrors ``Hitable::normal`` (smallpt.cpp:118-124, 161-167, 204-210,
+    246-253) and ``hittingPoint`` (:371-377): on miss the stale id (0) is
+    shaded at x = (0,0,0) — the reference does NOT early-return (C15).
+    """
+    R = scene.rects.k.shape[0]
+    x = jnp.where(hit.hit[:, None], o + hit.t[:, None] * d, 0.0)
+
+    albedo_all, emission_all, refl_all = object_arrays(scene)
+    albedo = albedo_all[hit.obj_id]
+    emission = emission_all[hit.obj_id]
+    refl = refl_all[hit.obj_id]
+
+    # Rect normal: unit vector along the rect's normal axis.
+    is_sphere = hit.obj_id >= R
+    rect_id = jnp.clip(hit.obj_id, 0, max(R - 1, 0))
+    if R > 0:
+        eye = jnp.eye(3, dtype=x.dtype)
+        n_rect = eye[scene.rects.axis[rect_id]]
+    else:
+        n_rect = jnp.zeros_like(x)
+    # Sphere normal: (x - center) normalized (smallpt.cpp:246-253).
+    S = scene.spheres.radius.shape[0]
+    if S > 0:
+        sph_id = jnp.clip(hit.obj_id - R, 0, S - 1)
+        n_sph = vm.norm(x - scene.spheres.center[sph_id])
+    else:
+        n_sph = jnp.zeros_like(x)
+    n_geom = jnp.where(is_sphere[:, None], n_sph, n_rect)
+    n = vm.orient_normal(n_geom, d)
+    return Shade(x=x, n=n, n_geom=n_geom, albedo=albedo, emission=emission, refl=refl)

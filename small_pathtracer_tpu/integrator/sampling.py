@@ -1,0 +1,118 @@
+"""Direction samplers (contracts C11/C12/C13).
+
+Pure batched functions; randomness comes in as explicit uniform arguments so
+the integrator controls the counter-RNG stream.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from ..core import vecmath as vm
+from ..scene.types import LightSampler
+
+
+def sample_cosine(nl: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-weighted hemisphere direction around nl (contract C11,
+    /root/reference/src/smallpt.cpp:337-348):
+    r1 = 2*pi*u1, r2 = u2; dir = u*cos(r1)*sqrt(r2) + v*sin(r1)*sqrt(r2)
+    + w*sqrt(1-r2), normalized."""
+    r1 = (2.0 * math.pi) * u1
+    r2s = jnp.sqrt(u2)
+    u, v = vm.onb_from_w(nl)
+    d = (
+        u * (jnp.cos(r1) * r2s)[..., None]
+        + v * (jnp.sin(r1) * r2s)[..., None]
+        + nl * jnp.sqrt(1.0 - u2)[..., None]
+    )
+    return vm.norm(d)
+
+
+def sample_uniform(nl: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
+    """Uniform hemisphere direction (contract C12, the commented variant at
+    smallpt.cpp:352-360): cos(theta) = 1 - r2 (uniform in solid angle);
+    dir = u*cos(r1)*sqrt(r2*(2-r2)) + v*sin(r1)*sqrt(r2*(2-r2)) + w*(1-r2)."""
+    r1 = (2.0 * math.pi) * u1
+    sin_t = jnp.sqrt(u2 * (2.0 - u2))
+    u, v = vm.onb_from_w(nl)
+    d = (
+        u * (jnp.cos(r1) * sin_t)[..., None]
+        + v * (jnp.sin(r1) * sin_t)[..., None]
+        + nl * (1.0 - u2)[..., None]
+    )
+    return vm.norm(d)
+
+
+def light_area_normal(light: LightSampler):
+    """Area and unit normal of the NEE sample parallelogram. For the Cornell
+    presets: area = |(36,0,0) x (0,0,36)| = 1296 (the reference's hard-coded
+    constant, smallpt.cpp:471) and normal = (0,1,0)."""
+    c = vm.cross(light.edge_u, light.edge_v)
+    area = vm.magnitude(c)
+    return area, c / area
+
+
+def sample_light_point(
+    light: LightSampler, u1: jnp.ndarray, u2: jnp.ndarray
+) -> jnp.ndarray:
+    """Uniform point on the NEE parallelogram (contract C13,
+    smallpt.cpp:363-369). Returns (N,3)."""
+    return (
+        light.corner
+        + u1[..., None] * light.edge_u
+        + u2[..., None] * light.edge_v
+    )
+
+
+def _glibc_overflow_offset(u: jnp.ndarray) -> jnp.ndarray:
+    """Reproduce ``rand() * 36 / double(RAND_MAX)`` under glibc.
+
+    The reference's light sampler (smallpt.cpp:365-366) multiplies ``rand()``
+    (int, up to RAND_MAX = 2^31-1 on glibc) by 36 in int arithmetic, which
+    overflows and wraps to a signed value in [-2^31, 2^31); dividing by
+    RAND_MAX yields an offset in (-1, 1) instead of [0, 36). On the author's
+    MinGW toolchain (RAND_MAX = 32767, per the committed Eclipse project
+    files) there is no overflow — so the committed renders used the intended
+    full-range sampling while a Linux build samples a ~2x2 patch at the
+    light's corner. Verified this session by instrumenting a /tmp build:
+    intended => 62.8% NEE success, mean path 2.50; overflow => 16.4%, 5.13.
+    """
+    # u carries 24 random bits, so u * 2^31 is exact in f32 (= bits << 7) and
+    # converts losslessly to uint32; uint32 multiply wraps mod 2^32 like the
+    # reference's int arithmetic, then reinterpret as signed.
+    r = (u * jnp.float32(2147483648.0)).astype(jnp.uint32)
+    wrapped = (r * jnp.uint32(36)).view(jnp.int32).astype(jnp.float32)
+    return wrapped * jnp.float32(1.0 / 2147483647.0)
+
+
+def sample_light_point_glibc(
+    light: LightSampler, u1: jnp.ndarray, u2: jnp.ndarray
+) -> jnp.ndarray:
+    """Bit-faithful glibc-overflow light sample (see _glibc_overflow_offset).
+
+    Offsets are in absolute scene units along the *unit* edge directions —
+    exactly matching the reference for the Cornell presets (|edge| = 36)."""
+    eu = light.edge_u / vm.magnitude(light.edge_u)
+    ev = light.edge_v / vm.magnitude(light.edge_v)
+    return (
+        light.corner
+        + _glibc_overflow_offset(u1)[..., None] * eu
+        + _glibc_overflow_offset(u2)[..., None] * ev
+    )
+
+
+def nee_weight(
+    light: LightSampler,
+    d_hat: jnp.ndarray,
+    nl: jnp.ndarray,
+    t: jnp.ndarray,
+) -> jnp.ndarray:
+    """The reference's NEE path weight PDF_inverse * BRDF (smallpt.cpp:471-472):
+    PDF_inverse = |area * (d_hat . n_light)| / t^2,  BRDF = |d_hat . nl| / pi,
+    where t is the traced distance to the light object."""
+    area, n_light = light_area_normal(light)
+    pdf_inv = jnp.abs(area * vm.dot(d_hat, n_light)) / (t * t)
+    brdf = jnp.abs(vm.dot(d_hat, nl)) * (1.0 / math.pi)
+    return pdf_inv * brdf

@@ -1,0 +1,305 @@
+"""Wavefront path integrator.
+
+The reference's recursive ``radiance()`` (/root/reference/src/smallpt.cpp:
+419-496; call stack SURVEY.md section 3.2) becomes an iterative loop over a
+live-masked SoA of paths:
+
+    state = {o, d, throughput, L, alive, depth}
+    per bounce: trace -> shade -> RR -> (estimator-specific scatter) -> write
+
+Semantics reproduced exactly (SURVEY.md section 0.1):
+- C10 Russian roulette: starts after depth 5 (or immediately when the max
+  albedo component p == 0); survivor throughput scaled by 1/p; no depth cap.
+- C13 NEE-as-continuation: at each diffuse bounce the light sample *becomes*
+  the bounce direction when its nearest hit is the light object; otherwise
+  fall back to cosine scattering with weight 1. Includes the reference's
+  oversized light area (1296) and the 81.6-vs-81.5 plane mismatch (both live
+  in the scene's LightSampler params, scene/presets.py).
+- C14: contribution = sum over bounces of throughput * emission, throughput
+  updated as T *= f * (PDF_inverse * BRDF).
+- C15 escaped rays: shade stale object id 0 at x=(0,0,0) and keep bouncing.
+- C16 (stretch): SPEC mirror and REFR dielectric branches, following the
+  commented reference / original-smallpt formulas (smallpt.cpp:481-495), with
+  the splitting branch replaced by always-Russian-roulette (unbiased,
+  wavefront-friendly).
+
+Randomness: counter RNG, draw = f(seed, path_id, (depth+1)*8 + purpose), so
+images are bitwise independent of sharding and wavefront scheduling
+(core/rng.py).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..camera.pinhole import CameraParams, primary_rays
+from ..config import RenderConfig
+from ..core import film, rng, vecmath as vm
+from ..geometry.intersect import Hit, shade_info, trace
+from ..scene.types import DIFF, REFR, SPEC, Scene
+from . import sampling
+
+
+class PathState(NamedTuple):
+    o: jnp.ndarray        # (N,3) ray origin
+    d: jnp.ndarray        # (N,3) ray direction (normalized)
+    T: jnp.ndarray        # (N,3) throughput
+    L: jnp.ndarray        # (N,3) accumulated radiance
+    alive: jnp.ndarray    # (N,) bool
+    depth: jnp.ndarray    # (N,) int32 — the reference's depth counter
+    path_id: jnp.ndarray  # (N,) uint32 — global (pixel, sample) identity
+    n_traces: jnp.ndarray  # () f32 — scene-level trace counter (bench metric)
+
+
+def init_paths(o, d, path_id) -> PathState:
+    n = o.shape[0]
+    return PathState(
+        o=o,
+        d=d,
+        T=jnp.ones((n, 3), o.dtype),
+        L=jnp.zeros((n, 3), o.dtype),
+        alive=jnp.ones((n,), jnp.bool_),
+        depth=jnp.zeros((n,), jnp.int32),
+        path_id=path_id,
+        n_traces=jnp.zeros((), jnp.float32),
+    )
+
+
+def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
+    """Diffuse-bounce direction + path weight for the configured estimator.
+
+    u: dict of per-purpose uniforms. Returns (new_dir (N,3), weight (N,),
+    probe_count (N,) f32 — scene traces spent on NEE probes)."""
+    nl = sh.n
+    cos_dir = sampling.sample_cosine(nl, u[rng.P_SCATTER_U], u[rng.P_SCATTER_V])
+    if cfg.estimator == "cosine":
+        return cos_dir, jnp.ones(nl.shape[:-1], nl.dtype), jnp.zeros(nl.shape[:-1], jnp.float32)
+    if cfg.estimator in ("uniform", "uniform_corrected"):
+        uni_dir = sampling.sample_uniform(nl, u[rng.P_SCATTER_U], u[rng.P_SCATTER_V])
+        if cfg.estimator == "uniform":
+            # As committed (C12): weight f reused with no 2*cos correction.
+            w = jnp.ones(nl.shape[:-1], nl.dtype)
+        else:
+            w = 2.0 * jnp.maximum(vm.dot(uni_dir, nl), 0.0)
+        return uni_dir, w, jnp.zeros(nl.shape[:-1], jnp.float32)
+
+    # NEE-as-continuation (C13), optionally mixed with cosine ("mixture").
+    light = scene.light
+    if cfg.light_sample_mode == "glibc_overflow":
+        lp = sampling.sample_light_point_glibc(
+            light, u[rng.P_LIGHT_U], u[rng.P_LIGHT_V]
+        )
+    else:
+        lp = sampling.sample_light_point(light, u[rng.P_LIGHT_U], u[rng.P_LIGHT_V])
+    d_l = vm.norm(lp - hit_x)
+    probe = trace(scene, hit_x, d_l)
+    success = probe.hit & (probe.obj_id == light.light_obj_id)
+    w_nee = sampling.nee_weight(light, d_l, nl, probe.t)
+    nee_dir = jnp.where(success[:, None], d_l, cos_dir)
+    nee_w = jnp.where(success, w_nee, 1.0)
+    if cfg.estimator == "mixture":
+        take = u[rng.P_MIX_COIN] < cfg.mixture_q
+        new_dir = jnp.where(take[:, None], nee_dir, cos_dir)
+        w = jnp.where(take, nee_w, 1.0)
+        probes = take.astype(jnp.float32)
+    else:
+        new_dir, w = nee_dir, nee_w
+        probes = jnp.ones(nl.shape[:-1], jnp.float32)
+    return new_dir, w, probes
+
+
+def _spec_scatter(sh, d_in):
+    """Ideal mirror (C16, smallpt.cpp:482-483)."""
+    return vm.reflect(d_in, sh.n_geom), jnp.ones(d_in.shape[:-1], d_in.dtype)
+
+
+def _refr_scatter(sh, d_in, u_coin):
+    """Ideal dielectric (C16, smallpt.cpp:485-495), always-RR variant.
+
+    nc=1 (air), nt=1.5 (glass); Schlick Fresnel; total internal reflection
+    falls back to the mirror ray with weight 1. The reference's depth<=2
+    splitting (tracing BOTH rays) is replaced by Russian roulette at every
+    depth with P = .25 + .5*Re — an unbiased, fixed-shape choice."""
+    n, nl = sh.n_geom, sh.n
+    refl_dir = vm.reflect(d_in, n)
+    into = vm.dot(n, nl) > 0.0
+    nc, nt = 1.0, 1.5
+    nnt = jnp.where(into, nc / nt, nt / nc)
+    ddn = vm.dot(d_in, nl)
+    cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+    tir = cos2t < 0.0
+    sq = jnp.sqrt(jnp.maximum(cos2t, 0.0))
+    sign = jnp.where(into, 1.0, -1.0)
+    tdir = vm.norm(
+        d_in * nnt[:, None] - n * (sign * (ddn * nnt + sq))[:, None]
+    )
+    a, b = nt - nc, nt + nc
+    r0 = (a * a) / (b * b)
+    c = 1.0 - jnp.where(into, -ddn, vm.dot(tdir, n))
+    re = r0 + (1.0 - r0) * c**5
+    tr = 1.0 - re
+    p = 0.25 + 0.5 * re
+    pick_refl = (u_coin < p) | tir
+    w = jnp.where(tir, 1.0, jnp.where(pick_refl, re / p, tr / (1.0 - p)))
+    new_dir = jnp.where(pick_refl[:, None], refl_dir, tdir)
+    return new_dir, w
+
+
+def bounce_step(scene: Scene, cfg: RenderConfig, seed, state: PathState) -> PathState:
+    """One wavefront bounce: trace + shade + RR + scatter (radiance() body)."""
+    uniform = rng.make_uniform_fn(cfg.rng_backend)
+
+    hit = trace(scene, state.o, state.d)
+    sh = shade_info(scene, state.o, state.d, hit)
+    depth = state.depth + 1  # the reference's ++depth (smallpt.cpp:448)
+
+    alive_f = state.alive.astype(state.T.dtype)[:, None]
+    # Emission pickup: `return hit.e + ...` contributes T*e once per bounce
+    # (the terminal RR return of e is this same term — see SURVEY C10/C13).
+    L = state.L + alive_f * state.T * sh.emission
+
+    # Per-purpose uniforms for this bounce.
+    ctr_base = depth.astype(jnp.uint32) * jnp.uint32(rng.DRAWS_PER_BOUNCE)
+    u = {
+        p: uniform(seed, state.path_id, ctr_base + jnp.uint32(p))
+        for p in (
+            rng.P_RR,
+            rng.P_LIGHT_U,
+            rng.P_LIGHT_V,
+            rng.P_SCATTER_U,
+            rng.P_SCATTER_V,
+            rng.P_MIX_COIN,
+            rng.P_REFR_COIN,
+        )
+    }
+
+    # Russian roulette (C10, smallpt.cpp:447-454).
+    p_max = jnp.max(sh.albedo, axis=-1)
+    rr_active = (depth > cfg.rr_start_depth) | (p_max <= 0.0)
+    survive = jnp.where(rr_active, u[rng.P_RR] < p_max, True)
+    f = sh.albedo * jnp.where(
+        rr_active, 1.0 / jnp.maximum(p_max, 1e-30), 1.0
+    )[:, None]
+    alive = state.alive & survive
+
+    # Material scatter: branch-free select over material type (vtable-free,
+    # SURVEY row 4).
+    diff_dir, diff_w, probes = _diff_scatter(scene, cfg, sh, sh.x, u)
+    spec_dir, spec_w = _spec_scatter(sh, state.d)
+    refr_dir, refr_w = _refr_scatter(sh, state.d, u[rng.P_REFR_COIN])
+    is_spec = (sh.refl == SPEC)[:, None]
+    is_refr = (sh.refl == REFR)[:, None]
+    new_dir = jnp.where(is_spec, spec_dir, jnp.where(is_refr, refr_dir, diff_dir))
+    w = jnp.where(
+        sh.refl == SPEC, spec_w, jnp.where(sh.refl == REFR, refr_w, diff_w)
+    )
+
+    T = state.T * f * w[:, None]
+
+    # Trace accounting: 1 extend per alive lane at frame start + NEE probes
+    # for lanes that were alive, survived RR, and are DIFF.
+    probe_alive = alive & (sh.refl == DIFF)
+    n_traces = (
+        state.n_traces
+        + jnp.sum(state.alive.astype(jnp.float32))
+        + jnp.sum(probes * probe_alive.astype(jnp.float32))
+    )
+
+    # Masked write-back: dead lanes keep their state frozen.
+    live = alive[:, None]
+    return PathState(
+        o=jnp.where(live, sh.x, state.o),
+        d=jnp.where(live, new_dir, state.d),
+        T=jnp.where(live, T, state.T),
+        L=L,
+        alive=alive,
+        depth=jnp.where(state.alive, depth, state.depth),
+        path_id=state.path_id,
+        n_traces=n_traces,
+    )
+
+
+def path_trace(scene: Scene, cfg: RenderConfig, seed, o, d, path_id):
+    """Run paths to termination. Returns (L (N,3), n_traces ())."""
+    state0 = init_paths(o, d, path_id)
+
+    def cond(state):
+        return jnp.any(state.alive) & (jnp.max(state.depth) < cfg.max_bounces)
+
+    def body(state):
+        return bounce_step(scene, cfg, seed, state)
+
+    out = jax.lax.while_loop(cond, body, state0)
+    return out.L, out.n_traces
+
+
+def path_trace_fixed(scene: Scene, cfg: RenderConfig, seed, o, d, path_id,
+                     n_bounces: int):
+    """Differentiable variant: fixed-length lax.scan (reverse-mode safe).
+
+    Truncates the RR tail at ``n_bounces``; with RR survival <= max albedo
+    the truncated energy decays geometrically (SURVEY section 6: <0.1% of
+    bounces beyond depth ~30)."""
+    state0 = init_paths(o, d, path_id)
+
+    def body(state, _):
+        return bounce_step(scene, cfg, seed, state), None
+
+    out, _ = jax.lax.scan(body, state0, None, length=n_bounces)
+    return out.L, out.n_traces
+
+
+def _chunk_paths(cam: CameraParams, cfg: RenderConfig, seed, s0, n_s):
+    """Primary rays + path ids for samples [s0, s0+n_s) of every pixel.
+
+    Layout is pixel-major / sample-minor so per-pixel reduction is a reshape
+    (no scatter). path_id = (y*width + x) * spp + s."""
+    w, h, spp = cfg.width, cfg.height, cfg.spp
+    uniform = rng.make_uniform_fn(cfg.rng_backend)
+    pix = jnp.arange(w * h, dtype=jnp.uint32)
+    s = s0 + jnp.arange(n_s, dtype=jnp.uint32)
+    path_id = (pix[:, None] * jnp.uint32(spp) + s[None, :]).reshape(-1)
+    px = (pix[:, None] % jnp.uint32(w)).astype(jnp.int32)
+    py = (pix[:, None] // jnp.uint32(w)).astype(jnp.int32)
+    px = jnp.broadcast_to(px, (w * h, n_s)).reshape(-1)
+    py = jnp.broadcast_to(py, (w * h, n_s)).reshape(-1)
+    ju = uniform(seed, path_id, jnp.uint32(0))  # camera jitter counters 0, 1
+    jv = uniform(seed, path_id, jnp.uint32(1))
+    o, d = primary_rays(cam, w, h, px, py, ju, jv)
+    return o, d, path_id
+
+
+@partial(jax.jit, static_argnums=(2, 4))
+def render_chunk(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
+                 n_s: int, s0):
+    """Sum of per-sample radiance over sample indices [s0, s0+n_s) for every
+    pixel. Returns ((h, w, 3) radiance sum, n_traces)."""
+    o, d, path_id = _chunk_paths(cam, cfg, seed, s0, n_s)
+    L, n_traces = path_trace(scene, cfg, seed, o, d, path_id)
+    img = L.reshape(cfg.height * cfg.width, n_s, 3).sum(axis=1)
+    return img.reshape(cfg.height, cfg.width, 3), n_traces
+
+
+def render(scene: Scene, cam: CameraParams, cfg: RenderConfig):
+    """Full render: chunked over spp on the host, accumulated on device.
+
+    Returns (linear image (h, w, 3) in [0,1] — contract C3 clamp applied —
+    and total scene-trace count)."""
+    chunk = cfg.resolved_spp_chunk()
+    acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    traces = 0.0
+    s0 = 0
+    while s0 < cfg.spp:
+        n_s = min(chunk, cfg.spp - s0)
+        img, n_tr = render_chunk(
+            scene, cam, cfg, cfg.seed, n_s, jnp.uint32(s0)
+        )
+        acc = acc + img
+        traces += float(n_tr)
+        s0 += n_s
+    return film.finalize(acc / cfg.spp), traces

@@ -1,0 +1,127 @@
+"""Scene presets.
+
+- ``cornell_box``: the 17-rect scene at the reference HEAD
+  (/root/reference/src/smallpt.cpp:287-311; SURVEY.md section 2.3). Light is
+  object id 6.
+- ``cornell_spheres``: the sphere variant of most committed reference renders
+  — same walls + light, with the two commented-out spheres
+  (smallpt.cpp:297-298) instead of the two boxes.
+- ``smallpt_original``: stretch parity with Kevin Beason's original smallpt
+  scene (SPEC mirror + REFR glass; the reference keeps those material branches
+  commented at smallpt.cpp:481-495, contract C16). Walls are represented as
+  rects rather than the classic radius-1e5 spheres: giant spheres are
+  numerically hostile to f32 (catastrophic cancellation in the quadratic) and
+  geometrically equivalent to planes at scene scale — a deliberate TPU-native
+  (f32) design choice.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from .types import DIFF, REFR, SPEC, LightSampler, Scene, make_scene
+
+# Axis codes
+AX_X, AX_Y, AX_Z = 0, 1, 2
+
+_WHITE75 = (0.75, 0.75, 0.75)
+_ZERO = (0.0, 0.0, 0.0)
+_ONE = (1.0, 1.0, 1.0)
+
+
+def _cornell_walls() -> list[tuple]:
+    """The 7 wall/light rects (smallpt.cpp:288-294)."""
+    return [
+        # (axis, k, (lo0, lo1), (hi0, hi1), albedo, emission, refl)
+        (AX_Z, 0.0, (1.0, 0.0), (99.0, 81.6), _WHITE75, _ZERO, DIFF),   # Front
+        (AX_Z, 170.0, (1.0, 0.0), (99.0, 81.6), _WHITE75, _ZERO, DIFF),  # Back
+        (AX_X, 1.0, (0.0, 0.0), (81.6, 170.0), (0.25, 0.75, 0.25), _ZERO, DIFF),  # Left
+        (AX_X, 99.0, (0.0, 0.0), (81.6, 170.0), (0.75, 0.25, 0.25), _ZERO, DIFF),  # Right
+        (AX_Y, 0.0, (1.0, 0.0), (99.0, 170.0), _WHITE75, _ZERO, DIFF),  # Bottom
+        (AX_Y, 81.6, (1.0, 0.0), (99.0, 170.0), _WHITE75, _ZERO, DIFF),  # Top
+        (AX_Y, 81.5, (32.0, 63.0), (68.0, 96.0), _ZERO, (12.0, 12.0, 12.0), DIFF),  # Light (id 6)
+    ]
+
+
+def _cornell_light_sampler() -> LightSampler:
+    """Contract C13 exactly: sample x in [32, 32+36], z in [63, 63+36] on the
+    y=81.6 plane; area 36*36=1296; light object id 6 (smallpt.cpp:363-369,467,471)."""
+    return LightSampler(
+        corner=jnp.asarray([32.0, 81.6, 63.0], jnp.float32),
+        edge_u=jnp.asarray([36.0, 0.0, 0.0], jnp.float32),
+        edge_v=jnp.asarray([0.0, 0.0, 36.0], jnp.float32),
+        light_obj_id=jnp.asarray(6, jnp.int32),
+    )
+
+
+def cornell_box() -> Scene:
+    """Reference HEAD scene: 6 walls + light + two 5-face boxes
+    (smallpt.cpp:287-311)."""
+    rects = _cornell_walls() + [
+        # Tall box, x in [12,42], y in [0,50], z in [32,62] (:300-304)
+        (AX_Z, 32.0, (12.0, 0.0), (42.0, 50.0), _ONE, _ZERO, DIFF),
+        (AX_Z, 62.0, (12.0, 0.0), (42.0, 50.0), _ONE, _ZERO, DIFF),
+        (AX_X, 12.0, (0.0, 32.0), (50.0, 62.0), _ONE, _ZERO, DIFF),
+        (AX_X, 42.0, (0.0, 32.0), (50.0, 62.0), _ONE, _ZERO, DIFF),
+        (AX_Y, 50.0, (12.0, 32.0), (42.0, 62.0), _ONE, _ZERO, DIFF),
+        # Short box, x in [63,88], y in [0,25], z in [63,88] (:306-310)
+        (AX_Z, 63.0, (63.0, 0.0), (88.0, 25.0), _ONE, _ZERO, DIFF),
+        (AX_Z, 88.0, (63.0, 0.0), (88.0, 25.0), _ONE, _ZERO, DIFF),
+        (AX_X, 63.0, (0.0, 63.0), (25.0, 88.0), _ONE, _ZERO, DIFF),
+        (AX_X, 88.0, (0.0, 63.0), (25.0, 88.0), _ONE, _ZERO, DIFF),
+        (AX_Y, 25.0, (63.0, 63.0), (88.0, 88.0), _ONE, _ZERO, DIFF),
+    ]
+    return make_scene(rects, [], _cornell_light_sampler())
+
+
+def cornell_spheres() -> Scene:
+    """Sphere-pair variant (the scene of most committed PPMs / BASELINE.json
+    "Cornell sphere scene"): walls + light + the two commented spheres
+    (smallpt.cpp:297-298), both DIFF."""
+    spheres = [
+        ((27.0, 16.5, 47.0), 16.5, (0.999, 0.999, 0.999), _ZERO, DIFF),
+        ((73.0, 16.5, 78.0), 16.5, _WHITE75, _ZERO, DIFF),
+    ]
+    return make_scene(_cornell_walls(), spheres, _cornell_light_sampler())
+
+
+def smallpt_original() -> Scene:
+    """Classic smallpt scene with SPEC/REFR spheres (stretch parity, C16).
+
+    Box [1,99]x[0,81.6]x[0,170] as rect walls with original smallpt wall
+    colors; mirror + glass spheres; sphere light (rad 600 at y=681.33,
+    e=(12,12,12)) replaced by a rect light of equivalent emitted region on
+    the ceiling for f32 robustness, using this repo's Cornell light.
+    """
+    rects = [
+        (AX_Z, 0.0, (1.0, 0.0), (99.0, 81.6), _WHITE75, _ZERO, DIFF),  # back (grey)
+        (AX_Z, 170.0, (1.0, 0.0), (99.0, 81.6), _ZERO, _ZERO, DIFF),  # front (black)
+        (AX_X, 1.0, (0.0, 0.0), (81.6, 170.0), (0.75, 0.25, 0.25), _ZERO, DIFF),  # left red
+        (AX_X, 99.0, (0.0, 0.0), (81.6, 170.0), (0.25, 0.25, 0.75), _ZERO, DIFF),  # right blue
+        (AX_Y, 0.0, (1.0, 0.0), (99.0, 170.0), _WHITE75, _ZERO, DIFF),  # floor
+        (AX_Y, 81.6, (1.0, 0.0), (99.0, 170.0), _WHITE75, _ZERO, DIFF),  # ceiling
+        (AX_Y, 81.5, (32.0, 63.0), (68.0, 96.0), _ZERO, (12.0, 12.0, 12.0), DIFF),  # light
+    ]
+    spheres = [
+        ((27.0, 16.5, 47.0), 16.5, (0.999, 0.999, 0.999), _ZERO, SPEC),  # mirror
+        ((73.0, 16.5, 78.0), 16.5, (0.999, 0.999, 0.999), _ZERO, REFR),  # glass
+    ]
+    return make_scene(rects, spheres, _cornell_light_sampler())
+
+
+PRESETS = {
+    "cornell_box": cornell_box,
+    "cornell_spheres": cornell_spheres,
+    "smallpt_original": smallpt_original,
+}
+
+
+def get_scene(name: str) -> Scene:
+    try:
+        return PRESETS[name]()
+    except KeyError:
+        raise ValueError(
+            f"unknown scene preset {name!r}; available: {sorted(PRESETS)}"
+        ) from None

@@ -1,0 +1,161 @@
+"""Scene representation: struct-of-arrays pytrees, one block per primitive type.
+
+TPU-native replacement for the reference's ``Hitable*`` vtable array
+(/root/reference/src/smallpt.cpp:82-90, 287-311): no virtual dispatch — each
+primitive family is a batched array block and intersection is branch-free
+vectorized math with a select over the object axis.
+
+Global object ids: rects first (0..R-1), then spheres (R..R+S-1). This keeps
+the reference's scene indexing (the light is ``rect[6]``, contract C13) intact
+for the Cornell presets.
+
+All numeric leaves are differentiable scene parameters (albedo, emission,
+plane offsets, bounds, sphere centers/radii, light geometry) — the pytree IS
+the parameter vector for the adjoint pass (``grad/``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+# Material / reflection types, matching the reference enum Refl_t
+# (smallpt.cpp:72-74).
+DIFF = 0
+SPEC = 1
+REFR = 2
+
+
+class Rects(NamedTuple):
+    """Axis-aligned rectangles (the reference's Rectangle_xz/xy/yz,
+    smallpt.cpp:92-221), unified into one block parameterized by normal axis.
+
+    axis: (R,) int32 — index of the normal axis (0=x => yz-rect, 1=y => xz,
+        2=z => xy).
+    k: (R,) — plane offset along the normal axis.
+    lo, hi: (R, 2) — bounds on the two in-plane axes, in ascending axis order
+        (yz-rect: (y, z); xz-rect: (x, z); xy-rect: (x, y)), matching the
+        constructor argument order in the reference.
+    albedo, emission: (R, 3).
+    refl: (R,) int32 in {DIFF, SPEC, REFR}.
+    """
+
+    axis: jnp.ndarray
+    k: jnp.ndarray
+    lo: jnp.ndarray
+    hi: jnp.ndarray
+    albedo: jnp.ndarray
+    emission: jnp.ndarray
+    refl: jnp.ndarray
+
+
+class Spheres(NamedTuple):
+    """Spheres (smallpt.cpp:223-254). center: (S,3); radius: (S,)."""
+
+    center: jnp.ndarray
+    radius: jnp.ndarray
+    albedo: jnp.ndarray
+    emission: jnp.ndarray
+    refl: jnp.ndarray
+
+
+class LightSampler(NamedTuple):
+    """Parameters of the explicit-light (NEE) sampler, contract C13.
+
+    The reference hard-codes x in [32, 68], z in [63, 99] (sic: 3 units past
+    the light's z2=96), target plane y=81.6 (sic: the ceiling, light sits at
+    81.5), and the constant 1296 = 36*36 (smallpt.cpp:363-369, 471).
+
+    We generalize to a parallelogram: point = corner + u*edge_u + v*edge_v,
+    with area = |edge_u x edge_v| and normal = normalize(edge_u x edge_v).
+    For the Cornell presets this reproduces the reference constants exactly
+    (area = 36*36 = 1296, normal = (0,1,0)); it also supports tilted-plane
+    lights (BASELINE.json config #3).
+
+    light_obj_id: global object id whose hit counts as "reached the light"
+    (the NEE success test ``id == 6``, smallpt.cpp:467).
+    """
+
+    corner: jnp.ndarray  # (3,)
+    edge_u: jnp.ndarray  # (3,)
+    edge_v: jnp.ndarray  # (3,)
+    light_obj_id: jnp.ndarray  # () int32
+
+
+class Scene(NamedTuple):
+    rects: Rects
+    spheres: Spheres
+    light: LightSampler
+
+
+def make_scene(
+    rects: list[tuple],
+    spheres: list[tuple],
+    light: LightSampler,
+    dtype=jnp.float32,
+) -> Scene:
+    """Build a Scene from python lists.
+
+    rects: list of (axis, k, (lo0, lo1), (hi0, hi1), albedo3, emission3, refl)
+    spheres: list of (center3, radius, albedo3, emission3, refl)
+    """
+    if rects:
+        r = Rects(
+            axis=jnp.asarray([x[0] for x in rects], dtype=jnp.int32),
+            k=jnp.asarray([x[1] for x in rects], dtype=dtype),
+            lo=jnp.asarray([x[2] for x in rects], dtype=dtype),
+            hi=jnp.asarray([x[3] for x in rects], dtype=dtype),
+            albedo=jnp.asarray([x[4] for x in rects], dtype=dtype),
+            emission=jnp.asarray([x[5] for x in rects], dtype=dtype),
+            refl=jnp.asarray([x[6] for x in rects], dtype=jnp.int32),
+        )
+    else:
+        r = Rects(
+            axis=jnp.zeros((0,), jnp.int32),
+            k=jnp.zeros((0,), dtype),
+            lo=jnp.zeros((0, 2), dtype),
+            hi=jnp.zeros((0, 2), dtype),
+            albedo=jnp.zeros((0, 3), dtype),
+            emission=jnp.zeros((0, 3), dtype),
+            refl=jnp.zeros((0,), jnp.int32),
+        )
+    if spheres:
+        s = Spheres(
+            center=jnp.asarray([x[0] for x in spheres], dtype=dtype),
+            radius=jnp.asarray([x[1] for x in spheres], dtype=dtype),
+            albedo=jnp.asarray([x[2] for x in spheres], dtype=dtype),
+            emission=jnp.asarray([x[3] for x in spheres], dtype=dtype),
+            refl=jnp.asarray([x[4] for x in spheres], dtype=jnp.int32),
+        )
+    else:
+        s = Spheres(
+            center=jnp.zeros((0, 3), dtype),
+            radius=jnp.zeros((0,), dtype),
+            albedo=jnp.zeros((0, 3), dtype),
+            emission=jnp.zeros((0, 3), dtype),
+            refl=jnp.zeros((0,), jnp.int32),
+        )
+    return Scene(rects=r, spheres=s, light=light)
+
+
+def num_objects(scene: Scene) -> int:
+    return scene.rects.k.shape[0] + scene.spheres.radius.shape[0]
+
+
+def object_arrays(scene: Scene):
+    """Concatenated per-object (albedo, emission, refl) in global-id order."""
+    albedo = jnp.concatenate([scene.rects.albedo, scene.spheres.albedo], axis=0)
+    emission = jnp.concatenate(
+        [scene.rects.emission, scene.spheres.emission], axis=0
+    )
+    refl = jnp.concatenate([scene.rects.refl, scene.spheres.refl], axis=0)
+    return albedo, emission, refl
+
+
+# In-plane axis pairs for each normal axis, ascending order. For normal axis
+# a, OTHER_AXES[a] are the two bounded axes (matches the reference's
+# constructor orders, smallpt.cpp:92-221).
+OTHER_AXES = np.array([[1, 2], [0, 2], [0, 1]], dtype=np.int32)

@@ -1,0 +1,36 @@
+"""Test configuration: force CPU with 8 virtual devices BEFORE jax imports.
+
+Distributed tests (SURVEY.md section 4.3) run against a virtual 8-device CPU
+mesh; TPU-only tests skip themselves when no TPU is attached.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cornell_box():
+    from small_pathtracer_tpu.scene.presets import get_scene
+
+    return get_scene("cornell_box")
+
+
+@pytest.fixture(scope="session")
+def camera():
+    from small_pathtracer_tpu.camera.pinhole import make_camera
+
+    return make_camera()
+
+
+@pytest.fixture(scope="session")
+def rng_np():
+    return np.random.default_rng(1234)
