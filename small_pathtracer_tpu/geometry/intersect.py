@@ -53,7 +53,12 @@ def intersect_rects(rects, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     other = jnp.asarray(OTHER_AXES)[ax]  # (R,2)
     o_n = o[:, ax]                      # (N,R) origin component along normal
     d_n = d[:, ax]                      # (N,R)
-    t = (rects.k[None, :] - o_n) / d_n  # (N,R); +-inf/nan when d_n == 0
+    # Double-where guard: a literal /0 would poison reverse-mode AD (0-cotangent
+    # times inf tangent = NaN), so divide by a sanitized denominator and
+    # exclude parallel rays in `valid` instead.
+    hit_plane = d_n != 0.0
+    d_n_safe = jnp.where(hit_plane, d_n, 1.0)
+    t = (rects.k[None, :] - o_n) / d_n_safe  # (N,R)
     # In-plane hit coordinates on the two bounded axes.
     p0 = o[:, other[:, 0]] + t * d[:, other[:, 0]]
     p1 = o[:, other[:, 1]] + t * d[:, other[:, 1]]
@@ -63,7 +68,7 @@ def intersect_rects(rects, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
         & (p1 >= rects.lo[None, :, 1])
         & (p1 <= rects.hi[None, :, 1])
     )
-    valid = inb & (t > SELF_HIT_EPS) & jnp.isfinite(t)
+    valid = inb & (t > SELF_HIT_EPS) & hit_plane
     return jnp.where(valid, t, MISS_T)
 
 
@@ -75,11 +80,14 @@ def intersect_spheres(spheres, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     op = spheres.center[None, :, :] - o[:, None, :]       # (N,S,3)
     b = jnp.sum(op * d[:, None, :], axis=-1)              # (N,S)
     det = b * b - jnp.sum(op * op, axis=-1) + (spheres.radius**2)[None, :]
-    sdet = jnp.sqrt(jnp.maximum(det, 0.0))
+    # Double-where: sqrt'(0) = inf would NaN reverse-mode AD for grazing/miss
+    # lanes even though they are where()-masked out downstream.
+    det_pos = det > 0.0
+    sdet = jnp.sqrt(jnp.where(det_pos, det, 1.0))
     t_near = b - sdet
     t_far = b + sdet
     t = jnp.where(t_near > SPHERE_EPS, t_near, t_far)
-    valid = (det >= 0.0) & (t > SPHERE_EPS)
+    valid = det_pos & (t > SPHERE_EPS)
     return jnp.where(valid, t, MISS_T)
 
 

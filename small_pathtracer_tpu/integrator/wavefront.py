@@ -99,7 +99,10 @@ def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
     d_l = vm.norm(lp - hit_x)
     probe = trace(scene, hit_x, d_l)
     success = probe.hit & (probe.obj_id == light.light_obj_id)
-    w_nee = sampling.nee_weight(light, d_l, nl, probe.t)
+    # Sanitize t before the 1/t^2 weight: a miss t = 1e20 overflows f32 in
+    # t*t (=> inf => NaN cotangents through the where in reverse mode).
+    t_safe = jnp.where(success, probe.t, 1.0)
+    w_nee = sampling.nee_weight(light, d_l, nl, t_safe)
     nee_dir = jnp.where(success[:, None], d_l, cos_dir)
     nee_w = jnp.where(success, w_nee, 1.0)
     if cfg.estimator == "mixture":
@@ -133,7 +136,9 @@ def _refr_scatter(sh, d_in, u_coin):
     ddn = vm.dot(d_in, nl)
     cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
     tir = cos2t < 0.0
-    sq = jnp.sqrt(jnp.maximum(cos2t, 0.0))
+    # Double-where: keep sqrt away from 0 for the AD path (TIR lanes select
+    # the mirror ray anyway).
+    sq = jnp.sqrt(jnp.where(cos2t > 0.0, cos2t, 1.0)) * (cos2t > 0.0)
     sign = jnp.where(into, 1.0, -1.0)
     tdir = vm.norm(
         d_in * nnt[:, None] - n * (sign * (ddn * nnt + sq))[:, None]
@@ -182,9 +187,14 @@ def bounce_step(scene: Scene, cfg: RenderConfig, seed, state: PathState) -> Path
     p_max = jnp.max(sh.albedo, axis=-1)
     rr_active = (depth > cfg.rr_start_depth) | (p_max <= 0.0)
     survive = jnp.where(rr_active, u[rng.P_RR] < p_max, True)
-    f = sh.albedo * jnp.where(
-        rr_active, 1.0 / jnp.maximum(p_max, 1e-30), 1.0
-    )[:, None]
+    # Double-where reciprocal: p_max == 0 lanes die (survive == False) so the
+    # value is irrelevant, but d(1/p)/dp = -1/p^2 would overflow to inf and
+    # NaN the reverse pass if computed at p ~ 0.
+    p_pos = p_max > 0.0
+    inv_p = jnp.where(
+        rr_active & p_pos, 1.0 / jnp.where(p_pos, p_max, 1.0), 1.0
+    )
+    f = sh.albedo * inv_p[:, None]
     alive = state.alive & survive
 
     # Material scatter: branch-free select over material type (vtable-free,

@@ -13,6 +13,14 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the tunneled-TPU backend and
+# overrides JAX_PLATFORMS; the config update below wins over both, keeping
+# the unit/distributed suite on the 8-device virtual CPU mesh (fast, local)
+# instead of round-tripping every op through the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

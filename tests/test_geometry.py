@@ -49,7 +49,7 @@ class TestRect:
     def test_out_of_bounds_misses(self):
         sc = _mono_rect_scene(1, 10.0, (0.0, 0.0), (4.0, 4.0))
         o, d = _rays([[5.0, 0.0, 2.0]], [[0.0, 1.0, 0.0]])
-        assert float(intersect_rects(sc.rects, o, d)[0, 0]) == MISS_T
+        assert float(intersect_rects(sc.rects, o, d)[0, 0]) == pytest.approx(MISS_T, rel=1e-6)
 
     def test_boundary_inclusive(self):
         # The reference rejects only strict < lo / > hi (smallpt.cpp:106).
@@ -60,12 +60,12 @@ class TestRect:
     def test_behind_origin_misses(self):
         sc = _mono_rect_scene(1, 10.0, (0.0, 0.0), (4.0, 4.0))
         o, d = _rays([[2.0, 20.0, 2.0]], [[0.0, 1.0, 0.0]])
-        assert float(intersect_rects(sc.rects, o, d)[0, 0]) == MISS_T
+        assert float(intersect_rects(sc.rects, o, d)[0, 0]) == pytest.approx(MISS_T, rel=1e-6)
 
     def test_parallel_ray_misses(self):
         sc = _mono_rect_scene(1, 10.0, (0.0, 0.0), (4.0, 4.0))
         o, d = _rays([[2.0, 0.0, 2.0]], [[1.0, 0.0, 0.0]])
-        assert float(intersect_rects(sc.rects, o, d)[0, 0]) == MISS_T
+        assert float(intersect_rects(sc.rects, o, d)[0, 0]) == pytest.approx(MISS_T, rel=1e-6)
 
     def test_two_sided(self):
         # Hit from above (direction -y) also intersects (two-sided, C7).
@@ -108,12 +108,12 @@ class TestSphere:
     def test_miss(self):
         sc = self._scene((0.0, 0.0, 10.0), 2.0)
         o, d = _rays([[0.0, 5.0, 0.0]], [[0.0, 0.0, 1.0]])
-        assert float(intersect_spheres(sc.spheres, o, d)[0, 0]) == MISS_T
+        assert float(intersect_spheres(sc.spheres, o, d)[0, 0]) == pytest.approx(MISS_T, rel=1e-6)
 
     def test_behind(self):
         sc = self._scene((0.0, 0.0, -10.0), 2.0)
         o, d = _rays([[0.0, 0.0, 0.0]], [[0.0, 0.0, 1.0]])
-        assert float(intersect_spheres(sc.spheres, o, d)[0, 0]) == MISS_T
+        assert float(intersect_spheres(sc.spheres, o, d)[0, 0]) == pytest.approx(MISS_T, rel=1e-6)
 
     def test_inside_normal_flipped(self):
         sc = self._scene((0.0, 0.0, 0.0), 2.0)
