@@ -1,0 +1,180 @@
+"""CLI driver: render / benchmark / fit (inverse rendering) subcommands."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_render_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--scene", default="cornell_box",
+                   help="scene preset (cornell_box | cornell_spheres | smallpt_original)")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--spp", type=int, default=16)
+    p.add_argument("--estimator", default="nee",
+                   help="uniform | uniform_corrected | cosine | nee | mixture")
+    p.add_argument("--mixture-q", type=float, default=0.5)
+    p.add_argument("--light-sample-mode", default="intended",
+                   choices=["intended", "glibc_overflow"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--wavefront", default="regen", choices=["regen", "scan"])
+    p.add_argument("--rng", default="mix", choices=["mix", "threefry"],
+                   dest="rng_backend")
+    p.add_argument("--mesh", default="",
+                   help="distributed mesh shape 'SPxDP' (e.g. 4x2); empty = single device")
+    p.add_argument("--checkpoint", default="",
+                   help="render-state checkpoint path (resume if it exists)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save render state every N spp (0 = only at end)")
+
+
+def _build(args):
+    from .. import RenderConfig, get_scene, make_camera
+
+    cfg = RenderConfig(
+        width=args.width, height=args.height, spp=args.spp,
+        estimator=args.estimator, mixture_q=args.mixture_q,
+        light_sample_mode=args.light_sample_mode, seed=args.seed,
+        wavefront=args.wavefront, rng_backend=args.rng_backend,
+    )
+    scene = get_scene(args.scene)
+    cam = make_camera(aspect=args.width / args.height)
+    return scene, cam, cfg
+
+
+def cmd_render(args) -> int:
+    import numpy as np
+
+    from ..core import film
+
+    scene, cam, cfg = _build(args)
+    t0 = time.perf_counter()
+    if args.checkpoint:
+        from ..utils.checkpoint import render_with_checkpoints
+
+        img, traces = render_with_checkpoints(
+            scene, cam, cfg, args.checkpoint, args.checkpoint_every
+        )
+    elif args.mesh:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import render_sharded
+
+        sp, dp = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(jax.devices()[: sp * dp], mesh_shape=(sp, dp))
+        img, traces = render_sharded(scene, cam, cfg, mesh)
+    else:
+        from ..integrator.wavefront import render
+
+        img, traces = render(scene, cam, cfg)
+    dt = time.perf_counter() - t0
+    u8 = np.asarray(film.tonemap_u8(img))
+    out = args.output
+    if out.endswith(".ppm"):
+        film.write_ppm(out, u8)
+    else:
+        from ..core.imageio import write_image
+
+        write_image(out, u8)
+    print(
+        f"wrote {out}  {cfg.width}x{cfg.height}x{cfg.spp}spp "
+        f"{traces / dt / 1e6:.1f} Mrays/s  {dt:.2f}s",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax
+
+    scene, cam, cfg = _build(args)
+    from ..integrator.wavefront import render
+
+    img, traces = render(scene, cam, cfg)  # warmup+compile
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    img, traces = render(scene, cam, cfg)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"Mrays/s ({args.scene} {cfg.width}x{cfg.height}x{cfg.spp}spp {cfg.estimator})",
+        "value": round(traces / dt / 1e6, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(traces / dt / 1e6 / 2.5, 2),
+    }))
+    return 0
+
+
+def cmd_fit(args) -> int:
+    """Inverse rendering: recover scene parameters from a target image."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from ..core import film
+    from ..grad.adjoint import make_sharded_train_step, render_linear
+    from ..parallel.mesh import make_mesh
+
+    scene, cam, cfg = _build(args)
+    if args.target:
+        target = jnp.asarray(
+            film.srgb_from_u8(film.read_ppm(args.target)), jnp.float32
+        )
+    else:
+        # Self-test mode: perturb emission, recover it.
+        bright = scene._replace(
+            rects=scene.rects._replace(emission=scene.rects.emission * 1.5)
+        )
+        target = render_linear(bright, cam, cfg, jnp.uint32(cfg.seed + 1),
+                               args.bounces)
+    import jax
+
+    if args.mesh:
+        sp, dp = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(jax.devices()[: sp * dp], mesh_shape=(sp, dp))
+    else:
+        mesh = make_mesh(jax.devices()[:1], mesh_shape=(1, 1))
+    step = make_sharded_train_step(
+        cfg, mesh, target, n_bounces=args.bounces, lr=args.lr,
+        train_fields=tuple(args.train.split(",")),
+    )
+    s, c = scene, cam
+    for i in range(args.steps):
+        loss, s, c = step(s, c, jnp.uint32(cfg.seed))
+        print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
+    print(json.dumps({"final_loss": float(loss), "steps": args.steps}))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="small_pathtracer_tpu",
+        description="TPU-native differentiable path tracer",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_render = sub.add_parser("render", help="render an image")
+    _add_render_args(p_render)
+    p_render.add_argument("-o", "--output", default="image.ppm")
+    p_render.set_defaults(fn=cmd_render)
+
+    p_bench = sub.add_parser("bench", help="measure Mrays/s")
+    _add_render_args(p_bench)
+    p_bench.set_defaults(fn=cmd_bench)
+
+    p_fit = sub.add_parser("fit", help="inverse rendering (gradient descent)")
+    _add_render_args(p_fit)
+    p_fit.add_argument("--target", default="", help="target PPM image")
+    p_fit.add_argument("--steps", type=int, default=20)
+    p_fit.add_argument("--lr", type=float, default=1.0)
+    p_fit.add_argument("--bounces", type=int, default=16)
+    p_fit.add_argument("--train", default="emission,albedo",
+                       help="comma-separated scene fields to optimize")
+    p_fit.set_defaults(fn=cmd_fit)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)

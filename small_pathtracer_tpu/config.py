@@ -34,10 +34,14 @@ class RenderConfig:
     rr_start_depth: int = 5     # RR kicks in after this depth (C10, :448)
     max_bounces: int = 256      # safety cap; RR terminates a.s. (tail ~88 measured)
     spp_chunk: int = 0          # paths per device pass; 0 = auto
+    regen_groups: int = 0       # lanes per pixel for wavefront="regen"; 0 = auto
     seed: int = 0
     rng_backend: str = "mix"    # "mix" | "threefry"
     use_pallas: bool = False    # fused Pallas bounce kernel (ops/)
-    wavefront: str = "scan"     # "scan" (fixed slots) | "regen" (regeneration)
+    # Wavefront schedule: "regen" = lane-per-pixel regeneration (fast path;
+    # amortizes the RR tail); "scan" = fixed slots, chunked over spp (the
+    # semantics-defining reference implementation; also the AD path).
+    wavefront: str = "regen"
 
     def __post_init__(self):
         if self.estimator not in ESTIMATORS:

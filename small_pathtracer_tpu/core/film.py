@@ -36,15 +36,23 @@ def finalize(sample_mean: jnp.ndarray) -> jnp.ndarray:
 
 def write_ppm(path: str, image_u8: np.ndarray) -> None:
     """Write an ASCII P3 PPM matching the reference writer byte format
-    (smallpt.cpp:548-551): header then ``"%d %d %d "`` per pixel."""
+    (smallpt.cpp:548-551): header then ``"%d %d %d "`` per pixel.
+
+    Uses the native C++ encoder when available (~100x faster than the
+    Python join at 1024x768; see native/sptnative.cpp)."""
     img = np.asarray(image_u8)
     assert img.ndim == 3 and img.shape[2] == 3, img.shape
     h, w, _ = img.shape
-    flat = img.reshape(-1, 3).astype(np.int32)
-    body = " ".join(str(v) for v in flat.reshape(-1))
-    with open(path, "w") as f:
-        f.write(f"P3\n{w} {h}\n255\n")
-        f.write(body + " ")
+    from .. import native
+
+    body = native.ppm_body(img.astype(np.uint8))
+    if body is None:
+        body = (
+            " ".join(str(v) for v in img.reshape(-1).astype(np.int32)) + " "
+        ).encode()
+    with open(path, "wb") as f:
+        f.write(f"P3\n{w} {h}\n255\n".encode())
+        f.write(body)
 
 
 def read_ppm(path: str) -> np.ndarray:

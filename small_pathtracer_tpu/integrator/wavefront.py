@@ -155,23 +155,37 @@ def _refr_scatter(sh, d_in, u_coin):
     return new_dir, w
 
 
-def bounce_step(scene: Scene, cfg: RenderConfig, seed, state: PathState) -> PathState:
-    """One wavefront bounce: trace + shade + RR + scatter (radiance() body)."""
+class BounceOut(NamedTuple):
+    """Result of one radiance()-body evaluation over the wavefront."""
+
+    emit: jnp.ndarray      # (N,3) T*emission contribution (masked by alive)
+    x: jnp.ndarray         # (N,3) hit point (next origin)
+    new_dir: jnp.ndarray   # (N,3) next direction
+    T: jnp.ndarray         # (N,3) next throughput
+    alive: jnp.ndarray     # (N,) alive & survived RR
+    traces_inc: jnp.ndarray  # () f32 scene traces consumed this bounce
+
+
+def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
+                 depth, path_id) -> BounceOut:
+    """The radiance() body (smallpt.cpp:419-496) over a wavefront.
+
+    ``depth`` is the reference's post-increment value (++depth,
+    smallpt.cpp:448) for this frame."""
     uniform = rng.make_uniform_fn(cfg.rng_backend)
 
-    hit = trace(scene, state.o, state.d)
-    sh = shade_info(scene, state.o, state.d, hit)
-    depth = state.depth + 1  # the reference's ++depth (smallpt.cpp:448)
+    hit = trace(scene, o, d)
+    sh = shade_info(scene, o, d, hit)
 
-    alive_f = state.alive.astype(state.T.dtype)[:, None]
+    alive_f = alive.astype(T.dtype)[:, None]
     # Emission pickup: `return hit.e + ...` contributes T*e once per bounce
     # (the terminal RR return of e is this same term — see SURVEY C10/C13).
-    L = state.L + alive_f * state.T * sh.emission
+    emit = alive_f * T * sh.emission
 
     # Per-purpose uniforms for this bounce.
     ctr_base = depth.astype(jnp.uint32) * jnp.uint32(rng.DRAWS_PER_BOUNCE)
     u = {
-        p: uniform(seed, state.path_id, ctr_base + jnp.uint32(p))
+        p: uniform(seed, path_id, ctr_base + jnp.uint32(p))
         for p in (
             rng.P_RR,
             rng.P_LIGHT_U,
@@ -195,13 +209,13 @@ def bounce_step(scene: Scene, cfg: RenderConfig, seed, state: PathState) -> Path
         rr_active & p_pos, 1.0 / jnp.where(p_pos, p_max, 1.0), 1.0
     )
     f = sh.albedo * inv_p[:, None]
-    alive = state.alive & survive
+    alive_out = alive & survive
 
     # Material scatter: branch-free select over material type (vtable-free,
     # SURVEY row 4).
     diff_dir, diff_w, probes = _diff_scatter(scene, cfg, sh, sh.x, u)
-    spec_dir, spec_w = _spec_scatter(sh, state.d)
-    refr_dir, refr_w = _refr_scatter(sh, state.d, u[rng.P_REFR_COIN])
+    spec_dir, spec_w = _spec_scatter(sh, d)
+    refr_dir, refr_w = _refr_scatter(sh, d, u[rng.P_REFR_COIN])
     is_spec = (sh.refl == SPEC)[:, None]
     is_refr = (sh.refl == REFR)[:, None]
     new_dir = jnp.where(is_spec, spec_dir, jnp.where(is_refr, refr_dir, diff_dir))
@@ -209,28 +223,40 @@ def bounce_step(scene: Scene, cfg: RenderConfig, seed, state: PathState) -> Path
         sh.refl == SPEC, spec_w, jnp.where(sh.refl == REFR, refr_w, diff_w)
     )
 
-    T = state.T * f * w[:, None]
+    T_out = T * f * w[:, None]
 
     # Trace accounting: 1 extend per alive lane at frame start + NEE probes
     # for lanes that were alive, survived RR, and are DIFF.
-    probe_alive = alive & (sh.refl == DIFF)
-    n_traces = (
-        state.n_traces
-        + jnp.sum(state.alive.astype(jnp.float32))
+    probe_alive = alive_out & (sh.refl == DIFF)
+    traces_inc = (
+        jnp.sum(alive.astype(jnp.float32))
         + jnp.sum(probes * probe_alive.astype(jnp.float32))
     )
 
+    return BounceOut(
+        emit=emit, x=sh.x, new_dir=new_dir, T=T_out, alive=alive_out,
+        traces_inc=traces_inc,
+    )
+
+
+def bounce_step(scene: Scene, cfg: RenderConfig, seed, state: PathState) -> PathState:
+    """One wavefront bounce: trace + shade + RR + scatter (radiance() body)."""
+    depth = state.depth + 1  # the reference's ++depth (smallpt.cpp:448)
+    out = _bounce_core(
+        scene, cfg, seed, state.o, state.d, state.T, state.alive, depth,
+        state.path_id,
+    )
     # Masked write-back: dead lanes keep their state frozen.
-    live = alive[:, None]
+    live = out.alive[:, None]
     return PathState(
-        o=jnp.where(live, sh.x, state.o),
-        d=jnp.where(live, new_dir, state.d),
-        T=jnp.where(live, T, state.T),
-        L=L,
-        alive=alive,
+        o=jnp.where(live, out.x, state.o),
+        d=jnp.where(live, out.new_dir, state.d),
+        T=jnp.where(live, out.T, state.T),
+        L=state.L + out.emit,
+        alive=out.alive,
         depth=jnp.where(state.alive, depth, state.depth),
         path_id=state.path_id,
-        n_traces=n_traces,
+        n_traces=state.n_traces + out.traces_inc,
     )
 
 
@@ -262,6 +288,142 @@ def path_trace_fixed(scene: Scene, cfg: RenderConfig, seed, o, d, path_id,
 
     out, _ = jax.lax.scan(body, state0, None, length=n_bounces)
     return out.L, out.n_traces
+
+
+class RegenState(NamedTuple):
+    o: jnp.ndarray        # (N,3)
+    d: jnp.ndarray        # (N,3)
+    T: jnp.ndarray        # (N,3)
+    L: jnp.ndarray        # (N,3) per-LANE radiance accumulator (pixel-bound)
+    alive: jnp.ndarray    # (N,)
+    depth: jnp.ndarray    # (N,) int32 current-path depth
+    s: jnp.ndarray        # (N,) uint32 current sample index (within lane)
+    path_id: jnp.ndarray  # (N,) uint32
+    n_traces: jnp.ndarray  # () f32
+
+
+def _spawn(cam: CameraParams, cfg: RenderConfig, seed, px, py, pid_base,
+           s_idx):
+    """Primary ray + path id for sample ``s_idx`` of the lane's pixel.
+
+    px/py/pid_base (= pixel * spp) are loop-invariant lane constants,
+    precomputed OUTSIDE the while loop: integer div/mod is very expensive on
+    the VPU and XLA does not reliably hoist it out of while bodies.
+
+    Camera-jitter counters 0/1 never collide with bounce draws (those start
+    at DRAWS_PER_BOUNCE because depth >= 1)."""
+    uniform = rng.make_uniform_fn(cfg.rng_backend)
+    path_id = pid_base + s_idx
+    ju = uniform(seed, path_id, jnp.uint32(0))
+    jv = uniform(seed, path_id, jnp.uint32(1))
+    o, d = primary_rays(cam, cfg.width, cfg.height, px, py, ju, jv)
+    return o, d, path_id
+
+
+def path_trace_regen(scene: Scene, cfg: RenderConfig, seed,
+                     cam: CameraParams, pix, s_start, s_stop):
+    """Regenerating wavefront: lane i is bound to pixel ``pix[i]`` and walks
+    its samples [s_start[i], s_stop[i]) sequentially, respawning a fresh
+    primary ray the moment the current path dies.
+
+    This is the occupancy fix for the RR tail (SURVEY.md section 7 "Hard
+    parts" #1): the fixed-slot loop runs until the LAST path of the whole
+    wave dies (<10% mean occupancy); lane-bound regeneration amortizes the
+    tail across a lane's whole sample budget. Because every RNG draw is a
+    pure function of (seed, path_id, counter), per-sample radiance is
+    bit-identical to the fixed-slot path — only the accumulation order
+    differs. The pixel binding means dead-lane output needs NO scatter: the
+    lane accumulator IS a pixel partial sum.
+
+    pix, s_start, s_stop: (N,) uint32 per-lane work assignment (several
+    lanes may share a pixel with disjoint sample ranges — "groups").
+
+    Returns (per-lane radiance sum over its samples (N,3), traces ())."""
+    n = pix.shape[0]
+    px = (pix % jnp.uint32(cfg.width)).astype(jnp.int32)
+    py = (pix // jnp.uint32(cfg.width)).astype(jnp.int32)
+    pid_base = pix * jnp.uint32(cfg.spp)
+    s_start = s_start.astype(jnp.uint32)
+    s_stop = s_stop.astype(jnp.uint32)
+
+    o0, d0, pid0 = _spawn(cam, cfg, seed, px, py, pid_base, s_start)
+    state0 = RegenState(
+        o=o0,
+        d=d0,
+        T=jnp.ones((n, 3), o0.dtype),
+        L=jnp.zeros((n, 3), o0.dtype),
+        alive=s_start < s_stop,
+        depth=jnp.zeros((n,), jnp.int32),
+        s=s_start,
+        path_id=pid0,
+        n_traces=jnp.zeros((), jnp.float32),
+    )
+
+    def cond(st):
+        return jnp.any(st.alive)
+
+    def body(st):
+        depth = st.depth + 1
+        out = _bounce_core(
+            scene, cfg, seed, st.o, st.d, st.T, st.alive, depth, st.path_id
+        )
+        died = st.alive & ~out.alive
+        s_next = st.s + died.astype(jnp.uint32)
+        respawn = died & (s_next < s_stop)
+        o_sp, d_sp, pid_sp = _spawn(cam, cfg, seed, px, py, pid_base, s_next)
+        rs = respawn[:, None]
+        live = out.alive[:, None]
+        return RegenState(
+            o=jnp.where(rs, o_sp, jnp.where(live, out.x, st.o)),
+            d=jnp.where(rs, d_sp, jnp.where(live, out.new_dir, st.d)),
+            T=jnp.where(rs, 1.0, jnp.where(live, out.T, st.T)),
+            L=st.L + out.emit,
+            alive=out.alive | respawn,
+            depth=jnp.where(respawn, 0, jnp.where(st.alive, depth, st.depth)),
+            s=jnp.where(died, s_next, st.s),
+            path_id=jnp.where(respawn, pid_sp, st.path_id),
+            n_traces=st.n_traces + out.traces_inc,
+        )
+
+    out = jax.lax.while_loop(cond, body, state0)
+    return out.L, out.n_traces
+
+
+def regen_groups(cfg: RenderConfig) -> int:
+    """Lanes per pixel for the regenerating wavefront.
+
+    More groups = more lanes (better chip utilization, shorter tail) at the
+    cost of state memory. Auto policy: target ~2^21 lanes, capped by spp
+    (groups must divide spp so every lane gets an equal sample range)."""
+    if cfg.regen_groups:
+        g = cfg.regen_groups
+    else:
+        n_pix = cfg.width * cfg.height
+        g = max(1, (1 << 21) // max(1, n_pix))
+    g = min(g, cfg.spp)
+    while cfg.spp % g:
+        g -= 1
+    return g
+
+
+@partial(jax.jit, static_argnums=(2,))
+def render_regen(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed):
+    """Single-pass regenerating render: ``groups`` lanes per pixel, each
+    walking spp/groups samples. Returns ((h, w, 3) radiance sum over spp,
+    traces)."""
+    n_pix = cfg.width * cfg.height
+    g = regen_groups(cfg)
+    per = cfg.spp // g
+    pix = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), g)
+    s_start = jnp.tile(
+        jnp.arange(g, dtype=jnp.uint32) * jnp.uint32(per), n_pix
+    )
+    s_stop = s_start + jnp.uint32(per)
+    L, n_traces = path_trace_regen(
+        scene, cfg, seed, cam, pix, s_start, s_stop
+    )
+    img = L.reshape(n_pix, g, 3).sum(axis=1)
+    return img.reshape(cfg.height, cfg.width, 3), n_traces
 
 
 def _chunk_paths(cam: CameraParams, cfg: RenderConfig, seed, s0, n_s):
@@ -296,10 +458,17 @@ def render_chunk(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
 
 
 def render(scene: Scene, cam: CameraParams, cfg: RenderConfig):
-    """Full render: chunked over spp on the host, accumulated on device.
+    """Full render. cfg.wavefront selects the schedule:
 
-    Returns (linear image (h, w, 3) in [0,1] — contract C3 clamp applied —
-    and total scene-trace count)."""
+    - "regen" (default): lane-per-pixel regenerating wavefront, single pass;
+    - "scan": fixed-slot wavefront, chunked over spp on the host.
+
+    Both produce per-sample-identical radiance (counter RNG); they differ
+    only in accumulation order. Returns (linear image (h, w, 3) in [0,1] —
+    contract C3 clamp applied — and total scene-trace count)."""
+    if cfg.wavefront == "regen":
+        img, n_tr = render_regen(scene, cam, cfg, jnp.uint32(cfg.seed))
+        return film.finalize(img / cfg.spp), float(n_tr)
     chunk = cfg.resolved_spp_chunk()
     acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     traces = 0.0

@@ -1,0 +1,122 @@
+"""Render-state checkpoint / resume.
+
+The reference keeps the whole image in a heap array until the final write
+(/root/reference/src/smallpt.cpp:510,548-551) — a crash loses everything.
+Here the complete render state is tiny and exact (SURVEY.md section 5,
+"Checkpoint / resume"): because samples are i.i.d. and the RNG is a pure
+function of (seed, path_id, counter), the state is just
+
+    (accumulation buffer, spp completed, trace count, config fingerprint)
+
+and resuming = continuing the sample loop at spp_done. Bit-identical to an
+uninterrupted render up to float addition order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+import tempfile
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..camera.pinhole import CameraParams
+from ..config import RenderConfig
+from ..core import film
+from ..integrator.wavefront import path_trace_regen, regen_groups
+from ..scene.types import Scene
+from functools import partial
+
+import jax
+
+
+def _fingerprint(scene: Scene, cam: CameraParams, cfg: RenderConfig) -> str:
+    h = hashlib.sha256()
+    h.update(json.dumps(dataclasses.asdict(cfg), sort_keys=True).encode())
+    for leaf in jax.tree.leaves((scene, cam)):
+        h.update(np.asarray(leaf).tobytes())
+    return h.hexdigest()[:32]
+
+
+def save_state(path: str, acc: np.ndarray, spp_done: int, traces: float,
+               fingerprint: str) -> None:
+    """Atomic save (write temp + rename) of the render state."""
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(
+                f,
+                acc=np.asarray(acc),
+                spp_done=np.int64(spp_done),
+                traces=np.float64(traces),
+                fingerprint=np.bytes_(fingerprint.encode()),
+            )
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_state(path: str, fingerprint: str):
+    """Returns (acc, spp_done, traces) or None if absent/mismatched."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        if z["fingerprint"].item().decode() != fingerprint:
+            return None
+        return np.asarray(z["acc"]), int(z["spp_done"]), float(z["traces"])
+
+
+@partial(jax.jit, static_argnums=(2, 4, 5))
+def _render_span(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
+                 s0: int, n_s: int):
+    """Radiance sum over samples [s0, s0+n_s) of every pixel (regen
+    wavefront). Returns ((h*w, 3), traces)."""
+    n_pix = cfg.width * cfg.height
+    g = max(1, min(n_s, (1 << 21) // max(1, n_pix)))
+    while n_s % g:
+        g -= 1
+    per = n_s // g
+    pix = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), g)
+    s_start = jnp.uint32(s0) + jnp.tile(
+        jnp.arange(g, dtype=jnp.uint32) * jnp.uint32(per), n_pix
+    )
+    L, traces = path_trace_regen(
+        scene, cfg, seed, cam, pix, s_start, s_start + jnp.uint32(per)
+    )
+    return L.reshape(n_pix, g, 3).sum(axis=1), traces
+
+
+def render_with_checkpoints(scene: Scene, cam: CameraParams,
+                            cfg: RenderConfig, ckpt_path: str,
+                            every_spp: int = 0):
+    """Chunked render that saves resumable state every ``every_spp`` samples
+    (0 = only at completion) and resumes from ``ckpt_path`` if present.
+
+    Returns (finalized (h, w, 3) image, total traces)."""
+    fp = _fingerprint(scene, cam, cfg)
+    st = load_state(ckpt_path, fp)
+    if st is not None:
+        acc, spp_done, traces = st
+    else:
+        acc = np.zeros((cfg.width * cfg.height, 3), np.float32)
+        spp_done, traces = 0, 0.0
+
+    step = every_spp if every_spp > 0 else cfg.spp
+    seed = jnp.uint32(cfg.seed)
+    while spp_done < cfg.spp:
+        n_s = min(step, cfg.spp - spp_done)
+        L, tr = _render_span(scene, cam, cfg, seed, spp_done, n_s)
+        acc = acc + np.asarray(L)
+        traces += float(tr)
+        spp_done += n_s
+        save_state(ckpt_path, acc, spp_done, traces, fp)
+
+    img = (acc / cfg.spp).reshape(cfg.height, cfg.width, 3)
+    return film.finalize(jnp.asarray(img)), traces

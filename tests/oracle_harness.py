@@ -56,6 +56,7 @@ def _patched_source(
     seed: int,
     estimator: str,
     light_mode: str,
+    self_hit_eps: float = 0.0,
 ) -> str:
     lines = REF_SRC.read_text().splitlines(keepends=True)
     # Drop the state-viz hijack block (1-based lines 424..442).
@@ -94,6 +95,17 @@ def _patched_source(
         )
     else:
         assert light_mode == "glibc_overflow"
+    if self_hit_eps:
+        # The as-built reference accepts fp self-intersections (rect hit
+        # requires only t < 0 rejection, smallpt.cpp:106/149/192; after a
+        # bounce the f64 residual leaves the origin ~1e-14 behind the plane
+        # about half the time, adding a spurious extra albedo factor).
+        # Measured effect: cosine-mode image ~3.5% darker than a
+        # self-hit-free render. This patch adds the epsilon so the oracle
+        # tests the *estimator*, not the fp artifact.
+        n = txt.count("|| t < 0)")
+        assert n == 3, n
+        txt = txt.replace("|| t < 0)", f"|| t < {self_hit_eps})")
     # Dump the raw linear accumulator next to the PPM.
     txt = txt.replace(
         'FILE *f = fopen("show_allrect_differentplane_red_state.ppm", "w");',
@@ -111,14 +123,19 @@ def render_oracle(
     seed: int = 1,
     estimator: str = "nee",
     light_mode: str = "intended",
+    self_hit_eps: float = 0.0,
     timeout: float = 1800.0,
 ) -> np.ndarray | None:
     """Build + run the oracle; returns the linear (h, w, 3) float64 image
-    (per-pixel mean radiance, clamped per contract C3), cached on disk."""
+    (per-pixel mean radiance, clamped per contract C3), cached on disk.
+
+    self_hit_eps > 0 patches the reference's rect intersectors to reject
+    near-zero hits (see _patched_source) — use for estimator-parity tests;
+    0.0 is the as-built behavior."""
     if not available():
         return None
     key = hashlib.md5(
-        f"v3|{width}x{height}x{spp}|{seed}|{estimator}|{light_mode}".encode()
+        f"v4|{width}x{height}x{spp}|{seed}|{estimator}|{light_mode}|{self_hit_eps}".encode()
     ).hexdigest()[:16]
     CACHE.mkdir(exist_ok=True)
     npy = CACHE / f"oracle_{key}.npy"
@@ -128,7 +145,9 @@ def render_oracle(
     work = Path("/tmp/spt_oracle") / key
     work.mkdir(parents=True, exist_ok=True)
     (work / "smallpt_oracle.cpp").write_text(
-        _patched_source(width, height, spp, seed, estimator, light_mode)
+        _patched_source(
+            width, height, spp, seed, estimator, light_mode, self_hit_eps
+        )
     )
     shutil.copy(REF_HDR, work / "utilities.h")
     subprocess.run(

@@ -1,0 +1,112 @@
+"""CLI + checkpoint/resume tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from small_pathtracer_tpu.cli.main import main
+from small_pathtracer_tpu.core import film
+
+
+def test_render_ppm(tmp_path, capsys):
+    out = tmp_path / "img.ppm"
+    rc = main([
+        "render", "--width", "32", "--height", "24", "--spp", "4",
+        "-o", str(out),
+    ])
+    assert rc == 0
+    img = film.read_ppm(str(out))
+    assert img.shape == (24, 32, 3)
+    assert img.max() > 100  # light is visible
+
+
+def test_render_distributed_mesh(tmp_path):
+    out = tmp_path / "img.ppm"
+    rc = main([
+        "render", "--width", "32", "--height", "24", "--spp", "8",
+        "--mesh", "4x2", "--wavefront", "scan", "-o", str(out),
+    ])
+    assert rc == 0
+    assert film.read_ppm(str(out)).shape == (24, 32, 3)
+
+
+def test_bench_json(capsys):
+    rc = main(["bench", "--width", "32", "--height", "24", "--spp", "4"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert set(d) == {"metric", "value", "unit", "vs_baseline"}
+    assert d["value"] > 0
+
+
+def test_fit_selftest(capsys):
+    rc = main([
+        "fit", "--width", "16", "--height", "12", "--spp", "2",
+        "--steps", "3", "--lr", "10.0", "--train", "emission",
+        "--bounces", "6",
+    ])
+    assert rc == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(d["final_loss"])
+
+
+class TestCheckpoint:
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        import jax.numpy as jnp
+
+        from small_pathtracer_tpu import RenderConfig, get_scene, make_camera
+        from small_pathtracer_tpu.utils.checkpoint import (
+            load_state,
+            render_with_checkpoints,
+            _fingerprint,
+        )
+
+        scene = get_scene("cornell_box")
+        cfg = RenderConfig(width=24, height=16, spp=8, estimator="nee", seed=4)
+        cam = make_camera(aspect=24 / 16)
+
+        # Uninterrupted.
+        p1 = tmp_path / "a.ckpt"
+        img1, tr1 = render_with_checkpoints(scene, cam, cfg, str(p1), 0)
+
+        # Interrupted: render only samples [0, 2) under the SAME config
+        # (path_id depends on cfg.spp), save as a partial checkpoint, resume.
+        from small_pathtracer_tpu.utils.checkpoint import (
+            _render_span,
+            save_state,
+        )
+
+        p2 = tmp_path / "b.ckpt"
+        L, tr = _render_span(scene, cam, cfg, jnp.uint32(cfg.seed), 0, 2)
+        fp = _fingerprint(scene, cam, cfg)
+        save_state(str(p2), np.asarray(L), 2, float(tr), fp)
+        img2, tr2 = render_with_checkpoints(scene, cam, cfg, str(p2), 3)
+
+        np.testing.assert_allclose(
+            np.asarray(img1), np.asarray(img2), rtol=2e-5, atol=2e-6
+        )
+        assert tr1 == pytest.approx(tr2, rel=1e-6)
+
+    def test_mismatched_config_ignored(self, tmp_path):
+        from small_pathtracer_tpu import RenderConfig, get_scene, make_camera
+        from small_pathtracer_tpu.utils.checkpoint import (
+            _fingerprint,
+            load_state,
+            save_state,
+        )
+
+        scene = get_scene("cornell_box")
+        cam = make_camera()
+        cfg_a = RenderConfig(width=8, height=8, spp=2)
+        cfg_b = RenderConfig(width=8, height=8, spp=4)
+        p = tmp_path / "c.ckpt"
+        save_state(str(p), np.zeros((64, 3)), 1, 0.0, _fingerprint(scene, cam, cfg_a))
+        assert load_state(str(p), _fingerprint(scene, cam, cfg_b)) is None
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)

@@ -1,0 +1,103 @@
+"""Statistical image parity vs the C++ oracle (SURVEY.md section 4.3).
+
+The criterion: mine-vs-oracle mean |diff| must be statistically
+indistinguishable from oracle-vs-oracle mean |diff| at the same spp (two
+independent seeds), and channel means must agree to ~1e-2. Bitwise parity is
+impossible by design (contract C6: the reference seeds with time(NULL)).
+
+These tests compile and run the reference (~1-2 min first time; cached in
+tests/_oracle_cache afterwards). Skipped when g++ or /root/reference is
+unavailable.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import oracle_harness as oh
+
+pytestmark = pytest.mark.skipif(
+    not oh.available(), reason="C++ oracle unavailable"
+)
+
+W = H = 96
+SPP = 64
+
+
+def _ours(estimator, spp=SPP, seed=5, light_mode="intended"):
+    import small_pathtracer_tpu as spt
+
+    cfg = spt.RenderConfig(
+        width=W, height=H, spp=spp, estimator=estimator, seed=seed,
+        light_sample_mode=light_mode,
+    )
+    img, _ = spt.render(
+        spt.get_scene("cornell_box"), spt.make_camera(), cfg
+    )
+    return np.asarray(img, np.float64)
+
+
+@pytest.mark.parametrize("estimator", ["nee", "cosine"])
+def test_parity_vs_oracle(estimator):
+    """Estimator parity vs the self-hit-free oracle (self_hit_eps patches the
+    reference's f64 self-intersection artifact — see oracle_harness; the
+    as-built reference renders ~3.5% darker in cosine mode because fp
+    self-hits multiply spurious albedo factors)."""
+    o1 = oh.render_oracle(W, H, SPP, seed=1, estimator=estimator,
+                          self_hit_eps=1e-3)
+    o2 = oh.render_oracle(W, H, SPP, seed=2, estimator=estimator,
+                          self_hit_eps=1e-3)
+    mine = _ours(estimator)
+    noise = np.abs(o1 - o2).mean()
+    diff = np.abs(mine - o1).mean()
+    # Same-estimator renders differ only by MC noise; a subtle estimator bug
+    # shows up as diff >> noise.
+    assert diff < 1.25 * noise, (diff, noise)
+    np.testing.assert_allclose(
+        mine.mean(axis=(0, 1)), o1.mean(axis=(0, 1)), atol=1e-2
+    )
+
+
+def test_parity_vs_asbuilt_oracle_nee():
+    """As-built (unpatched) oracle, NEE mode: the self-hit artifact mostly
+    converts light-probe successes into fallbacks there, so parity holds at
+    the noise level even without the epsilon patch."""
+    o1 = oh.render_oracle(W, H, SPP, seed=1, estimator="nee")
+    o2 = oh.render_oracle(W, H, SPP, seed=2, estimator="nee")
+    mine = _ours("nee")
+    noise = np.abs(o1 - o2).mean()
+    diff = np.abs(mine - o1).mean()
+    assert diff < 1.25 * noise, (diff, noise)
+
+
+def test_parity_glibc_overflow_mode():
+    """C13a bit-faithful mode vs the as-built (unpatched) oracle."""
+    o1 = oh.render_oracle(W, H, SPP, seed=1, estimator="nee",
+                          light_mode="glibc_overflow")
+    o2 = oh.render_oracle(W, H, SPP, seed=2, estimator="nee",
+                          light_mode="glibc_overflow")
+    mine = _ours("nee", light_mode="glibc_overflow")
+    noise = np.abs(o1 - o2).mean()
+    diff = np.abs(mine - o1).mean()
+    assert diff < 1.4 * noise, (diff, noise)
+
+
+def test_estimator_cross_consistency():
+    """Cosine and uniform-corrected are both unbiased and must converge to
+    the same image. NEE-as-continuation (C13) is NOT a textbook-unbiased
+    estimator — when the light probe succeeds the path terminates at the
+    light and that bounce's *indirect* contribution is dropped with no
+    reweighting — so it renders systematically darker (measured: channel
+    means ~0.29 vs ~0.46 on the box scene, in both the reference and this
+    implementation). We assert that known relationship rather than
+    'fixing' it (parity over correctness, SURVEY.md hard part #2)."""
+    a = _ours("cosine", spp=256, seed=11)
+    b = _ours("nee", spp=256, seed=12)
+    c = _ours("uniform_corrected", spp=256, seed=13)
+    assert np.abs(a.mean(axis=(0, 1)) - c.mean(axis=(0, 1))).max() < 2.5e-2
+    # NEE-as-continuation is darker by construction; the same holds for the
+    # reference (its oracle means: cosine ~0.46, nee ~0.29).
+    assert b.mean() < 0.8 * a.mean()
