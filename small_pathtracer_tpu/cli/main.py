@@ -21,6 +21,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    choices=["intended", "glibc_overflow"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--wavefront", default="regen", choices=["regen", "scan"])
+    p.add_argument("--pallas", action="store_true", dest="use_pallas",
+                   help="use the fused Pallas megakernel (DIFF-only scenes)")
     p.add_argument("--rng", default="mix", choices=["mix", "threefry"],
                    dest="rng_backend")
     p.add_argument("--mesh", default="",
@@ -39,6 +41,7 @@ def _build(args):
         estimator=args.estimator, mixture_q=args.mixture_q,
         light_sample_mode=args.light_sample_mode, seed=args.seed,
         wavefront=args.wavefront, rng_backend=args.rng_backend,
+        use_pallas=getattr(args, "use_pallas", False),
     )
     scene = get_scene(args.scene)
     cam = make_camera(aspect=args.width / args.height)

@@ -466,6 +466,11 @@ def render(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     Both produce per-sample-identical radiance (counter RNG); they differ
     only in accumulation order. Returns (linear image (h, w, 3) in [0,1] —
     contract C3 clamp applied — and total scene-trace count)."""
+    if cfg.use_pallas:
+        from ..ops.megakernel import render_pallas
+
+        img, n_tr = render_pallas(scene, cam, cfg, cfg.seed)
+        return film.finalize(img / cfg.spp), float(n_tr)
     if cfg.wavefront == "regen":
         img, n_tr = render_regen(scene, cam, cfg, jnp.uint32(cfg.seed))
         return film.finalize(img / cfg.spp), float(n_tr)

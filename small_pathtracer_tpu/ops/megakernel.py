@@ -1,0 +1,596 @@
+"""Pallas TPU megakernel: the fused regenerating path tracer.
+
+This is the speed-of-light design for the hot loop (SURVEY.md section 7,
+steps 6): one kernel fuses EVERYTHING the reference's ``radiance()``
+(/root/reference/src/smallpt.cpp:419-496) does per bounce — nearest-hit over
+all primitives (:323-335), oriented normals + material fetch (:118-124),
+Russian roulette (:447-454), NEE light sampling (:363-369,457-479), cosine/
+uniform scattering (:337-361) — plus lane regeneration (camera respawn,
+contract C4/C5), so path state lives in VMEM registers across the entire
+bounce loop and HBM is touched only for per-lane work assignment (in) and
+the radiance accumulator (out).
+
+Design choices (vs the jnp wavefront in integrator/wavefront.py, which
+defines the semantics):
+
+- Scene, camera, and config are BAKED into the kernel as compile-time
+  constants: the scene is 17 primitives (a few hundred floats) — immediate
+  operands beat any memory system. Changing the scene recompiles (~seconds);
+  the differentiable/jnp path handles scene optimization.
+- The object loop is UNROLLED in Python at trace time. The nearest-hit
+  select carries material constants and normals along with t, so there is
+  no gather at all (the jnp path gathers albedo[obj_id]).
+- Per-axis rect intersection reads exactly the components it needs (the
+  axis is a Python constant per object) — no (N, R) intermediate, no
+  OTHER_AXES indexing.
+- RNG is the same murmur3-style counter hash as core/rng.py (bit-identical
+  draws), so kernel renders match the jnp wavefront per-sample.
+- Lane regeneration identical to path_trace_regen: lanes bound to a pixel
+  and a sample range, respawn on death, no scatter (the lane accumulator is
+  a pixel partial sum).
+
+Semantics notes: DIFF-only scenes (the reference HEAD scene and the sphere
+variant; C16 SPEC/REFR fall back to the jnp path), estimators nee / cosine /
+uniform / uniform_corrected / mixture, light modes intended/glibc_overflow
+(C13a) — all enforced with clear errors in render_pallas().
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..camera.pinhole import CameraParams
+from ..config import RenderConfig
+from ..core import rng
+from ..scene.types import DIFF, Scene
+from ..geometry.intersect import MISS_T, SELF_HIT_EPS, SPHERE_EPS
+
+# Lane tile: (TILE_ROWS, 128) f32. 64 sublanes x 128 lanes = 8192 lanes per
+# grid step — enough ILP to hide VPU latencies, ~0.6 MB VMEM of state.
+TILE_ROWS = 64
+TILE = TILE_ROWS * 128
+
+
+def _u32c(x: int) -> np.uint32:
+    return np.uint32(x & 0xFFFFFFFF)
+
+
+def _hash_u32(seed_u32, path_id, ctr):
+    """murmur3_x86_32 over (path_id, ctr) — mirrors core/rng.hash_u32."""
+    h = seed_u32
+    for block in (path_id, ctr):
+        k = block * _u32c(0xCC9E2D51)
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * _u32c(0x1B873593)
+        h = h ^ k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + _u32c(0xE6546B64)
+    h = h ^ np.uint32(8)
+    h = h ^ (h >> np.uint32(16))
+    h = h * _u32c(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * _u32c(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def _uniform(seed_u32, path_id, ctr):
+    bits = _hash_u32(seed_u32, path_id, ctr)
+    # Mosaic has no u32->f32 cast; bits>>8 < 2^24 so the i32 view is exact.
+    q = (bits >> np.uint32(8)).view(jnp.int32)
+    return q.astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
+def _scene_consts(scene: Scene):
+    """Scene as nested Python float tuples (compile-time constants)."""
+    rects = []
+    r = scene.rects
+    for i in range(int(np.asarray(r.k).shape[0])):
+        rects.append(dict(
+            axis=int(np.asarray(r.axis)[i]),
+            k=float(np.asarray(r.k)[i]),
+            lo=tuple(float(v) for v in np.asarray(r.lo)[i]),
+            hi=tuple(float(v) for v in np.asarray(r.hi)[i]),
+            albedo=tuple(float(v) for v in np.asarray(r.albedo)[i]),
+            emission=tuple(float(v) for v in np.asarray(r.emission)[i]),
+            refl=int(np.asarray(r.refl)[i]),
+        ))
+    spheres = []
+    s = scene.spheres
+    for i in range(int(np.asarray(s.radius).shape[0])):
+        spheres.append(dict(
+            center=tuple(float(v) for v in np.asarray(s.center)[i]),
+            radius=float(np.asarray(s.radius)[i]),
+            albedo=tuple(float(v) for v in np.asarray(s.albedo)[i]),
+            emission=tuple(float(v) for v in np.asarray(s.emission)[i]),
+            refl=int(np.asarray(s.refl)[i]),
+        ))
+    light = dict(
+        corner=tuple(float(v) for v in np.asarray(scene.light.corner)),
+        edge_u=tuple(float(v) for v in np.asarray(scene.light.edge_u)),
+        edge_v=tuple(float(v) for v in np.asarray(scene.light.edge_v)),
+        light_obj_id=int(np.asarray(scene.light.light_obj_id)),
+    )
+    return rects, spheres, light
+
+
+def _trace_unrolled(rects, spheres, light_id, ox, oy, oz, dx, dy, dz,
+                    inv_dx, inv_dy, inv_dz, want_shading: bool):
+    """Unrolled nearest-hit over all primitives.
+
+    Returns dict with t, hit, is_light and (if want_shading) the winning
+    object's material/normal, all selected in-register during the scan
+    (C8/C9/C15 semantics; miss defaults = object 0's shading at t=MISS_T)."""
+    o = (ox, oy, oz)
+    d = (dx, dy, dz)
+    inv = (inv_dx, inv_dy, inv_dz)
+
+    t_best = jnp.full_like(ox, MISS_T)
+    is_light = jnp.zeros_like(ox, dtype=jnp.bool_)
+    if want_shading:
+        # C15 miss defaults: stale object id 0, shaded at (0,0,0). The
+        # default normal must be object 0's oriented normal (a zero normal
+        # would NaN the scatter frame on escaped rays).
+        o0 = rects[0] if rects else spheres[0]
+        alb = [jnp.full_like(ox, o0["albedo"][c]) for c in range(3)]
+        emi = [jnp.full_like(ox, o0["emission"][c]) for c in range(3)]
+        if rects:
+            a0 = rects[0]["axis"]
+            sign0 = jnp.where(d[a0] < 0.0, np.float32(1.0), np.float32(-1.0))
+            nrm = [sign0 if i == a0 else jnp.zeros_like(ox) for i in range(3)]
+        else:
+            nrm = [jnp.ones_like(ox), jnp.zeros_like(ox), jnp.zeros_like(ox)]
+
+    def consider(obj_id, t_i, valid, n_raw, obj):
+        nonlocal t_best, is_light, alb, emi, nrm
+        win = valid & (t_i < t_best)
+        t_best = jnp.where(win, t_i, t_best)
+        # Logical update, not jnp.where-over-bools (Mosaic lowers bool
+        # selects through i8 and fails on the i8->i1 truncation).
+        if light_id == obj_id:
+            is_light = is_light | win
+        else:
+            is_light = is_light & ~win
+        if want_shading:
+            for c in range(3):
+                alb[c] = jnp.where(win, obj["albedo"][c], alb[c])
+                emi[c] = jnp.where(win, obj["emission"][c], emi[c])
+                nrm[c] = jnp.where(win, n_raw[c], nrm[c])
+
+    obj_id = 0
+    for r in rects:
+        a = r["axis"]
+        b, c = [(1, 2), (0, 2), (0, 1)][a]
+        # Direct division (not reciprocal-multiply): bit-parity with the jnp
+        # wavefront's (k - o)/d so borderline bounds/nearest-hit comparisons
+        # make identical choices.
+        d_safe = jnp.where(d[a] != 0.0, d[a], 1.0)
+        t_i = (np.float32(r["k"]) - o[a]) / d_safe
+        p0 = o[b] + t_i * d[b]
+        p1 = o[c] + t_i * d[c]
+        valid = (
+            (p0 >= np.float32(r["lo"][0])) & (p0 <= np.float32(r["hi"][0]))
+            & (p1 >= np.float32(r["lo"][1])) & (p1 <= np.float32(r["hi"][1]))
+            & (t_i > np.float32(SELF_HIT_EPS)) & (d[a] != 0.0)
+        )
+        if want_shading:
+            # Oriented normal (C9): axis unit vector flipped against d.
+            sign = jnp.where(d[a] < 0.0, np.float32(1.0), np.float32(-1.0))
+            n_raw = [sign if i == a else jnp.zeros_like(ox) for i in range(3)]
+        else:
+            n_raw = None
+        consider(obj_id, t_i, valid, n_raw, r)
+        obj_id += 1
+
+    for sph in spheres:
+        cx, cy, cz = (np.float32(v) for v in sph["center"])
+        opx, opy, opz = cx - ox, cy - oy, cz - oz
+        bq = opx * dx + opy * dy + opz * dz
+        det = bq * bq - (opx * opx + opy * opy + opz * opz) + np.float32(
+            sph["radius"] ** 2
+        )
+        det_pos = det > 0.0
+        sdet = jnp.sqrt(jnp.where(det_pos, det, 1.0))
+        t_near = bq - sdet
+        t_far = bq + sdet
+        t_i = jnp.where(t_near > np.float32(SPHERE_EPS), t_near, t_far)
+        valid = det_pos & (t_i > np.float32(SPHERE_EPS))
+        if want_shading:
+            hx, hy, hz = ox + t_i * dx, oy + t_i * dy, oz + t_i * dz
+            gx, gy, gz = hx - cx, hy - cy, hz - cz
+            inv_len = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz)
+            # Orient against the ray (C9).
+            dot = gx * dx + gy * dy + gz * dz
+            sgn = jnp.where(dot < 0.0, inv_len, -inv_len)
+            n_raw = [gx * sgn, gy * sgn, gz * sgn]
+        else:
+            n_raw = None
+        consider(obj_id, t_i, valid, n_raw, sph)
+        obj_id += 1
+
+    out = dict(t=t_best, hit=t_best < np.float32(MISS_T), is_light=is_light)
+    if want_shading:
+        out.update(alb=alb, emi=emi, nrm=nrm)
+    return out
+
+
+def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
+    """Returns the Pallas kernel body closed over scene/cam/cfg constants."""
+    rects, spheres, light = _scene_consts(scene)
+    for obj in rects + spheres:
+        if obj["refl"] != DIFF:
+            raise NotImplementedError(
+                "pallas megakernel: DIFF-only scenes (SPEC/REFR use the jnp "
+                "wavefront, contract C16)"
+            )
+    light_id = light["light_obj_id"]
+    est = cfg.estimator
+    glibc = cfg.light_sample_mode == "glibc_overflow"
+
+    width = np.float32(cfg.width)
+    height = np.float32(cfg.height)
+    origin = tuple(np.float32(v) for v in np.asarray(cam.origin))
+    lower_left = tuple(np.float32(v) for v in np.asarray(cam.lower_left))
+    horizontal = tuple(np.float32(v) for v in np.asarray(cam.horizontal))
+    vertical = tuple(np.float32(v) for v in np.asarray(cam.vertical))
+
+    lc = tuple(np.float32(v) for v in light["corner"])
+    leu = tuple(np.float32(v) for v in light["edge_u"])
+    lev = tuple(np.float32(v) for v in light["edge_v"])
+    # area & unit normal of the sample parallelogram (C13: 1296, (0,1,0)).
+    cxn = (
+        leu[1] * lev[2] - leu[2] * lev[1],
+        leu[2] * lev[0] - leu[0] * lev[2],
+        leu[0] * lev[1] - leu[1] * lev[0],
+    )
+    area = float(math.sqrt(cxn[0] ** 2 + cxn[1] ** 2 + cxn[2] ** 2))
+    ln = tuple(np.float32(v / area) for v in cxn)
+    area = np.float32(area)
+    # glibc mode: unit edge dirs (offsets are absolute units, C13a).
+    leu_mag = float(math.sqrt(sum(v * v for v in leu)))
+    lev_mag = float(math.sqrt(sum(v * v for v in lev)))
+    leu_hat = tuple(np.float32(v / leu_mag) for v in leu)
+    lev_hat = tuple(np.float32(v / lev_mag) for v in lev)
+
+    spp_u32 = _u32c(cfg.spp)
+    rr_depth = np.int32(cfg.rr_start_depth)
+    mix_q = np.float32(cfg.mixture_q)
+    DPB = _u32c(rng.DRAWS_PER_BOUNCE)
+
+    def spawn(seed, px, py, path_id):
+        """Primary ray (C4/C5)."""
+        ju = _uniform(seed, path_id, np.uint32(0))
+        jv = _uniform(seed, path_id, np.uint32(1))
+        s = (px - np.float32(0.5) + ju) / width
+        t = ((height - py - np.float32(1.0)) - np.float32(0.5) + jv) / height
+        dxyz = [
+            lower_left[c] + s * horizontal[c] + t * vertical[c] - origin[c]
+            for c in range(3)
+        ]
+        inv_len = jax.lax.rsqrt(
+            dxyz[0] ** 2 + dxyz[1] ** 2 + dxyz[2] ** 2
+        )
+        return [v * inv_len for v in dxyz]
+
+    def glibc_offset(u):
+        r = (u * np.float32(2147483648.0)).astype(jnp.uint32)
+        wrapped = (r * np.uint32(36)).view(jnp.int32).astype(jnp.float32)
+        return wrapped * np.float32(1.0 / 2147483647.0)
+
+    def kernel(seed_ref, px_ref, py_ref, pid_ref, sstart_ref, sstop_ref,
+               lr_ref, lg_ref, lb_ref, traces_ref):
+        seed = seed_ref[0]
+        px = px_ref[...]
+        py = py_ref[...]
+        pid_base = pid_ref[...]
+        s_stop = sstop_ref[...]
+        s0 = sstart_ref[...]
+
+        pid0 = pid_base + s0
+        d0 = spawn(seed, px, py, pid0)
+        zero = jnp.zeros_like(px)
+        one = jnp.ones_like(px)
+
+        carry0 = (
+            jnp.full_like(px, origin[0]), jnp.full_like(px, origin[1]),
+            jnp.full_like(px, origin[2]),
+            d0[0], d0[1], d0[2],
+            one, one, one,              # throughput
+            zero, zero, zero,           # L accumulator
+            # alive as i32 0/1: Mosaic cannot round-trip i1 vectors through
+            # the while carry (i8->i1 trunci is unsupported).
+            jnp.where(s0 < s_stop, np.int32(1), np.int32(0)),
+            jnp.zeros_like(px, dtype=jnp.int32),  # depth
+            s0,                         # sample idx
+            pid0,                       # path id
+            jnp.zeros((), jnp.float32),  # traces
+        )
+
+        def cond(c):
+            return jnp.max(c[12]) > 0
+
+        def body(c):
+            (ox, oy, oz, dx, dy, dz, tr_, tg, tb, Lr, Lg, Lb, alive_i, depth,
+             s, pid, ntr) = c
+            alive = alive_i > 0
+            depth = jnp.where(alive, depth + 1, depth)
+
+            inv_dx = pl.reciprocal(dx, approx=False)
+            inv_dy = pl.reciprocal(dy, approx=False)
+            inv_dz = pl.reciprocal(dz, approx=False)
+            h = _trace_unrolled(
+                rects, spheres, light_id, ox, oy, oz, dx, dy, dz,
+                inv_dx, inv_dy, inv_dz, want_shading=True,
+            )
+            alive_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
+            # Emission pickup (C10/C13/C14).
+            Lr = Lr + alive_f * tr_ * h["emi"][0]
+            Lg = Lg + alive_f * tg * h["emi"][1]
+            Lb = Lb + alive_f * tb * h["emi"][2]
+
+            # Hit point; (0,0,0) on miss (C15).
+            hitm = h["hit"]
+            hx = jnp.where(hitm, ox + h["t"] * dx, 0.0)
+            hy = jnp.where(hitm, oy + h["t"] * dy, 0.0)
+            hz = jnp.where(hitm, oz + h["t"] * dz, 0.0)
+            nx, ny, nz = h["nrm"]
+
+            ctr = depth.astype(jnp.uint32) * DPB
+            u_rr = _uniform(seed, pid, ctr + _u32c(rng.P_RR))
+
+            # Russian roulette (C10).
+            p_max = jnp.maximum(h["alb"][0], jnp.maximum(h["alb"][1], h["alb"][2]))
+            rr_active = (depth > rr_depth) | (p_max <= 0.0)
+            survive = ~rr_active | (u_rr < p_max)
+            inv_p = jnp.where(
+                rr_active & (p_max > 0.0),
+                pl.reciprocal(jnp.where(p_max > 0.0, p_max, 1.0), approx=False),
+                1.0,
+            )
+            alive_next = alive & survive
+
+            # Cosine-weighted scatter frame (C11): w = nl, u/v per onb_from_w.
+            u1 = _uniform(seed, pid, ctr + _u32c(rng.P_SCATTER_U))
+            u2 = _uniform(seed, pid, ctr + _u32c(rng.P_SCATTER_V))
+            pick = jnp.abs(nx) > np.float32(0.1)
+            # a = pick ? (0,1,0) : (1,0,0); u = normalize(cross(a, w)):
+            # cross((0,1,0), w) = (wz, 0, -wx); cross((1,0,0), w) = (0, -wz, wy).
+            uxr = jnp.where(pick, nz, 0.0)
+            uyr = jnp.where(pick, 0.0, -nz)
+            uzr = jnp.where(pick, -nx, ny)
+            inv_ul = jax.lax.rsqrt(uxr * uxr + uyr * uyr + uzr * uzr)
+            ux, uy, uz = uxr * inv_ul, uyr * inv_ul, uzr * inv_ul
+            vx = ny * uz - nz * uy
+            vy = nz * ux - nx * uz
+            vz = nx * uy - ny * ux
+            r1 = np.float32(2.0 * math.pi) * u1
+            cr1, sr1 = jnp.cos(r1), jnp.sin(r1)
+            if est in ("uniform", "uniform_corrected"):
+                sin_t = jnp.sqrt(u2 * (np.float32(2.0) - u2))
+                wz = np.float32(1.0) - u2
+            else:
+                sin_t = jnp.sqrt(u2)
+                wz = jnp.sqrt(np.float32(1.0) - u2)
+            sxr = ux * (cr1 * sin_t) + vx * (sr1 * sin_t) + nx * wz
+            syr = uy * (cr1 * sin_t) + vy * (sr1 * sin_t) + ny * wz
+            szr = uz * (cr1 * sin_t) + vz * (sr1 * sin_t) + nz * wz
+            inv_sl = jax.lax.rsqrt(sxr * sxr + syr * syr + szr * szr)
+            scx, scy, scz = sxr * inv_sl, syr * inv_sl, szr * inv_sl
+
+            if est in ("nee", "mixture"):
+                # NEE-as-continuation (C13): sample the light plane, probe,
+                # take it if the nearest hit IS the light.
+                lu = _uniform(seed, pid, ctr + _u32c(rng.P_LIGHT_U))
+                lv = _uniform(seed, pid, ctr + _u32c(rng.P_LIGHT_V))
+                if glibc:
+                    off_u = glibc_offset(lu)
+                    off_v = glibc_offset(lv)
+                    lpx = lc[0] + off_u * leu_hat[0] + off_v * lev_hat[0]
+                    lpy = lc[1] + off_u * leu_hat[1] + off_v * lev_hat[1]
+                    lpz = lc[2] + off_u * leu_hat[2] + off_v * lev_hat[2]
+                else:
+                    lpx = lc[0] + lu * leu[0] + lv * lev[0]
+                    lpy = lc[1] + lu * leu[1] + lv * lev[1]
+                    lpz = lc[2] + lu * leu[2] + lv * lev[2]
+                wx_, wy_, wz_ = lpx - hx, lpy - hy, lpz - hz
+                inv_wl = jax.lax.rsqrt(wx_ * wx_ + wy_ * wy_ + wz_ * wz_)
+                ldx, ldy, ldz = wx_ * inv_wl, wy_ * inv_wl, wz_ * inv_wl
+                probe = _trace_unrolled(
+                    rects, spheres, light_id, hx, hy, hz, ldx, ldy, ldz,
+                    pl.reciprocal(ldx, approx=False),
+                    pl.reciprocal(ldy, approx=False),
+                    pl.reciprocal(ldz, approx=False),
+                    want_shading=False,
+                )
+                success = probe["hit"] & probe["is_light"]
+                t_safe = jnp.where(success, probe["t"], 1.0)
+                cos_l = jnp.abs(ldx * ln[0] + ldy * ln[1] + ldz * ln[2])
+                cos_s = jnp.abs(ldx * nx + ldy * ny + ldz * nz)
+                w_nee = (
+                    jnp.abs(area * cos_l) / (t_safe * t_safe)
+                ) * (cos_s * np.float32(1.0 / math.pi))
+                ndx = jnp.where(success, ldx, scx)
+                ndy = jnp.where(success, ldy, scy)
+                ndz = jnp.where(success, ldz, scz)
+                wgt = jnp.where(success, w_nee, 1.0)
+                probes = one
+                if est == "mixture":
+                    um = _uniform(seed, pid, ctr + _u32c(rng.P_MIX_COIN))
+                    take = um < mix_q
+                    ndx = jnp.where(take, ndx, scx)
+                    ndy = jnp.where(take, ndy, scy)
+                    ndz = jnp.where(take, ndz, scz)
+                    wgt = jnp.where(take, wgt, 1.0)
+                    probes = jnp.where(take, np.float32(1.0), np.float32(0.0))
+            else:
+                ndx, ndy, ndz = scx, scy, scz
+                if est == "uniform_corrected":
+                    wgt = np.float32(2.0) * jnp.maximum(
+                        ndx * nx + ndy * ny + ndz * nz, 0.0
+                    )
+                else:
+                    wgt = one
+                probes = zero
+
+            f_scale = inv_p * wgt
+            tr_n = tr_ * h["alb"][0] * f_scale
+            tg_n = tg * h["alb"][1] * f_scale
+            tb_n = tb * h["alb"][2] * f_scale
+
+            ntr = ntr + jnp.sum(alive_f) + jnp.sum(
+                probes * jnp.where(alive_next, np.float32(1.0), np.float32(0.0))
+            )
+
+            # Regeneration: dead lanes with budget left respawn (C4 jitter).
+            died = alive & ~alive_next
+            s_next = s + jnp.where(died, np.uint32(1), np.uint32(0))
+            respawn = died & (s_next < s_stop)
+            pid_sp = pid_base + s_next
+            d_sp = spawn(seed, px, py, pid_sp)
+
+            live = alive_next
+            ox = jnp.where(respawn, origin[0], jnp.where(live, hx, ox))
+            oy = jnp.where(respawn, origin[1], jnp.where(live, hy, oy))
+            oz = jnp.where(respawn, origin[2], jnp.where(live, hz, oz))
+            dx = jnp.where(respawn, d_sp[0], jnp.where(live, ndx, dx))
+            dy = jnp.where(respawn, d_sp[1], jnp.where(live, ndy, dy))
+            dz = jnp.where(respawn, d_sp[2], jnp.where(live, ndz, dz))
+            tr_ = jnp.where(respawn, 1.0, jnp.where(live, tr_n, tr_))
+            tg = jnp.where(respawn, 1.0, jnp.where(live, tg_n, tg))
+            tb = jnp.where(respawn, 1.0, jnp.where(live, tb_n, tb))
+            depth = jnp.where(respawn, 0, depth)
+            s = jnp.where(died, s_next, s)
+            pid = jnp.where(respawn, pid_sp, pid)
+            alive_i = jnp.where(
+                alive_next | respawn, np.int32(1), np.int32(0)
+            )
+
+            return (ox, oy, oz, dx, dy, dz, tr_, tg, tb, Lr, Lg, Lb, alive_i,
+                    depth, s, pid, ntr)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        lr_ref[...] = out[9]
+        lg_ref[...] = out[10]
+        lb_ref[...] = out[11]
+        # TPU grid steps run sequentially on a core: accumulate the trace
+        # count across tiles into the single (1,1) SMEM cell.
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            traces_ref[0, 0] = out[16]
+
+        @pl.when(pl.program_id(0) != 0)
+        def _():
+            traces_ref[0, 0] = traces_ref[0, 0] + out[16]
+
+    return kernel
+
+
+_CACHE: dict = {}
+
+
+def render_pallas(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
+                  interpret: bool = False):
+    """Full render via the Pallas megakernel.
+
+    Scene/camera/config are compile-time constants of the kernel; the jitted
+    executable is cached by their values (changing the scene recompiles —
+    use the jnp wavefront for scene optimization loops).
+
+    Returns ((h, w, 3) radiance SUM over spp, traces ()). Divide by spp and
+    clamp (film.finalize) for the final image."""
+    import hashlib
+
+    # Mosaic needs a real TPU; anywhere else (CPU tests) use the
+    # interpreter automatically.
+    if not interpret and jax.devices()[0].platform != "tpu":
+        interpret = True
+
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves((scene, cam)):
+        h.update(np.asarray(leaf).tobytes())
+    key = (h.hexdigest(), cfg, interpret)
+    fn = _CACHE.get(key)
+    if fn is None:
+        fn = _build_render(scene, cam, cfg, interpret)
+        _CACHE[key] = fn
+    return fn(jnp.asarray(seed, jnp.uint32))
+
+
+def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
+                  interpret: bool):
+    n_pix = cfg.width * cfg.height
+    g = cfg.regen_groups or max(1, (1 << 21) // max(1, n_pix))
+    g = min(g, cfg.spp)
+    while cfg.spp % g:
+        g -= 1
+    per = cfg.spp // g
+    n_lanes = n_pix * g
+    pad = (-n_lanes) % TILE
+    n_total = n_lanes + pad
+    n_tiles = n_total // TILE
+
+    kernel = build_kernel(scene, cam, cfg)
+    block = pl.BlockSpec(
+        (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    @jax.jit
+    def run(seed):
+        pix = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), g)
+        px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
+        py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
+        pid_base = pix * jnp.uint32(cfg.spp)
+        s_start = jnp.tile(
+            jnp.arange(g, dtype=jnp.uint32) * jnp.uint32(per), n_pix
+        )
+        s_stop = s_start + jnp.uint32(per)
+
+        def padto(x, fill):
+            return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+                n_tiles * TILE_ROWS, 128
+            )
+
+        lr, lg, lb, traces = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+                block, block, block, block, block,
+            ],
+            out_specs=[
+                block, block, block,
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            seed.reshape(1),
+            padto(px, 0.0), padto(py, 0.0), padto(pid_base, 0),
+            # Padding lanes get s_start == s_stop == 0 => born dead.
+            padto(s_start, 0), padto(s_stop, 0),
+        )
+        L = jnp.stack(
+            [lr.reshape(-1)[:n_lanes], lg.reshape(-1)[:n_lanes],
+             lb.reshape(-1)[:n_lanes]],
+            axis=-1,
+        )
+        img = L.reshape(n_pix, g, 3).sum(axis=1).reshape(
+            cfg.height, cfg.width, 3
+        )
+        return img, jnp.sum(traces)
+
+    return run

@@ -31,7 +31,7 @@ from jax.sharding import PartitionSpec as P
 from ..camera.pinhole import CameraParams, primary_rays
 from ..config import RenderConfig
 from ..core import film
-from ..integrator.wavefront import path_trace
+from ..integrator.wavefront import path_trace, path_trace_regen
 from ..scene.types import Scene
 from .mesh import AXIS_PIXEL, AXIS_SAMPLE
 
@@ -41,31 +41,54 @@ def _local_render(scene, cam, seed, s0, *, cfg: RenderConfig, n_pix_loc: int,
     """Per-device shard body: generate this device's (pixel, sample) block,
     trace it, and reduce the sample axis.
 
+    cfg.wavefront selects the schedule (regen = lane-per-pixel
+    regeneration, scan = fixed slots) — both bit-identical per sample.
+
     Returns (local image block (n_pix_loc, 3) after psum over dp, global
     trace count (psum over the whole mesh))."""
     w, spp = cfg.width, cfg.spp
     pix0 = jax.lax.axis_index(AXIS_PIXEL) * n_pix_loc
     samp0 = s0 + jax.lax.axis_index(AXIS_SAMPLE) * n_s_loc
-
     pix = pix0.astype(jnp.uint32) + jnp.arange(n_pix_loc, dtype=jnp.uint32)
-    s = samp0.astype(jnp.uint32) + jnp.arange(n_s_loc, dtype=jnp.uint32)
-    path_id = (pix[:, None] * jnp.uint32(spp) + s[None, :]).reshape(-1)
-    px = jnp.broadcast_to(
-        (pix[:, None] % jnp.uint32(w)).astype(jnp.int32), (n_pix_loc, n_s_loc)
-    ).reshape(-1)
-    py = jnp.broadcast_to(
-        (pix[:, None] // jnp.uint32(w)).astype(jnp.int32), (n_pix_loc, n_s_loc)
-    ).reshape(-1)
 
-    from ..core import rng
+    if cfg.wavefront == "regen":
+        # Lanes bound to (pixel, this device's sample range); groups split
+        # the range further when the local pixel block is small.
+        g = max(1, min(n_s_loc, (1 << 21) // max(1, n_pix_loc)))
+        while n_s_loc % g:
+            g -= 1
+        per = n_s_loc // g
+        lane_pix = jnp.repeat(pix, g)
+        s_start = samp0.astype(jnp.uint32) + jnp.tile(
+            jnp.arange(g, dtype=jnp.uint32) * jnp.uint32(per), n_pix_loc
+        )
+        L, n_traces = path_trace_regen(
+            scene, cfg, seed, cam, lane_pix, s_start,
+            s_start + jnp.uint32(per),
+        )
+        img_loc = L.reshape(n_pix_loc, g, 3).sum(axis=1)
+    else:
+        s = samp0.astype(jnp.uint32) + jnp.arange(n_s_loc, dtype=jnp.uint32)
+        path_id = (pix[:, None] * jnp.uint32(spp) + s[None, :]).reshape(-1)
+        px = jnp.broadcast_to(
+            (pix[:, None] % jnp.uint32(w)).astype(jnp.int32),
+            (n_pix_loc, n_s_loc),
+        ).reshape(-1)
+        py = jnp.broadcast_to(
+            (pix[:, None] // jnp.uint32(w)).astype(jnp.int32),
+            (n_pix_loc, n_s_loc),
+        ).reshape(-1)
 
-    uniform = rng.make_uniform_fn(cfg.rng_backend)
-    ju = uniform(seed, path_id, jnp.uint32(0))
-    jv = uniform(seed, path_id, jnp.uint32(1))
-    o, d = primary_rays(cam, cfg.width, cfg.height, px, py, ju, jv)
+        from ..core import rng
 
-    L, n_traces = path_trace(scene, cfg, seed, o, d, path_id)
-    img_loc = L.reshape(n_pix_loc, n_s_loc, 3).sum(axis=1)
+        uniform = rng.make_uniform_fn(cfg.rng_backend)
+        ju = uniform(seed, path_id, jnp.uint32(0))
+        jv = uniform(seed, path_id, jnp.uint32(1))
+        o, d = primary_rays(cam, cfg.width, cfg.height, px, py, ju, jv)
+
+        L, n_traces = path_trace(scene, cfg, seed, o, d, path_id)
+        img_loc = L.reshape(n_pix_loc, n_s_loc, 3).sum(axis=1)
+
     img_loc = jax.lax.psum(img_loc, AXIS_SAMPLE)
     n_traces = jax.lax.psum(n_traces, (AXIS_PIXEL, AXIS_SAMPLE))
     return img_loc, n_traces

@@ -1,0 +1,50 @@
+"""Pallas megakernel parity vs the jnp wavefront (interpret mode on CPU).
+
+The box scene must match bit-for-bit-level (identical RNG + identical float
+expression trees => identical trace counts); the sphere scene is allowed
+statistical-level differences (FMA-contraction rounding flips grazing hits
+at sphere silhouettes — documented in ops/megakernel.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from small_pathtracer_tpu import RenderConfig, get_scene, make_camera
+from small_pathtracer_tpu.integrator.wavefront import render_regen
+from small_pathtracer_tpu.ops.megakernel import render_pallas
+
+
+@pytest.mark.parametrize("est", ["nee", "cosine", "uniform", "mixture"])
+def test_box_scene_matches_jnp(est):
+    scene = get_scene("cornell_box")
+    cam = make_camera()
+    cfg = RenderConfig(width=32, height=24, spp=4, estimator=est, seed=3)
+    a, ta = render_regen(scene, cam, cfg, jnp.uint32(3))
+    b, tb = render_pallas(scene, cam, cfg, 3, interpret=True)
+    assert float(ta) == float(tb)
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sphere_scene_statistical():
+    scene = get_scene("cornell_spheres")
+    cam = make_camera()
+    cfg = RenderConfig(width=32, height=32, spp=16, estimator="nee", seed=3)
+    a, _ = render_regen(scene, cam, cfg, jnp.uint32(3))
+    b, _ = render_pallas(scene, cam, cfg, 3, interpret=True)
+    a = np.asarray(a) / cfg.spp
+    b = np.asarray(b) / cfg.spp
+    assert abs(a.mean() - b.mean()) < 5e-3
+    # The vast majority of per-sample paths are identical.
+    same = (np.abs(a - b) < 1e-6).mean()
+    assert same > 0.8, same
+
+
+def test_spec_refr_rejected():
+    scene = get_scene("smallpt_original")
+    cam = make_camera()
+    cfg = RenderConfig(width=8, height=8, spp=1, estimator="cosine")
+    with pytest.raises(NotImplementedError):
+        render_pallas(scene, cam, cfg, 0, interpret=True)
