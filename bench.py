@@ -7,21 +7,32 @@ Baseline: the C++ reference measured at 2.5 Mrays/s on one CPU core
 (extend rays + NEE probe rays), the same event the reference counts at
 /root/reference/src/smallpt.cpp:323-335.
 
-Config mirrors the reference's render workload (512x512, NEE estimator,
-box scene) at a spp high enough to amortize dispatch. Runs on whatever
-jax.devices() provides (the real TPU chip under the driver; CPU locally
-with SPT_BENCH_CPU=1).
+Implementations (fastest first):
+  pallas — fused Pallas megakernel (ops/megakernel.py), ~670 Mrays/s on a
+           v5e, but ~3-5 min Mosaic compile (no cross-process cache under
+           the remote-compile tunnel);
+  regen  — jnp lane-regenerating wavefront, ~36 Mrays/s, ~1 min compile;
+  scan   — jnp fixed-slot wavefront (the semantics reference), ~8 Mrays/s.
+
+With no --impl argument this driver tries pallas in a time-boxed subprocess
+and falls back to regen, so a constrained environment still reports a
+number. Timing includes a device->host value fetch (block_until_ready is
+unreliable under the tunnel).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
+BASELINE_MRAYS = 2.5  # C++ reference, single core (BASELINE.md)
+PALLAS_BUDGET_S = float(os.environ.get("SPT_BENCH_PALLAS_BUDGET", 540))
 
-def main() -> None:
+
+def run_bench(impl: str) -> dict:
     if os.environ.get("SPT_BENCH_CPU"):
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -32,49 +43,86 @@ def main() -> None:
     import jax.numpy as jnp
 
     from small_pathtracer_tpu import RenderConfig, get_scene, make_camera
-    from small_pathtracer_tpu.integrator.wavefront import render_chunk
 
     width = int(os.environ.get("SPT_BENCH_W", 512))
     height = int(os.environ.get("SPT_BENCH_H", 512))
     spp = int(os.environ.get("SPT_BENCH_SPP", 64))
-    cfg = RenderConfig(width=width, height=height, spp=spp, estimator="nee")
+    cfg = RenderConfig(
+        width=width, height=height, spp=spp, estimator="nee",
+        wavefront="scan" if impl == "scan" else "regen",
+        use_pallas=(impl == "pallas"),
+    )
     scene = get_scene("cornell_box")
     cam = make_camera(aspect=width / height)
 
-    chunk = cfg.resolved_spp_chunk()
-    seed = jnp.uint32(cfg.seed)
+    if impl == "pallas":
+        from small_pathtracer_tpu.ops.megakernel import render_pallas
 
-    # Warmup / compile.
-    img, n_tr = render_chunk(scene, cam, cfg, seed, chunk, jnp.uint32(0))
-    jax.block_until_ready((img, n_tr))
+        def once(seed):
+            img, tr = render_pallas(scene, cam, cfg, seed)
+            return float(img.mean()), float(tr)
+    elif impl == "regen":
+        from small_pathtracer_tpu.integrator.wavefront import render_regen
 
-    # Timed: the full spp loop (compile excluded; steady-state throughput).
-    t0 = time.perf_counter()
-    acc = None
-    trs = []
-    s0 = 0
-    while s0 < cfg.spp:
-        n_s = min(chunk, cfg.spp - s0)
-        img, n_tr = render_chunk(scene, cam, cfg, seed, n_s, jnp.uint32(s0))
-        acc = img if acc is None else acc + img
-        trs.append(n_tr)
-        s0 += n_s
-    jax.block_until_ready((acc, trs))
-    dt = time.perf_counter() - t0
-    total_traces = sum(float(t) for t in trs)
+        def once(seed):
+            img, tr = render_regen(scene, cam, cfg, jnp.uint32(seed))
+            return float(img.mean()), float(tr)
+    else:
+        from small_pathtracer_tpu.integrator.wavefront import render
 
-    mrays = total_traces / dt / 1e6
-    baseline = 2.5  # Mrays/s, C++ reference single-core (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": f"Mrays/s (Cornell box {width}x{height}x{spp}spp, NEE wavefront)",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / baseline, 2),
-            }
+        import dataclasses
+
+        def once(seed):
+            img, tr = render(scene, cam, dataclasses.replace(cfg, seed=seed))
+            return float(img.mean()), float(tr)
+
+    once(7)  # warmup / compile
+    best_dt, traces = None, 0.0
+    for seed in (1, 2):
+        t0 = time.perf_counter()
+        _, traces = once(seed)
+        dt = time.perf_counter() - t0
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+
+    mrays = traces / best_dt / 1e6
+    return {
+        "metric": (
+            f"Mrays/s (Cornell box {width}x{height}x{spp}spp, NEE, {impl})"
+        ),
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 2),
+    }
+
+
+def main() -> int:
+    impl = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--impl":
+        impl = sys.argv[2]
+    impl = impl or os.environ.get("SPT_BENCH_IMPL")
+    if impl:
+        print(json.dumps(run_bench(impl)))
+        return 0
+
+    # Orchestrate: pallas in a time-boxed child, regen fallback.
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--impl", "pallas"],
+            timeout=PALLAS_BUDGET_S, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-    )
+        if out.returncode == 0:
+            for line in reversed(out.stdout.strip().splitlines()):
+                try:
+                    json.loads(line)
+                    print(line)
+                    return 0
+                except json.JSONDecodeError:
+                    continue
+    except subprocess.TimeoutExpired:
+        pass
+    print(json.dumps(run_bench("regen")))
+    return 0
 
 
 if __name__ == "__main__":

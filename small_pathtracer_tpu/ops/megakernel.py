@@ -146,11 +146,18 @@ def _trace_unrolled(rects, spheres, light_id, ox, oy, oz, dx, dy, dz,
             a0 = rects[0]["axis"]
             sign0 = jnp.where(d[a0] < 0.0, np.float32(1.0), np.float32(-1.0))
             nrm = [sign0 if i == a0 else jnp.zeros_like(ox) for i in range(3)]
+            ngm = [
+                jnp.full_like(ox, 1.0) if i == a0 else jnp.zeros_like(ox)
+                for i in range(3)
+            ]
         else:
             nrm = [jnp.ones_like(ox), jnp.zeros_like(ox), jnp.zeros_like(ox)]
+            ngm = [jnp.ones_like(ox), jnp.zeros_like(ox), jnp.zeros_like(ox)]
+        is_spec = jnp.zeros_like(ox, dtype=jnp.bool_)
+        is_refr = jnp.zeros_like(ox, dtype=jnp.bool_)
 
-    def consider(obj_id, t_i, valid, n_raw, obj):
-        nonlocal t_best, is_light, alb, emi, nrm
+    def consider(obj_id, t_i, valid, n_raw, ng_raw, obj):
+        nonlocal t_best, is_light, alb, emi, nrm, ngm, is_spec, is_refr
         win = valid & (t_i < t_best)
         t_best = jnp.where(win, t_i, t_best)
         # Logical update, not jnp.where-over-bools (Mosaic lowers bool
@@ -164,6 +171,9 @@ def _trace_unrolled(rects, spheres, light_id, ox, oy, oz, dx, dy, dz,
                 alb[c] = jnp.where(win, obj["albedo"][c], alb[c])
                 emi[c] = jnp.where(win, obj["emission"][c], emi[c])
                 nrm[c] = jnp.where(win, n_raw[c], nrm[c])
+                ngm[c] = jnp.where(win, ng_raw[c], ngm[c])
+            is_spec = (is_spec | win) if obj["refl"] == 1 else (is_spec & ~win)
+            is_refr = (is_refr | win) if obj["refl"] == 2 else (is_refr & ~win)
 
     obj_id = 0
     for r in rects:
@@ -185,9 +195,13 @@ def _trace_unrolled(rects, spheres, light_id, ox, oy, oz, dx, dy, dz,
             # Oriented normal (C9): axis unit vector flipped against d.
             sign = jnp.where(d[a] < 0.0, np.float32(1.0), np.float32(-1.0))
             n_raw = [sign if i == a else jnp.zeros_like(ox) for i in range(3)]
+            ng_raw = [
+                jnp.full_like(ox, 1.0) if i == a else jnp.zeros_like(ox)
+                for i in range(3)
+            ]
         else:
-            n_raw = None
-        consider(obj_id, t_i, valid, n_raw, r)
+            n_raw = ng_raw = None
+        consider(obj_id, t_i, valid, n_raw, ng_raw, r)
         obj_id += 1
 
     for sph in spheres:
@@ -211,26 +225,24 @@ def _trace_unrolled(rects, spheres, light_id, ox, oy, oz, dx, dy, dz,
             dot = gx * dx + gy * dy + gz * dz
             sgn = jnp.where(dot < 0.0, inv_len, -inv_len)
             n_raw = [gx * sgn, gy * sgn, gz * sgn]
+            ng_raw = [gx * inv_len, gy * inv_len, gz * inv_len]
         else:
-            n_raw = None
-        consider(obj_id, t_i, valid, n_raw, sph)
+            n_raw = ng_raw = None
+        consider(obj_id, t_i, valid, n_raw, ng_raw, sph)
         obj_id += 1
 
     out = dict(t=t_best, hit=t_best < np.float32(MISS_T), is_light=is_light)
     if want_shading:
-        out.update(alb=alb, emi=emi, nrm=nrm)
+        out.update(alb=alb, emi=emi, nrm=nrm, ngm=ngm, is_spec=is_spec,
+                   is_refr=is_refr)
     return out
 
 
 def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     """Returns the Pallas kernel body closed over scene/cam/cfg constants."""
     rects, spheres, light = _scene_consts(scene)
-    for obj in rects + spheres:
-        if obj["refl"] != DIFF:
-            raise NotImplementedError(
-                "pallas megakernel: DIFF-only scenes (SPEC/REFR use the jnp "
-                "wavefront, contract C16)"
-            )
+    has_spec = any(o["refl"] == 1 for o in rects + spheres)
+    has_refr = any(o["refl"] == 2 for o in rects + spheres)
     light_id = light["light_obj_id"]
     est = cfg.estimator
     glibc = cfg.light_sample_mode == "glibc_overflow"
@@ -439,6 +451,58 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 else:
                     wgt = one
                 probes = zero
+
+            if has_spec or has_refr:
+                # SPEC mirror + REFR dielectric (C16, always-RR variant of
+                # the commented smallpt branches — integrator/wavefront.py
+                # _spec_scatter/_refr_scatter define the semantics).
+                ngx, ngy, ngz = h["ngm"]
+                nd_ = ngx * dx + ngy * dy + ngz * dz
+                rfx = dx - ngx * (np.float32(2.0) * nd_)
+                rfy = dy - ngy * (np.float32(2.0) * nd_)
+                rfz = dz - ngz * (np.float32(2.0) * nd_)
+                if has_spec:
+                    sp = h["is_spec"]
+                    ndx = jnp.where(sp, rfx, ndx)
+                    ndy = jnp.where(sp, rfy, ndy)
+                    ndz = jnp.where(sp, rfz, ndz)
+                    wgt = jnp.where(sp, 1.0, wgt)
+                    probes = probes * jnp.where(sp, np.float32(0.0), np.float32(1.0))
+                if has_refr:
+                    rf = h["is_refr"]
+                    into = (ngx * nx + ngy * ny + ngz * nz) > 0.0
+                    nnt = jnp.where(into, np.float32(1.0 / 1.5), np.float32(1.5))
+                    ddn = dx * nx + dy * ny + dz * nz
+                    cos2t = np.float32(1.0) - nnt * nnt * (np.float32(1.0) - ddn * ddn)
+                    tir = cos2t < 0.0
+                    sq = jnp.sqrt(jnp.where(cos2t > 0.0, cos2t, 1.0)) * jnp.where(
+                        cos2t > 0.0, np.float32(1.0), np.float32(0.0)
+                    )
+                    sgn_in = jnp.where(into, np.float32(1.0), np.float32(-1.0))
+                    scale = sgn_in * (ddn * nnt + sq)
+                    tdx = dx * nnt - ngx * scale
+                    tdy = dy * nnt - ngy * scale
+                    tdz = dz * nnt - ngz * scale
+                    inv_tl = jax.lax.rsqrt(tdx * tdx + tdy * tdy + tdz * tdz)
+                    tdx, tdy, tdz = tdx * inv_tl, tdy * inv_tl, tdz * inv_tl
+                    r0 = np.float32(0.04)  # ((1.5-1)/(1.5+1))^2
+                    cth = np.float32(1.0) - jnp.where(
+                        into, -ddn, tdx * ngx + tdy * ngy + tdz * ngz
+                    )
+                    re = r0 + (np.float32(1.0) - r0) * cth * cth * cth * cth * cth
+                    trn = np.float32(1.0) - re
+                    prr = np.float32(0.25) + np.float32(0.5) * re
+                    u_refr = _uniform(seed, pid, ctr + _u32c(rng.P_REFR_COIN))
+                    pick_refl = (u_refr < prr) | tir
+                    w_refr = jnp.where(
+                        tir, np.float32(1.0),
+                        jnp.where(pick_refl, re / prr, trn / (np.float32(1.0) - prr)),
+                    )
+                    ndx = jnp.where(rf, jnp.where(pick_refl, rfx, tdx), ndx)
+                    ndy = jnp.where(rf, jnp.where(pick_refl, rfy, tdy), ndy)
+                    ndz = jnp.where(rf, jnp.where(pick_refl, rfz, tdz), ndz)
+                    wgt = jnp.where(rf, w_refr, wgt)
+                    probes = probes * jnp.where(rf, np.float32(0.0), np.float32(1.0))
 
             f_scale = inv_p * wgt
             tr_n = tr_ * h["alb"][0] * f_scale

@@ -55,7 +55,7 @@ def render_with_stats(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         width=cfg.width, height=cfg.height, spp=cfg.spp,
         estimator=cfg.estimator, wavefront=cfg.wavefront,
         wall_s=round(wall, 4), traces=traces,
-        mrays_per_s=round(traces / wall / 1e6, 2),
+        mrays_per_s=round(traces / wall / 1e6, 6),
         paths=paths,
         # extend + probe ~= 2 traces per diffuse bounce; report bounces.
         mean_path_length=round(traces / 2.0 / paths, 3),

@@ -42,9 +42,15 @@ def test_sphere_scene_statistical():
     assert same > 0.8, same
 
 
-def test_spec_refr_rejected():
+def test_spec_refr_scene():
+    """SPEC mirror + REFR glass (C16) — smallpt_original scene vs jnp."""
     scene = get_scene("smallpt_original")
     cam = make_camera()
-    cfg = RenderConfig(width=8, height=8, spp=1, estimator="cosine")
-    with pytest.raises(NotImplementedError):
-        render_pallas(scene, cam, cfg, 0, interpret=True)
+    cfg = RenderConfig(width=32, height=32, spp=8, estimator="cosine", seed=5)
+    a, ta = render_regen(scene, cam, cfg, jnp.uint32(5))
+    b, tb = render_pallas(scene, cam, cfg, 5, interpret=True)
+    a = np.asarray(a) / cfg.spp
+    b = np.asarray(b) / cfg.spp
+    assert abs(a.mean() - b.mean()) < 1e-2
+    same = (np.abs(a - b) < 1e-6).mean()
+    assert same > 0.7, same
