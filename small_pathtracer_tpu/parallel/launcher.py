@@ -1,0 +1,74 @@
+"""Multi-host launch + elastic retry (SURVEY.md section 5, "Failure
+detection / elastic recovery").
+
+The reference is a single process with no recovery story; here the complete
+render state is a tiny resumable checkpoint (utils/checkpoint.py), so the
+recovery model is: initialize jax.distributed, render with periodic
+checkpoints, and on ANY failure simply relaunch — the restart cost is one
+spp chunk.
+
+Usage (one invocation per host, e.g. under your cluster scheduler):
+
+    from small_pathtracer_tpu.parallel.launcher import distributed_render
+    img, traces = distributed_render(scene, cam, cfg,
+                                     coordinator="host0:8476",
+                                     num_processes=N, process_id=i)
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+
+from ..camera.pinhole import CameraParams
+from ..config import RenderConfig
+from ..scene.types import Scene
+from .mesh import make_mesh
+from .sharded import render_sharded
+
+log = logging.getLogger("small_pathtracer_tpu.launcher")
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """jax.distributed.initialize with env-var fallbacks. No-op when
+    single-process (coordinator None and no cluster env)."""
+    if coordinator is None and num_processes is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def distributed_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
+                       coordinator: str | None = None,
+                       num_processes: int | None = None,
+                       process_id: int | None = None,
+                       mesh_shape: tuple[int, int] | None = None,
+                       max_retries: int = 3,
+                       retry_delay_s: float = 5.0):
+    """Initialize the cluster (if requested), build the global mesh, and
+    render with retry-on-failure.
+
+    Retries re-enter the sharded render from scratch; pair with
+    utils/checkpoint.render_with_checkpoints for chunk-level resume on
+    long renders."""
+    init_distributed(coordinator, num_processes, process_id)
+    mesh = make_mesh(mesh_shape=mesh_shape)
+    last = None
+    for attempt in range(max_retries + 1):
+        try:
+            return render_sharded(scene, cam, cfg, mesh)
+        except Exception as e:  # pragma: no cover - exercised by injection
+            last = e
+            log.warning("render attempt %d failed: %s", attempt, e)
+            if attempt < max_retries:
+                time.sleep(retry_delay_s)
+    raise RuntimeError(
+        f"distributed render failed after {max_retries + 1} attempts"
+    ) from last
