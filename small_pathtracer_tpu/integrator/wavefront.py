@@ -164,6 +164,9 @@ class BounceOut(NamedTuple):
     T: jnp.ndarray         # (N,3) next throughput
     alive: jnp.ndarray     # (N,) alive & survived RR
     traces_inc: jnp.ndarray  # () f32 scene traces consumed this bounce
+    logp_inc: jnp.ndarray  # (N,) log-prob of this bounce's RR decision
+    #   (score-function/REINFORCE term for d E[L] / d albedo through the
+    #   discrete survival decision — grad/score.py; 0 when p in {0, >=1})
 
 
 def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
@@ -211,6 +214,16 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     f = sh.albedo * inv_p[:, None]
     alive_out = alive & survive
 
+    # Score-function term: log P(observed RR decision). Only stochastic when
+    # 0 < p_max < 1 and RR is active; double-where keeps log away from 0.
+    stoch = alive & rr_active & (p_max > 0.0) & (p_max < 1.0)
+    p_safe = jnp.where(stoch, jnp.clip(p_max, 1e-6, 1.0 - 1e-6), 0.5)
+    logp_inc = jnp.where(
+        stoch,
+        jnp.where(survive, jnp.log(p_safe), jnp.log1p(-p_safe)),
+        0.0,
+    )
+
     # Material scatter: branch-free select over material type (vtable-free,
     # SURVEY row 4).
     diff_dir, diff_w, probes = _diff_scatter(scene, cfg, sh, sh.x, u)
@@ -235,7 +248,7 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
 
     return BounceOut(
         emit=emit, x=sh.x, new_dir=new_dir, T=T_out, alive=alive_out,
-        traces_inc=traces_inc,
+        traces_inc=traces_inc, logp_inc=logp_inc,
     )
 
 
@@ -275,18 +288,42 @@ def path_trace(scene: Scene, cfg: RenderConfig, seed, o, d, path_id):
 
 
 def path_trace_fixed(scene: Scene, cfg: RenderConfig, seed, o, d, path_id,
-                     n_bounces: int):
+                     n_bounces: int, want_logp: bool = False):
     """Differentiable variant: fixed-length lax.scan (reverse-mode safe).
 
     Truncates the RR tail at ``n_bounces``; with RR survival <= max albedo
     the truncated energy decays geometrically (SURVEY section 6: <0.1% of
-    bounces beyond depth ~30)."""
+    bounces beyond depth ~30).
+
+    want_logp: also return the per-path log-probability of the RR decision
+    sequence (the score-function term, grad/score.py). Returns
+    (L, n_traces[, logp])."""
     state0 = init_paths(o, d, path_id)
+    logp0 = jnp.zeros(o.shape[:1], o.dtype)
 
-    def body(state, _):
-        return bounce_step(scene, cfg, seed, state), None
+    def body(carry, _):
+        state, logp = carry
+        depth = state.depth + 1
+        out = _bounce_core(
+            scene, cfg, seed, state.o, state.d, state.T, state.alive, depth,
+            state.path_id,
+        )
+        live = out.alive[:, None]
+        new_state = PathState(
+            o=jnp.where(live, out.x, state.o),
+            d=jnp.where(live, out.new_dir, state.d),
+            T=jnp.where(live, out.T, state.T),
+            L=state.L + out.emit,
+            alive=out.alive,
+            depth=jnp.where(state.alive, depth, state.depth),
+            path_id=state.path_id,
+            n_traces=state.n_traces + out.traces_inc,
+        )
+        return (new_state, logp + out.logp_inc), None
 
-    out, _ = jax.lax.scan(body, state0, None, length=n_bounces)
+    (out, logp), _ = jax.lax.scan(body, (state0, logp0), None, length=n_bounces)
+    if want_logp:
+        return out.L, out.n_traces, logp
     return out.L, out.n_traces
 
 
