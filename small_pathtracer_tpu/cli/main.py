@@ -93,15 +93,29 @@ def cmd_render(args) -> int:
 
 def cmd_bench(args) -> int:
     import jax
+    import numpy as np
 
     scene, cam, cfg = _build(args)
-    from ..integrator.wavefront import render
+    if args.mesh:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import render_sharded
 
-    img, traces = render(scene, cam, cfg)  # warmup+compile
-    jax.block_until_ready(img)
+        sp, dp = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(jax.devices()[: sp * dp], mesh_shape=(sp, dp))
+
+        def run():
+            return render_sharded(scene, cam, cfg, mesh)
+    else:
+        from ..integrator.wavefront import render
+
+        def run():
+            return render(scene, cam, cfg)
+
+    img, traces = run()  # warmup+compile
+    float(np.asarray(img).mean())
     t0 = time.perf_counter()
-    img, traces = render(scene, cam, cfg)
-    jax.block_until_ready(img)
+    img, traces = run()
+    float(np.asarray(img).mean())  # value fetch: forces completion
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": f"Mrays/s ({args.scene} {cfg.width}x{cfg.height}x{cfg.spp}spp {cfg.estimator})",
