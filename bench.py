@@ -44,9 +44,13 @@ def run_bench(impl: str) -> dict:
 
     from small_pathtracer_tpu import RenderConfig, get_scene, make_camera
 
-    width = int(os.environ.get("SPT_BENCH_W", 512))
-    height = int(os.environ.get("SPT_BENCH_H", 512))
-    spp = int(os.environ.get("SPT_BENCH_SPP", 64))
+    # Default = the BASELINE.json north-star config (1024x768x512spp
+    # Cornell) for pallas; the jnp fallbacks use a lighter spp so a
+    # constrained run still finishes.
+    is_pallas = impl == "pallas"
+    width = int(os.environ.get("SPT_BENCH_W", 1024 if is_pallas else 512))
+    height = int(os.environ.get("SPT_BENCH_H", 768 if is_pallas else 512))
+    spp = int(os.environ.get("SPT_BENCH_SPP", 512 if is_pallas else 64))
     cfg = RenderConfig(
         width=width, height=height, spp=spp, estimator="nee",
         wavefront="scan" if impl == "scan" else "regen",

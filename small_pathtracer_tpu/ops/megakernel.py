@@ -55,7 +55,10 @@ from ..geometry.intersect import MISS_T, SELF_HIT_EPS, SPHERE_EPS
 
 # Lane tile: (TILE_ROWS, 128) f32. 64 sublanes x 128 lanes = 8192 lanes per
 # grid step — enough ILP to hide VPU latencies, ~0.6 MB VMEM of state.
-TILE_ROWS = 64
+# Env-overridable for tuning sweeps (SPT_TILE_ROWS).
+import os as _os
+
+TILE_ROWS = int(_os.environ.get("SPT_TILE_ROWS", 64))
 TILE = TILE_ROWS * 128
 
 
@@ -591,7 +594,11 @@ def render_pallas(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
 def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                   interpret: bool):
     n_pix = cfg.width * cfg.height
-    g = cfg.regen_groups or max(1, (1 << 21) // max(1, n_pix))
+    # Auto groups: target ~2^18 lanes. Fewer lanes with bigger per-lane
+    # sample budgets beat more lanes with small budgets (the tile's while
+    # loop runs to its slowest lane; long budgets amortize that tail —
+    # measured 813 vs 707 Mrays/s for g=1 vs g=8 at 512x512x64spp).
+    g = cfg.regen_groups or max(1, (1 << 18) // max(1, n_pix))
     g = min(g, cfg.spp)
     while cfg.spp % g:
         g -= 1
