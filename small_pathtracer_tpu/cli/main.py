@@ -126,6 +126,26 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_viz(args) -> int:
+    """State-space visualization (SURVEY section 3.5; smallpt.cpp:424-442)."""
+    import numpy as np
+
+    from ..core import film
+    from ..experiment.state_space import create_state_space, render_state_viz
+
+    scene, cam, cfg = _build(args)
+    img, n_red = render_state_viz(scene, cam, cfg.width, cfg.height)
+    n_states = create_state_space(scene)
+    u8 = np.asarray(film.tonemap_u8(img))
+    film.write_ppm(args.output, u8)
+    print(
+        f"wrote {args.output}  NUMBER OF STATES: {n_states}  "
+        f"COUNTER RED: {n_red}",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_fit(args) -> int:
     """Inverse rendering: recover scene parameters from a target image."""
     import numpy as np
@@ -182,6 +202,14 @@ def main(argv=None) -> int:
     p_bench = sub.add_parser("bench", help="measure Mrays/s")
     _add_render_args(p_bench)
     p_bench.set_defaults(fn=cmd_bench)
+
+    p_viz = sub.add_parser(
+        "viz", help="RL state-space false-color map (the reference's "
+        "HEAD-mode show_*.ppm renders)"
+    )
+    _add_render_args(p_viz)
+    p_viz.add_argument("-o", "--output", default="state_viz.ppm")
+    p_viz.set_defaults(fn=cmd_viz)
 
     p_fit = sub.add_parser("fit", help="inverse rendering (gradient descent)")
     _add_render_args(p_fit)
