@@ -665,3 +665,100 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         return img, jnp.sum(traces)
 
     return run
+
+
+def render_pallas_sharded(scene: Scene, cam: CameraParams, cfg: RenderConfig,
+                          mesh, seed, interpret: bool = False):
+    """Megakernel + device mesh: each device runs the SAME compiled kernel
+    over its (pixel-block x sample-range) lanes inside shard_map; per-pixel
+    sums reduce over the dp axis with one psum (ICI). Composes the fastest
+    single-chip path with the parallel/ scaling design.
+
+    Returns ((h*w, 3) radiance sum sharded over sp, traces ())."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS_PIXEL, AXIS_SAMPLE
+
+    if not interpret and jax.devices()[0].platform != "tpu":
+        interpret = True
+
+    n_sp = mesh.shape[AXIS_PIXEL]
+    n_dp = mesh.shape[AXIS_SAMPLE]
+    n_pix = cfg.width * cfg.height
+    if n_pix % n_sp or cfg.spp % n_dp:
+        raise ValueError(f"{n_pix=} % {n_sp=} or {cfg.spp=} % {n_dp=} != 0")
+    n_pix_loc = n_pix // n_sp
+    n_s_loc = cfg.spp // n_dp
+
+    g = cfg.regen_groups or max(1, (1 << 18) // max(1, n_pix_loc))
+    g = min(g, n_s_loc)
+    while n_s_loc % g:
+        g -= 1
+    per = n_s_loc // g
+    n_lanes = n_pix_loc * g
+    pad = (-n_lanes) % TILE
+    n_tiles = (n_lanes + pad) // TILE
+
+    kernel = build_kernel(scene, cam, cfg)
+    block = pl.BlockSpec(
+        (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    def local(seed):
+        pix0 = (jax.lax.axis_index(AXIS_PIXEL) * n_pix_loc).astype(jnp.uint32)
+        samp0 = (jax.lax.axis_index(AXIS_SAMPLE) * n_s_loc).astype(jnp.uint32)
+        pix = pix0 + jnp.repeat(jnp.arange(n_pix_loc, dtype=jnp.uint32), g)
+        px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
+        py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
+        pid_base = pix * jnp.uint32(cfg.spp)
+        s_start = samp0 + jnp.tile(
+            jnp.arange(g, dtype=jnp.uint32) * jnp.uint32(per), n_pix_loc
+        )
+        s_stop = s_start + jnp.uint32(per)
+
+        def padto(x, fill):
+            return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+                n_tiles * TILE_ROWS, 128
+            )
+
+        lr, lg, lb, traces = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                block, block, block, block, block,
+            ],
+            out_specs=[
+                block, block, block,
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            seed.reshape(1),
+            padto(px, 0.0), padto(py, 0.0), padto(pid_base, 0),
+            padto(s_start, 0), padto(s_stop, 0),
+        )
+        L = jnp.stack(
+            [lr.reshape(-1)[:n_lanes], lg.reshape(-1)[:n_lanes],
+             lb.reshape(-1)[:n_lanes]],
+            axis=-1,
+        )
+        img_loc = L.reshape(n_pix_loc, g, 3).sum(axis=1)
+        img_loc = jax.lax.psum(img_loc, AXIS_SAMPLE)
+        return img_loc, jax.lax.psum(
+            jnp.sum(traces), (AXIS_PIXEL, AXIS_SAMPLE)
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=(P(),),
+            out_specs=(P(AXIS_PIXEL), P()), check_vma=False,
+        )
+    )(jnp.asarray(seed, jnp.uint32))

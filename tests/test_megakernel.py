@@ -54,3 +54,22 @@ def test_spec_refr_scene():
     assert abs(a.mean() - b.mean()) < 1e-2
     same = (np.abs(a - b) < 1e-6).mean()
     assert same > 0.7, same
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_sharded_megakernel_matches_single(mesh_shape):
+    """Megakernel inside shard_map: identical traces, float-sum-order-level
+    image agreement across mesh shapes."""
+    from small_pathtracer_tpu.ops.megakernel import render_pallas_sharded
+    from small_pathtracer_tpu.parallel.mesh import make_mesh
+
+    scene = get_scene("cornell_box")
+    cam = make_camera()
+    cfg = RenderConfig(width=32, height=24, spp=8, estimator="nee", seed=3)
+    a, ta = render_pallas(scene, cam, cfg, 3, interpret=True)
+    mesh = make_mesh(mesh_shape=mesh_shape)
+    b, tb = render_pallas_sharded(scene, cam, cfg, mesh, 3, interpret=True)
+    assert float(ta) == float(tb)
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b).reshape(24, 32, 3), atol=1e-5
+    )
