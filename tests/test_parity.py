@@ -73,6 +73,37 @@ def test_parity_vs_asbuilt_oracle_nee():
     assert diff < 1.25 * noise, (diff, noise)
 
 
+def test_parity_uniform_estimator():
+    """C12 as-committed uniform sampling (no 2cos correction) vs the
+    swapped-in oracle variant."""
+    o1 = oh.render_oracle(W, H, SPP, seed=1, estimator="uniform",
+                          self_hit_eps=1e-3)
+    o2 = oh.render_oracle(W, H, SPP, seed=2, estimator="uniform",
+                          self_hit_eps=1e-3)
+    mine = _ours("uniform")
+    noise = np.abs(o1 - o2).mean()
+    diff = np.abs(mine - o1).mean()
+    assert diff < 1.25 * noise, (diff, noise)
+    np.testing.assert_allclose(
+        mine.mean(axis=(0, 1)), o1.mean(axis=(0, 1)), atol=1.2e-2
+    )
+
+
+def test_parity_mixture_estimator():
+    """The historic q<0.5 'halflighthalfimportance' mixture (C13)."""
+    o1 = oh.render_oracle(W, H, SPP, seed=1, estimator="mixture",
+                          self_hit_eps=1e-3)
+    o2 = oh.render_oracle(W, H, SPP, seed=2, estimator="mixture",
+                          self_hit_eps=1e-3)
+    mine = _ours("mixture")
+    noise = np.abs(o1 - o2).mean()
+    diff = np.abs(mine - o1).mean()
+    assert diff < 1.25 * noise, (diff, noise)
+    np.testing.assert_allclose(
+        mine.mean(axis=(0, 1)), o1.mean(axis=(0, 1)), atol=1.2e-2
+    )
+
+
 def test_parity_glibc_overflow_mode():
     """C13a bit-faithful mode vs the as-built (unpatched) oracle."""
     o1 = oh.render_oracle(W, H, SPP, seed=1, estimator="nee",
