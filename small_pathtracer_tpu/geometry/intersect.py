@@ -72,6 +72,36 @@ def intersect_rects(rects, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, t, MISS_T)
 
 
+def intersect_quads(quads, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Per-quad hit distances for general parallelograms. Returns (N,Q).
+
+    Ray-plane via the quad normal, then barycentric (a, b) from the 2x2
+    Gram solve; accept a,b in [0,1] (inclusive, matching the rects' C8
+    bounds convention). Two-sided."""
+    Q = quads.corner.shape[0]
+    if Q == 0:
+        return jnp.full((o.shape[0], 0), MISS_T, o.dtype)
+    n = vm.cross(quads.edge_u, quads.edge_v)         # (Q,3), unnormalized
+    denom = jnp.einsum("nk,qk->nq", d, n)            # (N,Q)
+    ok = denom != 0.0
+    denom_safe = jnp.where(ok, denom, 1.0)
+    t = jnp.einsum("nqk,qk->nq", quads.corner[None] - o[:, None], n) / denom_safe
+    p = o[:, None, :] + t[..., None] * d[:, None, :] - quads.corner[None]
+    # Gram matrix solve for (a, b).
+    uu = jnp.sum(quads.edge_u * quads.edge_u, axis=-1)
+    vv = jnp.sum(quads.edge_v * quads.edge_v, axis=-1)
+    uv = jnp.sum(quads.edge_u * quads.edge_v, axis=-1)
+    pu = jnp.einsum("nqk,qk->nq", p, quads.edge_u)
+    pv = jnp.einsum("nqk,qk->nq", p, quads.edge_v)
+    det = uu * vv - uv * uv
+    det_safe = jnp.where(det != 0.0, det, 1.0)
+    a = (pu * vv - pv * uv) / det_safe
+    b = (pv * uu - pu * uv) / det_safe
+    inb = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0) & (det != 0.0)
+    valid = ok & inb & (t > SELF_HIT_EPS)
+    return jnp.where(valid, t, MISS_T)
+
+
 def intersect_spheres(spheres, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Per-sphere hit distances (smallpt.cpp:229-239). Returns (N,S)."""
     S = spheres.radius.shape[0]
@@ -94,9 +124,13 @@ def intersect_spheres(spheres, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 def trace(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> Hit:
     """Nearest hit over all objects (smallpt.cpp:323-335)."""
     ts = jnp.concatenate(
-        [intersect_rects(scene.rects, o, d), intersect_spheres(scene.spheres, o, d)],
+        [
+            intersect_rects(scene.rects, o, d),
+            intersect_quads(scene.quads, o, d),
+            intersect_spheres(scene.spheres, o, d),
+        ],
         axis=1,
-    )  # (N, R+S)
+    )  # (N, R+Q+S)
     obj_id = jnp.argmin(ts, axis=1).astype(jnp.int32)  # 0 on all-miss => C15
     t = jnp.min(ts, axis=1)
     return Hit(t=t, obj_id=obj_id, hit=t < MISS_T)
@@ -119,6 +153,7 @@ def shade_info(scene: Scene, o, d, hit: Hit) -> Shade:
     shaded at x = (0,0,0) — the reference does NOT early-return (C15).
     """
     R = scene.rects.k.shape[0]
+    Q = scene.quads.corner.shape[0]
     x = jnp.where(hit.hit[:, None], o + hit.t[:, None] * d, 0.0)
 
     albedo_all, emission_all, refl_all = object_arrays(scene)
@@ -127,20 +162,31 @@ def shade_info(scene: Scene, o, d, hit: Hit) -> Shade:
     refl = refl_all[hit.obj_id]
 
     # Rect normal: unit vector along the rect's normal axis.
-    is_sphere = hit.obj_id >= R
+    is_quad = (hit.obj_id >= R) & (hit.obj_id < R + Q)
+    is_sphere = hit.obj_id >= R + Q
     rect_id = jnp.clip(hit.obj_id, 0, max(R - 1, 0))
     if R > 0:
         eye = jnp.eye(3, dtype=x.dtype)
         n_rect = eye[scene.rects.axis[rect_id]]
     else:
         n_rect = jnp.zeros_like(x)
+    # Quad normal: normalize(cross(edge_u, edge_v)).
+    if Q > 0:
+        quad_id = jnp.clip(hit.obj_id - R, 0, Q - 1)
+        n_quad = vm.norm(
+            vm.cross(scene.quads.edge_u, scene.quads.edge_v)
+        )[quad_id]
+    else:
+        n_quad = jnp.zeros_like(x)
     # Sphere normal: (x - center) normalized (smallpt.cpp:246-253).
     S = scene.spheres.radius.shape[0]
     if S > 0:
-        sph_id = jnp.clip(hit.obj_id - R, 0, S - 1)
+        sph_id = jnp.clip(hit.obj_id - R - Q, 0, S - 1)
         n_sph = vm.norm(x - scene.spheres.center[sph_id])
     else:
         n_sph = jnp.zeros_like(x)
-    n_geom = jnp.where(is_sphere[:, None], n_sph, n_rect)
+    n_geom = jnp.where(
+        is_sphere[:, None], n_sph, jnp.where(is_quad[:, None], n_quad, n_rect)
+    )
     n = vm.orient_normal(n_geom, d)
     return Shade(x=x, n=n, n_geom=n_geom, albedo=albedo, emission=emission, refl=refl)

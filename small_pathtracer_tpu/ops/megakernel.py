@@ -106,6 +106,17 @@ def _scene_consts(scene: Scene):
             emission=tuple(float(v) for v in np.asarray(r.emission)[i]),
             refl=int(np.asarray(r.refl)[i]),
         ))
+    quads = []
+    q = scene.quads
+    for i in range(int(np.asarray(q.corner).shape[0])):
+        quads.append(dict(
+            corner=tuple(float(v) for v in np.asarray(q.corner)[i]),
+            edge_u=tuple(float(v) for v in np.asarray(q.edge_u)[i]),
+            edge_v=tuple(float(v) for v in np.asarray(q.edge_v)[i]),
+            albedo=tuple(float(v) for v in np.asarray(q.albedo)[i]),
+            emission=tuple(float(v) for v in np.asarray(q.emission)[i]),
+            refl=int(np.asarray(q.refl)[i]),
+        ))
     spheres = []
     s = scene.spheres
     for i in range(int(np.asarray(s.radius).shape[0])):
@@ -122,10 +133,10 @@ def _scene_consts(scene: Scene):
         edge_v=tuple(float(v) for v in np.asarray(scene.light.edge_v)),
         light_obj_id=int(np.asarray(scene.light.light_obj_id)),
     )
-    return rects, spheres, light
+    return rects, quads, spheres, light
 
 
-def _trace_unrolled(rects, spheres, light_id, ox, oy, oz, dx, dy, dz,
+def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
                     inv_dx, inv_dy, inv_dz, want_shading: bool):
     """Unrolled nearest-hit over all primitives.
 
@@ -207,6 +218,57 @@ def _trace_unrolled(rects, spheres, light_id, ox, oy, oz, dx, dy, dz,
         consider(obj_id, t_i, valid, n_raw, ng_raw, r)
         obj_id += 1
 
+    for qd in quads:
+        # General parallelogram: plane hit via the (constant) normal, then
+        # a 2x2 Gram solve with precomputed constants.
+        qc = qd["corner"]
+        eu, ev = qd["edge_u"], qd["edge_v"]
+        nqx = eu[1] * ev[2] - eu[2] * ev[1]
+        nqy = eu[2] * ev[0] - eu[0] * ev[2]
+        nqz = eu[0] * ev[1] - eu[1] * ev[0]
+        denom = dx * np.float32(nqx) + dy * np.float32(nqy) + dz * np.float32(nqz)
+        ok = denom != 0.0
+        denom_safe = jnp.where(ok, denom, 1.0)
+        num = (
+            (np.float32(qc[0]) - ox) * np.float32(nqx)
+            + (np.float32(qc[1]) - oy) * np.float32(nqy)
+            + (np.float32(qc[2]) - oz) * np.float32(nqz)
+        )
+        t_i = num / denom_safe
+        px_ = ox + t_i * dx - np.float32(qc[0])
+        py_ = oy + t_i * dy - np.float32(qc[1])
+        pz_ = oz + t_i * dz - np.float32(qc[2])
+        uu = sum(v * v for v in eu)
+        vv = sum(v * v for v in ev)
+        uv = sum(a * b for a, b in zip(eu, ev))
+        gdet = uu * vv - uv * uv
+        pu = px_ * np.float32(eu[0]) + py_ * np.float32(eu[1]) + pz_ * np.float32(eu[2])
+        pv = px_ * np.float32(ev[0]) + py_ * np.float32(ev[1]) + pz_ * np.float32(ev[2])
+        a_ = (pu * np.float32(vv) - pv * np.float32(uv)) * np.float32(1.0 / gdet)
+        b_ = (pv * np.float32(uu) - pu * np.float32(uv)) * np.float32(1.0 / gdet)
+        valid = (
+            ok & (a_ >= 0.0) & (a_ <= 1.0) & (b_ >= 0.0) & (b_ <= 1.0)
+            & (t_i > np.float32(SELF_HIT_EPS))
+        )
+        if want_shading:
+            inv_nl = 1.0 / math.sqrt(nqx * nqx + nqy * nqy + nqz * nqz)
+            ng_raw = [
+                jnp.full_like(ox, nqx * inv_nl),
+                jnp.full_like(ox, nqy * inv_nl),
+                jnp.full_like(ox, nqz * inv_nl),
+            ]
+            dotn = (
+                dx * np.float32(nqx * inv_nl)
+                + dy * np.float32(nqy * inv_nl)
+                + dz * np.float32(nqz * inv_nl)
+            )
+            sgnq = jnp.where(dotn < 0.0, np.float32(1.0), np.float32(-1.0))
+            n_raw = [g * sgnq for g in ng_raw]
+        else:
+            n_raw = ng_raw = None
+        consider(obj_id, t_i, valid, n_raw, ng_raw, qd)
+        obj_id += 1
+
     for sph in spheres:
         cx, cy, cz = (np.float32(v) for v in sph["center"])
         opx, opy, opz = cx - ox, cy - oy, cz - oz
@@ -243,9 +305,9 @@ def _trace_unrolled(rects, spheres, light_id, ox, oy, oz, dx, dy, dz,
 
 def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     """Returns the Pallas kernel body closed over scene/cam/cfg constants."""
-    rects, spheres, light = _scene_consts(scene)
-    has_spec = any(o["refl"] == 1 for o in rects + spheres)
-    has_refr = any(o["refl"] == 2 for o in rects + spheres)
+    rects, quads, spheres, light = _scene_consts(scene)
+    has_spec = any(o["refl"] == 1 for o in rects + quads + spheres)
+    has_refr = any(o["refl"] == 2 for o in rects + quads + spheres)
     light_id = light["light_obj_id"]
     est = cfg.estimator
     glibc = cfg.light_sample_mode == "glibc_overflow"
@@ -342,7 +404,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             inv_dy = pl.reciprocal(dy, approx=False)
             inv_dz = pl.reciprocal(dz, approx=False)
             h = _trace_unrolled(
-                rects, spheres, light_id, ox, oy, oz, dx, dy, dz,
+                rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
                 inv_dx, inv_dy, inv_dz, want_shading=True,
             )
             alive_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
@@ -419,7 +481,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 inv_wl = jax.lax.rsqrt(wx_ * wx_ + wy_ * wy_ + wz_ * wz_)
                 ldx, ldy, ldz = wx_ * inv_wl, wy_ * inv_wl, wz_ * inv_wl
                 probe = _trace_unrolled(
-                    rects, spheres, light_id, hx, hy, hz, ldx, ldy, ldz,
+                    rects, quads, spheres, light_id, hx, hy, hz, ldx, ldy, ldz,
                     pl.reciprocal(ldx, approx=False),
                     pl.reciprocal(ldy, approx=False),
                     pl.reciprocal(ldz, approx=False),

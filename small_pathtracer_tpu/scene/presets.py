@@ -111,10 +111,48 @@ def smallpt_original() -> Scene:
     return make_scene(rects, spheres, _cornell_light_sampler())
 
 
+def cornell_tilted_light() -> Scene:
+    """Cornell box with a TILTED parallelogram light (BASELINE.json config
+    #3: "explicit light sampling (NEE) with rect/tilted-plane lights").
+
+    The rect light (id 6) is replaced by a quad hung below the ceiling,
+    pitched ~15 degrees about x: corner (32, 78, 63), edge_u (36, 0, 0),
+    edge_v (0, 9.3, 34.8). The NEE sampler shares the quad's exact
+    geometry, so the area/normal weights (C13 generalized) stay consistent.
+    Object ids: 16 rects (0-15), quad light = 16."""
+    walls = [r for i, r in enumerate(_cornell_walls()) if i != 6]
+    # The two boxes (same as cornell_box, smallpt.cpp:300-310).
+    box_rects = [
+        (AX_Z, 32.0, (12.0, 0.0), (42.0, 50.0), _ONE, _ZERO, DIFF),
+        (AX_Z, 62.0, (12.0, 0.0), (42.0, 50.0), _ONE, _ZERO, DIFF),
+        (AX_X, 12.0, (0.0, 32.0), (50.0, 62.0), _ONE, _ZERO, DIFF),
+        (AX_X, 42.0, (0.0, 32.0), (50.0, 62.0), _ONE, _ZERO, DIFF),
+        (AX_Y, 50.0, (12.0, 32.0), (42.0, 62.0), _ONE, _ZERO, DIFF),
+        (AX_Z, 63.0, (63.0, 0.0), (88.0, 25.0), _ONE, _ZERO, DIFF),
+        (AX_Z, 88.0, (63.0, 0.0), (88.0, 25.0), _ONE, _ZERO, DIFF),
+        (AX_X, 63.0, (0.0, 63.0), (25.0, 88.0), _ONE, _ZERO, DIFF),
+        (AX_X, 88.0, (0.0, 63.0), (25.0, 88.0), _ONE, _ZERO, DIFF),
+        (AX_Y, 25.0, (63.0, 63.0), (88.0, 88.0), _ONE, _ZERO, DIFF),
+    ]
+    corner = (32.0, 78.0, 63.0)
+    edge_u = (36.0, 0.0, 0.0)
+    tilt = math.radians(15.0)
+    edge_v = (0.0, 36.0 * math.sin(tilt), 36.0 * math.cos(tilt))
+    quads = [(corner, edge_u, edge_v, _ZERO, (12.0, 12.0, 12.0), DIFF)]
+    light = LightSampler(
+        corner=jnp.asarray(corner, jnp.float32),
+        edge_u=jnp.asarray(edge_u, jnp.float32),
+        edge_v=jnp.asarray(edge_v, jnp.float32),
+        light_obj_id=jnp.asarray(16, jnp.int32),  # after the 16 rects
+    )
+    return make_scene(walls + box_rects, [], light, quads=quads)
+
+
 PRESETS = {
     "cornell_box": cornell_box,
     "cornell_spheres": cornell_spheres,
     "smallpt_original": smallpt_original,
+    "cornell_tilted_light": cornell_tilted_light,
 }
 
 

@@ -52,6 +52,20 @@ class Rects(NamedTuple):
     refl: jnp.ndarray
 
 
+class Quads(NamedTuple):
+    """General (possibly tilted) parallelograms: point = corner + a*edge_u +
+    b*edge_v, a,b in [0,1]. Extends the reference's axis-aligned rect family
+    to the tilted-plane lights of BASELINE.json config #3. Two-sided, like
+    the reference rects (C7). corner/edge_u/edge_v: (Q,3)."""
+
+    corner: jnp.ndarray
+    edge_u: jnp.ndarray
+    edge_v: jnp.ndarray
+    albedo: jnp.ndarray
+    emission: jnp.ndarray
+    refl: jnp.ndarray
+
+
 class Spheres(NamedTuple):
     """Spheres (smallpt.cpp:223-254). center: (S,3); radius: (S,)."""
 
@@ -86,7 +100,11 @@ class LightSampler(NamedTuple):
 
 
 class Scene(NamedTuple):
+    """Global object ids: rects (0..R-1), quads (R..R+Q-1), spheres
+    (R+Q..R+Q+S-1)."""
+
     rects: Rects
+    quads: Quads
     spheres: Spheres
     light: LightSampler
 
@@ -95,12 +113,14 @@ def make_scene(
     rects: list[tuple],
     spheres: list[tuple],
     light: LightSampler,
+    quads: list[tuple] = (),
     dtype=jnp.float32,
 ) -> Scene:
     """Build a Scene from python lists.
 
     rects: list of (axis, k, (lo0, lo1), (hi0, hi1), albedo3, emission3, refl)
     spheres: list of (center3, radius, albedo3, emission3, refl)
+    quads: list of (corner3, edge_u3, edge_v3, albedo3, emission3, refl)
     """
     if rects:
         r = Rects(
@@ -122,6 +142,24 @@ def make_scene(
             emission=jnp.zeros((0, 3), dtype),
             refl=jnp.zeros((0,), jnp.int32),
         )
+    if quads:
+        q = Quads(
+            corner=jnp.asarray([x[0] for x in quads], dtype=dtype),
+            edge_u=jnp.asarray([x[1] for x in quads], dtype=dtype),
+            edge_v=jnp.asarray([x[2] for x in quads], dtype=dtype),
+            albedo=jnp.asarray([x[3] for x in quads], dtype=dtype),
+            emission=jnp.asarray([x[4] for x in quads], dtype=dtype),
+            refl=jnp.asarray([x[5] for x in quads], dtype=jnp.int32),
+        )
+    else:
+        q = Quads(
+            corner=jnp.zeros((0, 3), dtype),
+            edge_u=jnp.zeros((0, 3), dtype),
+            edge_v=jnp.zeros((0, 3), dtype),
+            albedo=jnp.zeros((0, 3), dtype),
+            emission=jnp.zeros((0, 3), dtype),
+            refl=jnp.zeros((0,), jnp.int32),
+        )
     if spheres:
         s = Spheres(
             center=jnp.asarray([x[0] for x in spheres], dtype=dtype),
@@ -138,20 +176,29 @@ def make_scene(
             emission=jnp.zeros((0, 3), dtype),
             refl=jnp.zeros((0,), jnp.int32),
         )
-    return Scene(rects=r, spheres=s, light=light)
+    return Scene(rects=r, quads=q, spheres=s, light=light)
 
 
 def num_objects(scene: Scene) -> int:
-    return scene.rects.k.shape[0] + scene.spheres.radius.shape[0]
+    return (
+        scene.rects.k.shape[0]
+        + scene.quads.corner.shape[0]
+        + scene.spheres.radius.shape[0]
+    )
 
 
 def object_arrays(scene: Scene):
     """Concatenated per-object (albedo, emission, refl) in global-id order."""
-    albedo = jnp.concatenate([scene.rects.albedo, scene.spheres.albedo], axis=0)
-    emission = jnp.concatenate(
-        [scene.rects.emission, scene.spheres.emission], axis=0
+    albedo = jnp.concatenate(
+        [scene.rects.albedo, scene.quads.albedo, scene.spheres.albedo], axis=0
     )
-    refl = jnp.concatenate([scene.rects.refl, scene.spheres.refl], axis=0)
+    emission = jnp.concatenate(
+        [scene.rects.emission, scene.quads.emission, scene.spheres.emission],
+        axis=0,
+    )
+    refl = jnp.concatenate(
+        [scene.rects.refl, scene.quads.refl, scene.spheres.refl], axis=0
+    )
     return albedo, emission, refl
 
 

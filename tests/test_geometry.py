@@ -159,3 +159,60 @@ class TestSceneTrace:
         o, d = primary_rays(camera, 512, 512, px, py, half, half)
         h = trace(cornell_box, o, d)
         assert bool(h.hit[0])
+
+
+class TestQuad:
+    def _scene(self, corner, eu, ev):
+        light = LightSampler(
+            corner=jnp.zeros(3), edge_u=jnp.eye(3)[0], edge_v=jnp.eye(3)[2],
+            light_obj_id=jnp.asarray(0, jnp.int32),
+        )
+        return make_scene(
+            [], [], light,
+            quads=[(corner, eu, ev, (1.0, 1.0, 1.0), (0.0, 0.0, 0.0), DIFF)],
+        )
+
+    def test_axis_aligned_quad_matches_rect_math(self):
+        # Quad equivalent to an xz-rect at y=10, x/z in [0,4].
+        sc = self._scene((0.0, 10.0, 0.0), (4.0, 0.0, 0.0), (0.0, 0.0, 4.0))
+        from small_pathtracer_tpu.geometry.intersect import intersect_quads
+
+        o, d = _rays([[2.0, 0.0, 2.0]], [[0.0, 1.0, 0.0]])
+        assert float(intersect_quads(sc.quads, o, d)[0, 0]) == pytest.approx(10.0)
+        o, d = _rays([[5.0, 0.0, 2.0]], [[0.0, 1.0, 0.0]])  # out of bounds
+        assert float(intersect_quads(sc.quads, o, d)[0, 0]) == pytest.approx(MISS_T, rel=1e-6)
+
+    def test_tilted_quad_hit_and_normal(self):
+        # 45-degree tilted quad; ray straight down the plane normal region.
+        sc = self._scene((0.0, 0.0, 0.0), (2.0, 0.0, 0.0), (0.0, 2.0, 2.0))
+        o, d = _rays([[1.0, 5.0, 1.0]], [[0.0, -1.0, 0.0]])
+        h = trace(sc, o, d)
+        assert bool(h.hit[0])
+        sh = shade_info(sc, o, d, h)
+        # normal = normalize(cross(eu, ev)) = (0, -1, 1)/sqrt(2), oriented
+        # against the downward ray => +y component positive.
+        n = np.asarray(sh.n)[0]
+        assert n[1] > 0.5
+        np.testing.assert_allclose(abs(n[1]), abs(n[2]), atol=1e-5)
+
+    def test_two_sided(self):
+        sc = self._scene((0.0, 10.0, 0.0), (4.0, 0.0, 0.0), (0.0, 0.0, 4.0))
+        o, d = _rays([[2.0, 20.0, 2.0]], [[0.0, -1.0, 0.0]])
+        h = trace(sc, o, d)
+        assert bool(h.hit[0]) and float(h.t[0]) == pytest.approx(10.0)
+
+
+def test_tilted_light_scene_renders():
+    """BASELINE config #3: NEE with a tilted-plane light."""
+    import small_pathtracer_tpu as spt
+
+    scene = get_scene("cornell_tilted_light")
+    from small_pathtracer_tpu.scene.types import num_objects
+
+    assert num_objects(scene) == 17
+    cfg = spt.RenderConfig(width=32, height=32, spp=8, estimator="nee", seed=2)
+    img, traces = spt.render(scene, spt.make_camera(), cfg)
+    img = np.asarray(img)
+    assert img.max() > 0.9        # light visible
+    assert 0.05 < img.mean() < 0.9
+    assert traces > 0
