@@ -1,0 +1,65 @@
+"""Inverse rendering (BASELINE.json config #5): recover scene parameters
+from a rendered image by gradient descent, with spp sharded over a device
+mesh and scene gradients all-reduced via the psum transpose.
+
+A "mystery" Cornell box (dimmer light, darker right wall) is rendered once;
+starting from the standard box we recover both by minimizing MSE through
+the differentiable wavefront. Runs anywhere:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/inverse_rendering.py
+
+Expected (30 steps, ~1 min on CPU): loss 0.60 -> 0.10, light emission
+recovered to ~8.4 (truth 8.0), wall albedo to ~(0.45, 0.14, 0.14)
+(truth (0.5, 0.15, 0.15)) — residuals shrink with more steps/spp.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import small_pathtracer_tpu as spt
+from small_pathtracer_tpu.grad.adjoint import (
+    make_sharded_train_step,
+    render_linear,
+)
+from small_pathtracer_tpu.parallel.mesh import make_mesh
+
+
+def main(steps: int = 30, lr: float = 4.0) -> None:
+    cfg = spt.RenderConfig(width=32, height=24, spp=8, estimator="nee", seed=5)
+    cam = spt.make_camera(aspect=32 / 24)
+    scene0 = spt.get_scene("cornell_box")
+
+    # Ground truth: dimmer light (8 vs 12), darker right wall.
+    em = np.asarray(scene0.rects.emission).copy()
+    em[6] = [8.0, 8.0, 8.0]
+    al = np.asarray(scene0.rects.albedo).copy()
+    al[3] = [0.5, 0.15, 0.15]
+    truth = scene0._replace(rects=scene0.rects._replace(
+        emission=jnp.asarray(em), albedo=jnp.asarray(al)))
+    target = render_linear(truth, cam, cfg, jnp.uint32(99), 16)
+
+    n = len(jax.devices())
+    mesh = make_mesh(jax.devices())
+    print(f"mesh: {dict(mesh.shape)} over {n} devices")
+    step = make_sharded_train_step(
+        cfg, mesh, target, n_bounces=16, lr=lr,
+        train_fields=("emission", "albedo"),
+    )
+    s, c = scene0, cam
+    for i in range(steps):
+        loss, s, c = step(s, c, jnp.uint32(cfg.seed))
+        if i % 5 == 0 or i == steps - 1:
+            print(f"step {i:3d}  loss {float(loss):.5f}")
+    print("recovered light emission:",
+          np.asarray(s.rects.emission)[6].round(2), "(truth 8.0)")
+    print("recovered right-wall albedo:",
+          np.asarray(s.rects.albedo)[3].round(3), "(truth 0.5 0.15 0.15)")
+
+
+if __name__ == "__main__":
+    main()

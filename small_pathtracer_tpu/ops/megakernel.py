@@ -29,10 +29,10 @@ defines the semantics):
   and a sample range, respawn on death, no scatter (the lane accumulator is
   a pixel partial sum).
 
-Semantics notes: DIFF-only scenes (the reference HEAD scene and the sphere
-variant; C16 SPEC/REFR fall back to the jnp path), estimators nee / cosine /
-uniform / uniform_corrected / mixture, light modes intended/glibc_overflow
-(C13a) — all enforced with clear errors in render_pallas().
+Coverage: all primitive families (axis rects, general quads, spheres), all
+materials (DIFF, SPEC mirror, REFR dielectric — C16 always-RR variant), all
+estimators (nee / cosine / uniform / uniform_corrected / mixture), light
+modes intended / glibc_overflow (C13a).
 """
 
 from __future__ import annotations
