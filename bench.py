@@ -72,13 +72,22 @@ def run_bench(impl: str) -> dict:
             img, tr = render_regen(scene, cam, cfg, jnp.uint32(seed))
             return float(img.mean()), float(tr)
     else:
-        from small_pathtracer_tpu.integrator.wavefront import render
+        from small_pathtracer_tpu.integrator.wavefront import render_chunk
 
-        import dataclasses
+        chunk = cfg.resolved_spp_chunk()
 
         def once(seed):
-            img, tr = render(scene, cam, dataclasses.replace(cfg, seed=seed))
-            return float(img.mean()), float(tr)
+            # Seed passed TRACED (cfg is a static jit arg — rebuilding it
+            # per seed would recompile the wavefront inside the timing).
+            acc, trs = None, 0.0
+            for s0 in range(0, cfg.spp, chunk):
+                img, tr = render_chunk(
+                    scene, cam, cfg, jnp.uint32(seed),
+                    min(chunk, cfg.spp - s0), jnp.uint32(s0),
+                )
+                acc = img if acc is None else acc + img
+                trs = trs + tr
+            return float(acc.mean()), float(trs)
 
     once(7)  # warmup / compile
     best_dt, traces = None, 0.0

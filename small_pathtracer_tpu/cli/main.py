@@ -56,6 +56,11 @@ def cmd_render(args) -> int:
     scene, cam, cfg = _build(args)
     t0 = time.perf_counter()
     if args.checkpoint:
+        if cfg.use_pallas or args.mesh:
+            raise SystemExit(
+                "--checkpoint does not compose with --pallas/--mesh yet; "
+                "drop the flags or render without checkpointing"
+            )
         from ..utils.checkpoint import render_with_checkpoints
 
         img, traces = render_with_checkpoints(
@@ -65,11 +70,24 @@ def cmd_render(args) -> int:
         import jax
 
         from ..parallel.mesh import make_mesh
-        from ..parallel.sharded import render_sharded
 
         sp, dp = (int(x) for x in args.mesh.lower().split("x"))
         mesh = make_mesh(jax.devices()[: sp * dp], mesh_shape=(sp, dp))
-        img, traces = render_sharded(scene, cam, cfg, mesh)
+        if cfg.use_pallas:
+            from ..core import film
+            from ..ops.megakernel import render_pallas_sharded
+
+            img, traces = render_pallas_sharded(
+                scene, cam, cfg, mesh, cfg.seed
+            )
+            img = film.finalize(
+                img.reshape(cfg.height, cfg.width, 3) / cfg.spp
+            )
+            traces = float(traces)
+        else:
+            from ..parallel.sharded import render_sharded
+
+            img, traces = render_sharded(scene, cam, cfg, mesh)
     else:
         from ..integrator.wavefront import render
 

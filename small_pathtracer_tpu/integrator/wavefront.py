@@ -404,18 +404,22 @@ def path_trace_regen(scene: Scene, cfg: RenderConfig, seed,
         out = _bounce_core(
             scene, cfg, seed, st.o, st.d, st.T, st.alive, depth, st.path_id
         )
-        died = st.alive & ~out.alive
+        # Per-path max_bounces truncation — identical to the scan schedule's
+        # whole-wave cap (in scan, every alive lane's depth equals the
+        # iteration index, so capping per path is the same truncation).
+        alive_after = out.alive & (depth < cfg.max_bounces)
+        died = st.alive & ~alive_after
         s_next = st.s + died.astype(jnp.uint32)
         respawn = died & (s_next < s_stop)
         o_sp, d_sp, pid_sp = _spawn(cam, cfg, seed, px, py, pid_base, s_next)
         rs = respawn[:, None]
-        live = out.alive[:, None]
+        live = alive_after[:, None]
         return RegenState(
             o=jnp.where(rs, o_sp, jnp.where(live, out.x, st.o)),
             d=jnp.where(rs, d_sp, jnp.where(live, out.new_dir, st.d)),
             T=jnp.where(rs, 1.0, jnp.where(live, out.T, st.T)),
             L=st.L + out.emit,
-            alive=out.alive | respawn,
+            alive=alive_after | respawn,
             depth=jnp.where(respawn, 0, jnp.where(st.alive, depth, st.depth)),
             s=jnp.where(died, s_next, st.s),
             path_id=jnp.where(respawn, pid_sp, st.path_id),
@@ -426,21 +430,28 @@ def path_trace_regen(scene: Scene, cfg: RenderConfig, seed,
     return out.L, out.n_traces
 
 
-def regen_groups(cfg: RenderConfig) -> int:
-    """Lanes per pixel for the regenerating wavefront.
+def lane_groups(n_pix: int, n_s: int, target_lanes: int,
+                override: int = 0) -> int:
+    """Lanes per pixel for a regenerating wavefront over (n_pix pixels x
+    n_s samples): the largest g <= target_lanes/n_pix that divides n_s
+    (every lane gets an equal sample range). ``override`` forces g.
 
-    More groups = more lanes (better chip utilization, shorter tail) at the
-    cost of state memory. Auto policy: target ~2^21 lanes, capped by spp
-    (groups must divide spp so every lane gets an equal sample range)."""
-    if cfg.regen_groups:
-        g = cfg.regen_groups
-    else:
-        n_pix = cfg.width * cfg.height
-        g = max(1, (1 << 21) // max(1, n_pix))
-    g = min(g, cfg.spp)
-    while cfg.spp % g:
+    This is THE policy — used by the jnp regen renderer, the sharded local
+    bodies, the checkpoint spans, and the Pallas megakernel (which passes a
+    smaller target: long per-lane budgets amortize the tile tail better,
+    see PERF.md 'Tuning results')."""
+    g = override or max(1, target_lanes // max(1, n_pix))
+    g = min(g, n_s)
+    while n_s % g:
         g -= 1
     return g
+
+
+def regen_groups(cfg: RenderConfig) -> int:
+    """Lanes per pixel for the jnp regenerating wavefront (target 2^21)."""
+    return lane_groups(
+        cfg.width * cfg.height, cfg.spp, 1 << 21, cfg.regen_groups
+    )
 
 
 @partial(jax.jit, static_argnums=(2,))

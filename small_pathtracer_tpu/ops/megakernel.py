@@ -137,7 +137,7 @@ def _scene_consts(scene: Scene):
 
 
 def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
-                    inv_dx, inv_dy, inv_dz, want_shading: bool):
+                    want_shading: bool):
     """Unrolled nearest-hit over all primitives.
 
     Returns dict with t, hit, is_light and (if want_shading) the winning
@@ -145,7 +145,6 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
     (C8/C9/C15 semantics; miss defaults = object 0's shading at t=MISS_T)."""
     o = (ox, oy, oz)
     d = (dx, dy, dz)
-    inv = (inv_dx, inv_dy, inv_dz)
 
     t_best = jnp.full_like(ox, MISS_T)
     is_light = jnp.zeros_like(ox, dtype=jnp.bool_)
@@ -309,6 +308,12 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     has_spec = any(o["refl"] == 1 for o in rects + quads + spheres)
     has_refr = any(o["refl"] == 2 for o in rects + quads + spheres)
     light_id = light["light_obj_id"]
+    if cfg.rng_backend != "mix":
+        raise NotImplementedError(
+            f"pallas megakernel implements only rng_backend='mix' "
+            f"(got {cfg.rng_backend!r}); use the jnp wavefront for other "
+            "backends"
+        )
     est = cfg.estimator
     glibc = cfg.light_sample_mode == "glibc_overflow"
 
@@ -339,6 +344,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
 
     spp_u32 = _u32c(cfg.spp)
     rr_depth = np.int32(cfg.rr_start_depth)
+    max_bounces = np.int32(cfg.max_bounces)
     mix_q = np.float32(cfg.mixture_q)
     DPB = _u32c(rng.DRAWS_PER_BOUNCE)
 
@@ -400,12 +406,9 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             alive = alive_i > 0
             depth = jnp.where(alive, depth + 1, depth)
 
-            inv_dx = pl.reciprocal(dx, approx=False)
-            inv_dy = pl.reciprocal(dy, approx=False)
-            inv_dz = pl.reciprocal(dz, approx=False)
             h = _trace_unrolled(
                 rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
-                inv_dx, inv_dy, inv_dz, want_shading=True,
+                want_shading=True,
             )
             alive_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
             # Emission pickup (C10/C13/C14).
@@ -482,9 +485,6 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 ldx, ldy, ldz = wx_ * inv_wl, wy_ * inv_wl, wz_ * inv_wl
                 probe = _trace_unrolled(
                     rects, quads, spheres, light_id, hx, hy, hz, ldx, ldy, ldz,
-                    pl.reciprocal(ldx, approx=False),
-                    pl.reciprocal(ldy, approx=False),
-                    pl.reciprocal(ldz, approx=False),
                     want_shading=False,
                 )
                 success = probe["hit"] & probe["is_light"]
@@ -578,6 +578,10 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 probes * jnp.where(alive_next, np.float32(1.0), np.float32(0.0))
             )
 
+            # Per-path max_bounces truncation (identical to the scan/regen
+            # jnp schedules — see path_trace_regen).
+            alive_next = alive_next & (depth < max_bounces)
+
             # Regeneration: dead lanes with budget left respawn (C4 jitter).
             died = alive & ~alive_next
             s_next = s + jnp.where(died, np.uint32(1), np.uint32(0))
@@ -655,15 +659,14 @@ def render_pallas(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
 
 def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                   interpret: bool):
+    from ..integrator.wavefront import lane_groups
+
     n_pix = cfg.width * cfg.height
-    # Auto groups: target ~2^18 lanes. Fewer lanes with bigger per-lane
-    # sample budgets beat more lanes with small budgets (the tile's while
-    # loop runs to its slowest lane; long budgets amortize that tail —
-    # measured 813 vs 707 Mrays/s for g=1 vs g=8 at 512x512x64spp).
-    g = cfg.regen_groups or max(1, (1 << 18) // max(1, n_pix))
-    g = min(g, cfg.spp)
-    while cfg.spp % g:
-        g -= 1
+    # Target ~2^18 lanes: fewer lanes with bigger per-lane sample budgets
+    # beat more lanes with small budgets (the tile's while loop runs to its
+    # slowest lane; long budgets amortize that tail — measured 813 vs 707
+    # Mrays/s for g=1 vs g=8 at 512x512x64spp, PERF.md).
+    g = lane_groups(n_pix, cfg.spp, 1 << 18, cfg.regen_groups)
     per = cfg.spp // g
     n_lanes = n_pix * g
     pad = (-n_lanes) % TILE
@@ -752,10 +755,9 @@ def render_pallas_sharded(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     n_pix_loc = n_pix // n_sp
     n_s_loc = cfg.spp // n_dp
 
-    g = cfg.regen_groups or max(1, (1 << 18) // max(1, n_pix_loc))
-    g = min(g, n_s_loc)
-    while n_s_loc % g:
-        g -= 1
+    from ..integrator.wavefront import lane_groups
+
+    g = lane_groups(n_pix_loc, n_s_loc, 1 << 18, cfg.regen_groups)
     per = n_s_loc // g
     n_lanes = n_pix_loc * g
     pad = (-n_lanes) % TILE

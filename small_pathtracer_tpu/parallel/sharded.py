@@ -31,7 +31,7 @@ from jax.sharding import PartitionSpec as P
 from ..camera.pinhole import CameraParams, primary_rays
 from ..config import RenderConfig
 from ..core import film
-from ..integrator.wavefront import path_trace, path_trace_regen
+from ..integrator.wavefront import lane_groups, path_trace, path_trace_regen
 from ..scene.types import Scene
 from .mesh import AXIS_PIXEL, AXIS_SAMPLE
 
@@ -54,9 +54,7 @@ def _local_render(scene, cam, seed, s0, *, cfg: RenderConfig, n_pix_loc: int,
     if cfg.wavefront == "regen":
         # Lanes bound to (pixel, this device's sample range); groups split
         # the range further when the local pixel block is small.
-        g = max(1, min(n_s_loc, (1 << 21) // max(1, n_pix_loc)))
-        while n_s_loc % g:
-            g -= 1
+        g = lane_groups(n_pix_loc, n_s_loc, 1 << 21, cfg.regen_groups)
         per = n_s_loc // g
         lane_pix = jnp.repeat(pix, g)
         s_start = samp0.astype(jnp.uint32) + jnp.tile(

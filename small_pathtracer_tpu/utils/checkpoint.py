@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..camera.pinhole import CameraParams
 from ..config import RenderConfig
 from ..core import film
-from ..integrator.wavefront import path_trace_regen, regen_groups
+from ..integrator.wavefront import lane_groups, path_trace_regen
 from ..scene.types import Scene
 from functools import partial
 
@@ -73,15 +73,15 @@ def load_state(path: str, fingerprint: str):
         return np.asarray(z["acc"]), int(z["spp_done"]), float(z["traces"])
 
 
-@partial(jax.jit, static_argnums=(2, 4, 5))
+@partial(jax.jit, static_argnums=(2, 5))
 def _render_span(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
-                 s0: int, n_s: int):
+                 s0, n_s: int):
     """Radiance sum over samples [s0, s0+n_s) of every pixel (regen
-    wavefront). Returns ((h*w, 3), traces)."""
+    wavefront). s0 is TRACED (a span start changes every chunk — making it
+    static would recompile the wavefront per checkpoint interval).
+    Returns ((h*w, 3), traces)."""
     n_pix = cfg.width * cfg.height
-    g = max(1, min(n_s, (1 << 21) // max(1, n_pix)))
-    while n_s % g:
-        g -= 1
+    g = lane_groups(n_pix, n_s, 1 << 21)
     per = n_s // g
     pix = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), g)
     s_start = jnp.uint32(s0) + jnp.tile(
@@ -112,7 +112,7 @@ def render_with_checkpoints(scene: Scene, cam: CameraParams,
     seed = jnp.uint32(cfg.seed)
     while spp_done < cfg.spp:
         n_s = min(step, cfg.spp - spp_done)
-        L, tr = _render_span(scene, cam, cfg, seed, spp_done, n_s)
+        L, tr = _render_span(scene, cam, cfg, seed, jnp.uint32(spp_done), n_s)
         acc = acc + np.asarray(L)
         traces += float(tr)
         spp_done += n_s

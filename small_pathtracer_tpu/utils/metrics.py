@@ -51,14 +51,19 @@ def render_with_stats(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     img = jax.block_until_ready(img)
     wall = time.perf_counter() - t0
     paths = cfg.width * cfg.height * cfg.spp
+    # Traces per bounce depends on the estimator: 1 extend always, plus an
+    # NEE probe per diffuse bounce for "nee" (probability mixture_q for
+    # "mixture", none for the BSDF-only estimators).
+    traces_per_bounce = {
+        "nee": 2.0, "mixture": 1.0 + cfg.mixture_q,
+    }.get(cfg.estimator, 1.0)
     stats = RenderStats(
         width=cfg.width, height=cfg.height, spp=cfg.spp,
         estimator=cfg.estimator, wavefront=cfg.wavefront,
         wall_s=round(wall, 4), traces=traces,
         mrays_per_s=round(traces / wall / 1e6, 6),
         paths=paths,
-        # extend + probe ~= 2 traces per diffuse bounce; report bounces.
-        mean_path_length=round(traces / 2.0 / paths, 3),
+        mean_path_length=round(traces / traces_per_bounce / paths, 3),
     )
     if log is not None:
         print(stats.to_json(), file=log)

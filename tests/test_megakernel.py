@@ -88,3 +88,26 @@ def test_tilted_light_quad_scene():
     # statistical-level agreement like the sphere scenes.
     assert abs(a.mean() - b.mean()) < 1e-2
     assert abs(float(ta) - float(tb)) / float(ta) < 1e-3
+
+
+def test_max_bounces_cap_consistent_across_schedules():
+    """All three schedules truncate at cfg.max_bounces identically
+    (per-path cap == the scan wave cap since scan lanes share depth)."""
+    scene = get_scene("cornell_box")
+    cam = make_camera()
+    import dataclasses
+
+    base = RenderConfig(width=16, height=16, spp=4, estimator="cosine",
+                        seed=9, max_bounces=6)
+    import small_pathtracer_tpu as spt
+
+    a, ta = spt.render(scene, cam, dataclasses.replace(base, wavefront="scan"))
+    b, tb = spt.render(scene, cam, dataclasses.replace(base, wavefront="regen"))
+    c, tc = render_pallas(scene, cam, base, base.seed, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert ta == tb == float(tc)
+    # And the cap bites: uncapped render differs.
+    d, td = spt.render(
+        scene, cam, dataclasses.replace(base, max_bounces=256)
+    )
+    assert td > tb
