@@ -53,12 +53,16 @@ def intersect_rects(rects, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     other = jnp.asarray(OTHER_AXES)[ax]  # (R,2)
     o_n = o[:, ax]                      # (N,R) origin component along normal
     d_n = d[:, ax]                      # (N,R)
-    # Double-where guard: a literal /0 would poison reverse-mode AD (0-cotangent
-    # times inf tangent = NaN), so divide by a sanitized denominator and
-    # exclude parallel rays in `valid` instead.
-    hit_plane = d_n != 0.0
-    d_n_safe = jnp.where(hit_plane, d_n, 1.0)
-    t = (rects.k[None, :] - o_n) / d_n_safe  # (N,R)
+    # Reciprocal-multiply: ONE divide per ray axis (3 total), reused by all
+    # R rects — divisions are multi-op on the VPU and this is the hot loop.
+    # Double-where guard: a literal /0 would poison reverse-mode AD
+    # (0-cotangent times inf tangent = NaN), so invert a sanitized
+    # denominator and exclude parallel rays in `valid` instead. The Pallas
+    # megakernel uses the identical formula for bit-parity.
+    d_ok = d != 0.0                     # (N,3)
+    inv_d = 1.0 / jnp.where(d_ok, d, 1.0)
+    hit_plane = d_ok[:, ax]             # (N,R)
+    t = (rects.k[None, :] - o_n) * inv_d[:, ax]  # (N,R)
     # In-plane hit coordinates on the two bounded axes.
     p0 = o[:, other[:, 0]] + t * d[:, other[:, 0]]
     p1 = o[:, other[:, 1]] + t * d[:, other[:, 1]]

@@ -145,6 +145,12 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
     (C8/C9/C15 semantics; miss defaults = object 0's shading at t=MISS_T)."""
     o = (ox, oy, oz)
     d = (dx, dy, dz)
+    # One reciprocal per axis shared by every rect (bit-parity with the jnp
+    # intersect_rects reciprocal-multiply).
+    d_ok = tuple(c != 0.0 for c in d)
+    inv = tuple(
+        np.float32(1.0) / jnp.where(ok, c, 1.0) for ok, c in zip(d_ok, d)
+    )
 
     t_best = jnp.full_like(ox, MISS_T)
     is_light = jnp.zeros_like(ox, dtype=jnp.bool_)
@@ -192,17 +198,13 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
     for r in rects:
         a = r["axis"]
         b, c = [(1, 2), (0, 2), (0, 1)][a]
-        # Direct division (not reciprocal-multiply): bit-parity with the jnp
-        # wavefront's (k - o)/d so borderline bounds/nearest-hit comparisons
-        # make identical choices.
-        d_safe = jnp.where(d[a] != 0.0, d[a], 1.0)
-        t_i = (np.float32(r["k"]) - o[a]) / d_safe
+        t_i = (np.float32(r["k"]) - o[a]) * inv[a]
         p0 = o[b] + t_i * d[b]
         p1 = o[c] + t_i * d[c]
         valid = (
             (p0 >= np.float32(r["lo"][0])) & (p0 <= np.float32(r["hi"][0]))
             & (p1 >= np.float32(r["lo"][1])) & (p1 <= np.float32(r["hi"][1]))
-            & (t_i > np.float32(SELF_HIT_EPS)) & (d[a] != 0.0)
+            & (t_i > np.float32(SELF_HIT_EPS)) & d_ok[a]
         )
         if want_shading:
             # Oriented normal (C9): axis unit vector flipped against d.
