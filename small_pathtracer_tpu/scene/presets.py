@@ -148,11 +148,40 @@ def cornell_tilted_light() -> Scene:
     return make_scene(walls + box_rects, [], light, quads=quads)
 
 
+def sphere_grid(n: int = 64, seed: int = 0) -> Scene:
+    """Scalability stress preset: the Cornell walls + light + an n-sphere
+    grid of varied albedos (some SPEC mirrors). The reference tops out at 17
+    objects; this exercises O(N) intersection on the jnp path and compile-
+    time unrolling in the megakernel at larger N."""
+    import numpy as np
+
+    rng_ = np.random.default_rng(seed)
+    side = max(1, round(n ** (1 / 3)))
+    spheres = []
+    i = 0
+    for gx in range(side):
+        for gy in range(side):
+            for gz in range(side):
+                if i >= n:
+                    break
+                c = (
+                    20.0 + 60.0 * gx / max(1, side - 1),
+                    8.0 + 50.0 * gy / max(1, side - 1),
+                    30.0 + 100.0 * gz / max(1, side - 1),
+                )
+                alb = tuple(float(a) for a in rng_.uniform(0.3, 0.95, 3))
+                refl = SPEC if rng_.uniform() < 0.15 else DIFF
+                spheres.append((c, 4.0, alb, _ZERO, refl))
+                i += 1
+    return make_scene(_cornell_walls(), spheres, _cornell_light_sampler())
+
+
 PRESETS = {
     "cornell_box": cornell_box,
     "cornell_spheres": cornell_spheres,
     "smallpt_original": smallpt_original,
     "cornell_tilted_light": cornell_tilted_light,
+    "sphere_grid": sphere_grid,
 }
 
 

@@ -111,3 +111,23 @@ def test_max_bounces_cap_consistent_across_schedules():
         scene, cam, dataclasses.replace(base, max_bounces=256)
     )
     assert td > tb
+
+
+def test_sphere_grid_scalability():
+    """71-object scene (walls + light + 64 spheres incl. mirrors): the jnp
+    path scales O(N) and the kernel unrolls it; both agree."""
+    scene = get_scene("sphere_grid")
+    from small_pathtracer_tpu.scene.types import num_objects
+
+    assert num_objects(scene) == 7 + 64
+    cam = make_camera()
+    cfg = RenderConfig(width=24, height=24, spp=4, estimator="nee", seed=4)
+    a, ta = render_regen(scene, cam, cfg, jnp.uint32(4))
+    b, tb = render_pallas(scene, cam, cfg, 4, interpret=True)
+    a = np.asarray(a) / cfg.spp
+    b = np.asarray(b) / cfg.spp
+    assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+    assert abs(a.mean() - b.mean()) < 1e-2
+    # 64 spheres => many grazing hits; FMA-rounding path flips are ~0.5%
+    # of traces here (vs ~0 for the box scene).
+    assert abs(float(ta) - float(tb)) / float(ta) < 2e-2
