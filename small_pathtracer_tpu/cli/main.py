@@ -27,6 +27,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    dest="rng_backend")
     p.add_argument("--mesh", default="",
                    help="distributed mesh shape 'SPxDP' (e.g. 4x2); empty = single device")
+    p.add_argument("--coordinator", default="",
+                   help="multi-host: jax.distributed coordinator host:port")
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=-1)
     p.add_argument("--checkpoint", default="",
                    help="render-state checkpoint path (resume if it exists)")
     p.add_argument("--checkpoint-every", type=int, default=0,
@@ -34,6 +38,15 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
 
 
 def _build(args):
+    if getattr(args, "coordinator", ""):
+        from ..parallel.launcher import init_distributed
+
+        init_distributed(
+            args.coordinator,
+            args.num_processes or None,
+            args.process_id if args.process_id >= 0 else None,
+        )
+
     from .. import RenderConfig, get_scene, make_camera
 
     cfg = RenderConfig(
@@ -193,14 +206,28 @@ def cmd_fit(args) -> int:
         mesh = make_mesh(jax.devices()[: sp * dp], mesh_shape=(sp, dp))
     else:
         mesh = make_mesh(jax.devices()[:1], mesh_shape=(1, 1))
-    step = make_sharded_train_step(
-        cfg, mesh, target, n_bounces=args.bounces, lr=args.lr,
-        train_fields=tuple(args.train.split(",")),
-    )
-    s, c = scene, cam
-    for i in range(args.steps):
-        loss, s, c = step(s, c, jnp.uint32(cfg.seed))
-        print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
+    if args.optimizer == "sgd":
+        step = make_sharded_train_step(
+            cfg, mesh, target, n_bounces=args.bounces, lr=args.lr,
+            train_fields=tuple(args.train.split(",")),
+        )
+        s, c = scene, cam
+        for i in range(args.steps):
+            loss, s, c = step(s, c, jnp.uint32(cfg.seed))
+            print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
+    else:
+        from ..grad.adjoint import make_sharded_train_step_with_state
+
+        init, step = make_sharded_train_step_with_state(
+            cfg, mesh, target, n_bounces=args.bounces, lr=args.lr,
+            train_fields=tuple(args.train.split(",")),
+            optimizer=args.optimizer,
+        )
+        opt_state = init(scene)
+        s = scene
+        for i in range(args.steps):
+            loss, s, opt_state = step(s, cam, jnp.uint32(cfg.seed), opt_state)
+            print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
     print(json.dumps({"final_loss": float(loss), "steps": args.steps}))
     return 0
 
@@ -237,6 +264,8 @@ def main(argv=None) -> int:
     p_fit.add_argument("--bounces", type=int, default=16)
     p_fit.add_argument("--train", default="emission,albedo",
                        help="comma-separated scene fields to optimize")
+    p_fit.add_argument("--optimizer", default="sgd",
+                       choices=["sgd", "adam", "rmsprop"])
     p_fit.set_defaults(fn=cmd_fit)
 
     args = ap.parse_args(argv)

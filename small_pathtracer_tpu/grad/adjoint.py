@@ -145,17 +145,25 @@ def make_sharded_train_step(cfg: RenderConfig, mesh, target,
                             n_bounces: int = DEFAULT_AD_BOUNCES,
                             lr: float = 1e-2,
                             train_fields: tuple[str, ...] = ("emission", "albedo"),
-                            train_cam: bool = False):
+                            train_cam: bool = False,
+                            optimizer: str = "sgd"):
     """Jitted full training step over the mesh: sharded differentiable
     render -> MSE vs target -> scene/camera grads (ICI all-reduced via psum
-    transpose) -> SGD update. This is the driver's multi-chip dry-run path
-    (__graft_entry__.dryrun_multichip).
+    transpose) -> optimizer update. This is the driver's multi-chip dry-run
+    path (__graft_entry__.dryrun_multichip).
 
-    train_fields: which scene leaf names receive SGD updates. Default is the
+    train_fields: which scene leaf names receive updates. Default is the
     smooth material parameters; geometry/camera gradients are computed but
     frozen by default because their reparameterized derivatives omit the
     visibility-discontinuity term (module docstring) and at low spp they
-    destabilize optimization."""
+    destabilize optimization.
+
+    optimizer: "sgd" (stateless; step signature (scene, cam, seed)) or
+    "adam" (optax; use make_sharded_train_step_with_state instead)."""
+    if optimizer != "sgd":
+        raise ValueError(
+            "use make_sharded_train_step_with_state for stateful optimizers"
+        )
     target_flat = jnp.asarray(target, jnp.float32).reshape(-1, 3)
 
     def loss_fn(scene, cam, seed):
@@ -186,3 +194,71 @@ def make_sharded_train_step(cfg: RenderConfig, mesh, target,
         return loss, new_scene, new_cam
 
     return train_step
+
+
+def make_sharded_train_step_with_state(
+        cfg: RenderConfig, mesh, target,
+        n_bounces: int = DEFAULT_AD_BOUNCES,
+        lr: float = 1e-2,
+        train_fields: tuple[str, ...] = ("emission", "albedo"),
+        optimizer: str = "adam"):
+    """Optax-based sharded training step (stateful optimizers).
+
+    Returns (init_fn, step_fn): opt_state = init_fn(scene);
+    loss, scene, opt_state = step_fn(scene, cam, seed, opt_state).
+    Masked so only ``train_fields`` float leaves are updated."""
+    import jax.tree_util as jtu
+
+    import optax
+
+    target_flat = jnp.asarray(target, jnp.float32).reshape(-1, 3)
+
+    def loss_fn(scene, cam, seed):
+        img = render_linear_sharded(scene, cam, cfg, seed, mesh, n_bounces)
+        return mse_loss(img, target_flat)
+
+    def _trainable(path, p):
+        name = next(
+            (k.name for k in reversed(path) if isinstance(k, jtu.GetAttrKey)),
+            "",
+        )
+        return (
+            hasattr(p, "dtype")
+            and jnp.issubdtype(p.dtype, jnp.floating)
+            and name in train_fields
+        )
+
+    base = {
+        "adam": optax.adam(lr),
+        "sgd": optax.sgd(lr),
+        "rmsprop": optax.rmsprop(lr),
+    }[optimizer]
+    tx = optax.masked(
+        base,
+        lambda scene: jtu.tree_map_with_path(_trainable, scene),
+    )
+
+    def init_fn(scene):
+        return tx.init(scene)
+
+    @jax.jit
+    def step_fn(scene, cam, seed, opt_state):
+        loss, g_scene = jax.value_and_grad(loss_fn, allow_int=True)(
+            scene, cam, seed
+        )
+        # float0 grads (int leaves) are not optax-safe; zero them as f32.
+        g_scene = jax.tree.map(
+            lambda p, g: g if jnp.issubdtype(p.dtype, jnp.floating)
+            else jnp.zeros_like(p),
+            scene, g_scene,
+        )
+        updates, opt_state = tx.update(g_scene, opt_state, scene)
+        new_scene = optax.apply_updates(scene, updates)
+        # Keep integer leaves exact (apply_updates may touch dtypes).
+        new_scene = jax.tree.map(
+            lambda p, q: q if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            scene, new_scene,
+        )
+        return loss, new_scene, opt_state
+
+    return init_fn, step_fn

@@ -158,3 +158,26 @@ def test_sharded_grads_match_single_device(scene, cam, target):
         a, b = np.asarray(a), np.asarray(b)
         if a.dtype.kind == "f":
             np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)
+
+
+def test_adam_train_step_converges(scene, cam, target):
+    from small_pathtracer_tpu.grad.adjoint import (
+        make_sharded_train_step_with_state,
+    )
+
+    mesh = make_mesh(mesh_shape=(4, 2))
+    init, step = make_sharded_train_step_with_state(
+        CFG, mesh, target, N_BOUNCES, lr=0.5,
+        train_fields=("emission",), optimizer="adam",
+    )
+    st = init(scene)
+    s = scene
+    losses = []
+    for _ in range(12):
+        loss, s, st = step(s, cam, SEED, st)
+        losses.append(float(loss))
+    assert losses[-1] < 0.3 * losses[0]
+    # Integer leaves untouched.
+    np.testing.assert_array_equal(
+        np.asarray(s.rects.refl), np.asarray(scene.rects.refl)
+    )
