@@ -232,6 +232,13 @@ def cmd_fit(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from .server import serve
+
+    serve(args.host, args.port)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="small_pathtracer_tpu",
@@ -267,6 +274,13 @@ def main(argv=None) -> int:
     p_fit.add_argument("--optimizer", default="sgd",
                        choices=["sgd", "adam", "rmsprop"])
     p_fit.set_defaults(fn=cmd_fit)
+
+    p_serve = sub.add_parser(
+        "serve", help="HTTP render server (POST /render with JSON config)"
+    )
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8000)
+    p_serve.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,111 @@
+"""Minimal render server: POST a JSON render request, get a PNG/PPM back.
+
+The serving story for the framework (the reference is a batch binary; a
+TPU-resident renderer wants to stay warm): compiled renderers are cached
+per (scene, config) by the underlying jit/megakernel caches, so repeated
+requests for the same configuration render at full chip speed with no
+recompilation.
+
+    python -m small_pathtracer_tpu.cli serve --port 8000
+    curl -d '{"scene":"cornell_box","width":256,"height":256,"spp":32}' \
+         -o out.png http://localhost:8000/render
+
+Request fields (all optional): scene, width, height, spp, estimator, seed,
+wavefront, use_pallas, format ("png"|"ppm"). GET /healthz returns metrics.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def make_handler(stats: dict):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                self.send_error(404)
+                return
+            body = json.dumps(stats).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            if self.path != "/render":
+                self.send_error(404)
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                body, ctype = _render(req, stats)
+            except Exception as e:  # noqa: BLE001 - report to client
+                msg = json.dumps({"error": str(e)}).encode()
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def _render(req: dict, stats: dict) -> tuple[bytes, str]:
+    import numpy as np
+
+    from .. import RenderConfig, get_scene, make_camera, render
+    from ..core import film
+
+    width = int(req.get("width", 256))
+    height = int(req.get("height", 256))
+    cfg = RenderConfig(
+        width=width, height=height, spp=int(req.get("spp", 32)),
+        estimator=req.get("estimator", "nee"),
+        seed=int(req.get("seed", 0)),
+        wavefront=req.get("wavefront", "regen"),
+        use_pallas=bool(req.get("use_pallas", False)),
+    )
+    scene = get_scene(req.get("scene", "cornell_box"))
+    cam = make_camera(aspect=width / height)
+    t0 = time.perf_counter()
+    img, traces = render(scene, cam, cfg)
+    dt = time.perf_counter() - t0
+    stats["requests"] = stats.get("requests", 0) + 1
+    stats["last_mrays_per_s"] = round(traces / dt / 1e6, 3)
+    stats["last_wall_s"] = round(dt, 4)
+
+    u8 = np.asarray(film.tonemap_u8(img))
+    if req.get("format", "png") == "ppm":
+        buf = io.StringIO()
+        h, w = u8.shape[:2]
+        from .. import native
+
+        body = native.ppm_body(u8)
+        if body is None:
+            body = (" ".join(str(v) for v in u8.reshape(-1)) + " ").encode()
+        return f"P3\n{w} {h}\n255\n".encode() + body, "image/x-portable-pixmap"
+    from PIL import Image
+
+    out = io.BytesIO()
+    Image.fromarray(u8).save(out, format="PNG")
+    return out.getvalue(), "image/png"
+
+
+def serve(host: str = "127.0.0.1", port: int = 8000) -> None:
+    stats: dict = {"requests": 0}
+    httpd = ThreadingHTTPServer((host, port), make_handler(stats))
+    print(f"render server on http://{host}:{port}  (POST /render, GET /healthz)")
+    httpd.serve_forever()

@@ -1,0 +1,65 @@
+"""Render-server tests: POST /render returns a valid image, /healthz
+reports metrics, bad requests get 400."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from small_pathtracer_tpu.cli.server import make_handler
+
+
+@pytest.fixture(scope="module")
+def server():
+    stats = {"requests": 0}
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(stats))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_port}", stats
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/render", data=json.dumps(payload).encode(), method="POST"
+    )
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_render_png(server):
+    url, stats = server
+    resp = _post(url, {"scene": "cornell_box", "width": 32, "height": 24,
+                       "spp": 2})
+    body = resp.read()
+    assert resp.headers["Content-Type"] == "image/png"
+    from PIL import Image
+    import io
+
+    img = np.asarray(Image.open(io.BytesIO(body)))
+    assert img.shape == (24, 32, 3)
+    assert stats["requests"] >= 1
+    assert stats["last_mrays_per_s"] > 0
+
+
+def test_render_ppm(server):
+    url, _ = server
+    resp = _post(url, {"width": 16, "height": 12, "spp": 1, "format": "ppm"})
+    body = resp.read()
+    assert body.startswith(b"P3\n16 12\n255\n")
+
+
+def test_healthz(server):
+    url, _ = server
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        d = json.loads(r.read())
+    assert "requests" in d
+
+
+def test_bad_request(server):
+    url, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, {"scene": "no_such_scene"})
+    assert e.value.code == 400
