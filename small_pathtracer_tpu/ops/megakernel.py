@@ -67,7 +67,18 @@ def _u32c(x: int) -> np.uint32:
 
 
 def _hash_u32(seed_u32, path_id, ctr):
-    """murmur3_x86_32 over (path_id, ctr) — mirrors core/rng.hash_u32."""
+    """murmur3_x86_32 over (path_id, ctr) — mirrors core/rng.hash_u32.
+
+    numpy scalar uint32 multiplies wrap (as murmur requires) but emit
+    overflow RuntimeWarnings at trace time; silence them."""
+    np_err = np.seterr(over="ignore")
+    try:
+        return _hash_u32_inner(seed_u32, path_id, ctr)
+    finally:
+        np.seterr(**np_err)
+
+
+def _hash_u32_inner(seed_u32, path_id, ctr):
     h = seed_u32
     for block in (path_id, ctr):
         k = block * _u32c(0xCC9E2D51)
