@@ -16,6 +16,11 @@ ESTIMATORS = (
     "uniform_corrected",  # C12 with the textbook 2*cos(theta) weight (unbiased)
     "nee",         # C13: NEE-as-continuation, exact reference weights
     "mixture",     # C13 historic q<0.5 variant ("halflighthalfimportance")
+    # Textbook (unbiased) next-event estimation: shadow ray + cosine
+    # continuation with emission double-count suppression — the
+    # "correctness over parity" NEE recommended by SURVEY section 7 hard
+    # part #2. Not in the reference.
+    "nee_textbook",
 )
 
 

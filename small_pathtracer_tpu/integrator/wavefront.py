@@ -41,7 +41,7 @@ from ..camera.pinhole import CameraParams, primary_rays
 from ..config import RenderConfig
 from ..core import film, rng, vecmath as vm
 from ..geometry.intersect import Hit, shade_info, trace
-from ..scene.types import DIFF, REFR, SPEC, Scene
+from ..scene.types import DIFF, REFR, SPEC, Scene, object_arrays
 from . import sampling
 
 
@@ -54,6 +54,8 @@ class PathState(NamedTuple):
     depth: jnp.ndarray    # (N,) int32 — the reference's depth counter
     path_id: jnp.ndarray  # (N,) uint32 — global (pixel, sample) identity
     n_traces: jnp.ndarray  # () f32 — scene-level trace counter (bench metric)
+    no_emit: jnp.ndarray  # (N,) bool — skip next emission pickup
+    #   (nee_textbook double-count guard; always False otherwise)
 
 
 def init_paths(o, d, path_id) -> PathState:
@@ -67,6 +69,7 @@ def init_paths(o, d, path_id) -> PathState:
         depth=jnp.zeros((n,), jnp.int32),
         path_id=path_id,
         n_traces=jnp.zeros((), jnp.float32),
+        no_emit=jnp.zeros((n,), jnp.bool_),
     )
 
 
@@ -77,7 +80,9 @@ def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
     probe_count (N,) f32 — scene traces spent on NEE probes)."""
     nl = sh.n
     cos_dir = sampling.sample_cosine(nl, u[rng.P_SCATTER_U], u[rng.P_SCATTER_V])
-    if cfg.estimator == "cosine":
+    if cfg.estimator in ("cosine", "nee_textbook"):
+        # nee_textbook: continuation is plain cosine; the direct (shadow-
+        # ray) term is added in _bounce_core.
         return cos_dir, jnp.ones(nl.shape[:-1], nl.dtype), jnp.zeros(nl.shape[:-1], jnp.float32)
     if cfg.estimator in ("uniform", "uniform_corrected"):
         uni_dir = sampling.sample_uniform(nl, u[rng.P_SCATTER_U], u[rng.P_SCATTER_V])
@@ -167,15 +172,21 @@ class BounceOut(NamedTuple):
     logp_inc: jnp.ndarray  # (N,) log-prob of this bounce's RR decision
     #   (score-function/REINFORCE term for d E[L] / d albedo through the
     #   discrete survival decision — grad/score.py; 0 when p in {0, >=1})
+    no_emit_next: jnp.ndarray  # (N,) bool — suppress emission next bounce
+    #   (nee_textbook only; False elsewhere)
 
 
 def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
-                 depth, path_id) -> BounceOut:
+                 depth, path_id, no_emit=None) -> BounceOut:
     """The radiance() body (smallpt.cpp:419-496) over a wavefront.
 
     ``depth`` is the reference's post-increment value (++depth,
-    smallpt.cpp:448) for this frame."""
+    smallpt.cpp:448) for this frame. ``no_emit`` marks lanes whose previous
+    bounce already estimated the light via a shadow ray (nee_textbook) —
+    their light-emission pickup this bounce is suppressed to avoid double
+    counting."""
     uniform = rng.make_uniform_fn(cfg.rng_backend)
+    textbook = cfg.estimator == "nee_textbook"
 
     hit = trace(scene, o, d)
     sh = shade_info(scene, o, d, hit)
@@ -184,6 +195,8 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     # Emission pickup: `return hit.e + ...` contributes T*e once per bounce
     # (the terminal RR return of e is this same term — see SURVEY C10/C13).
     emit = alive_f * T * sh.emission
+    if textbook and no_emit is not None:
+        emit = emit * (~no_emit).astype(T.dtype)[:, None]
 
     # Per-purpose uniforms for this bounce.
     ctr_base = depth.astype(jnp.uint32) * jnp.uint32(rng.DRAWS_PER_BOUNCE)
@@ -238,9 +251,38 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
 
     T_out = T * f * w[:, None]
 
+    no_emit_next = jnp.zeros_like(alive)
+    if textbook:
+        # Unbiased next-event estimation (SURVEY hard part #2's
+        # "nee_textbook"): at every live diffuse vertex, one shadow ray to a
+        # uniform light-plane point; contribution
+        #   T * albedo * e_light * [A cos(theta_l) cos(theta) / (pi t^2)]
+        # (the same weight formula as C13 — sampling.nee_weight), and the
+        # NEXT bounce's light-emission pickup is suppressed so the BSDF
+        # path doesn't count the light twice. RR only gates continuation.
+        light = scene.light
+        lp = sampling.sample_light_point(
+            light, u[rng.P_LIGHT_U], u[rng.P_LIGHT_V]
+        )
+        d_l = vm.norm(lp - sh.x)
+        probe2 = trace(scene, sh.x, d_l)
+        success = probe2.hit & (probe2.obj_id == light.light_obj_id)
+        t_safe = jnp.where(success, probe2.t, 1.0)
+        w_d = sampling.nee_weight(light, d_l, sh.n, t_safe)
+        _, emission_all, _ = object_arrays(scene)
+        e_light = emission_all[jnp.asarray(light.light_obj_id, jnp.int32)]
+        diff_live = alive & (sh.refl == DIFF)
+        gate = (diff_live & success).astype(T.dtype)
+        emit = emit + (gate * w_d)[:, None] * T * sh.albedo * e_light
+        probes = diff_live.astype(jnp.float32)
+        no_emit_next = alive_out & (sh.refl == DIFF)
+
     # Trace accounting: 1 extend per alive lane at frame start + NEE probes
-    # for lanes that were alive, survived RR, and are DIFF.
-    probe_alive = alive_out & (sh.refl == DIFF)
+    # (reference-style: lanes that survived RR and are DIFF; textbook: one
+    # shadow ray per live diffuse lane).
+    probe_alive = (
+        jnp.ones_like(alive) if textbook else (alive_out & (sh.refl == DIFF))
+    )
     traces_inc = (
         jnp.sum(alive.astype(jnp.float32))
         + jnp.sum(probes * probe_alive.astype(jnp.float32))
@@ -249,6 +291,7 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     return BounceOut(
         emit=emit, x=sh.x, new_dir=new_dir, T=T_out, alive=alive_out,
         traces_inc=traces_inc, logp_inc=logp_inc,
+        no_emit_next=no_emit_next,
     )
 
 
@@ -257,7 +300,7 @@ def bounce_step(scene: Scene, cfg: RenderConfig, seed, state: PathState) -> Path
     depth = state.depth + 1  # the reference's ++depth (smallpt.cpp:448)
     out = _bounce_core(
         scene, cfg, seed, state.o, state.d, state.T, state.alive, depth,
-        state.path_id,
+        state.path_id, state.no_emit,
     )
     # Masked write-back: dead lanes keep their state frozen.
     live = out.alive[:, None]
@@ -270,6 +313,7 @@ def bounce_step(scene: Scene, cfg: RenderConfig, seed, state: PathState) -> Path
         depth=jnp.where(state.alive, depth, state.depth),
         path_id=state.path_id,
         n_traces=state.n_traces + out.traces_inc,
+        no_emit=out.no_emit_next,
     )
 
 
@@ -306,7 +350,7 @@ def path_trace_fixed(scene: Scene, cfg: RenderConfig, seed, o, d, path_id,
         depth = state.depth + 1
         out = _bounce_core(
             scene, cfg, seed, state.o, state.d, state.T, state.alive, depth,
-            state.path_id,
+            state.path_id, state.no_emit,
         )
         live = out.alive[:, None]
         new_state = PathState(
@@ -318,6 +362,7 @@ def path_trace_fixed(scene: Scene, cfg: RenderConfig, seed, o, d, path_id,
             depth=jnp.where(state.alive, depth, state.depth),
             path_id=state.path_id,
             n_traces=state.n_traces + out.traces_inc,
+            no_emit=out.no_emit_next,
         )
         return (new_state, logp + out.logp_inc), None
 
@@ -337,6 +382,7 @@ class RegenState(NamedTuple):
     s: jnp.ndarray        # (N,) uint32 current sample index (within lane)
     path_id: jnp.ndarray  # (N,) uint32
     n_traces: jnp.ndarray  # () f32
+    no_emit: jnp.ndarray  # (N,) bool (nee_textbook double-count guard)
 
 
 def _spawn(cam: CameraParams, cfg: RenderConfig, seed, px, py, pid_base,
@@ -394,6 +440,7 @@ def path_trace_regen(scene: Scene, cfg: RenderConfig, seed,
         s=s_start,
         path_id=pid0,
         n_traces=jnp.zeros((), jnp.float32),
+        no_emit=jnp.zeros((n,), jnp.bool_),
     )
 
     def cond(st):
@@ -402,7 +449,8 @@ def path_trace_regen(scene: Scene, cfg: RenderConfig, seed,
     def body(st):
         depth = st.depth + 1
         out = _bounce_core(
-            scene, cfg, seed, st.o, st.d, st.T, st.alive, depth, st.path_id
+            scene, cfg, seed, st.o, st.d, st.T, st.alive, depth, st.path_id,
+            st.no_emit,
         )
         # Per-path max_bounces truncation — identical to the scan schedule's
         # whole-wave cap (in scan, every alive lane's depth equals the
@@ -424,6 +472,9 @@ def path_trace_regen(scene: Scene, cfg: RenderConfig, seed,
             s=jnp.where(died, s_next, st.s),
             path_id=jnp.where(respawn, pid_sp, st.path_id),
             n_traces=st.n_traces + out.traces_inc,
+            # Respawned lanes start fresh (their primary hit DOES pick up
+            # emission); surviving lanes carry the textbook guard.
+            no_emit=out.no_emit_next & ~respawn,
         )
 
     out = jax.lax.while_loop(cond, body, state0)

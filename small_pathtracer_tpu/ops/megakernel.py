@@ -328,6 +328,11 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             "backends"
         )
     est = cfg.estimator
+    if est == "nee_textbook":
+        raise NotImplementedError(
+            "pallas megakernel: nee_textbook not ported yet — use the jnp "
+            "wavefront (wavefront='regen')"
+        )
     glibc = cfg.light_sample_mode == "glibc_overflow"
 
     width = np.float32(cfg.width)

@@ -132,3 +132,18 @@ def test_estimator_cross_consistency():
     # NEE-as-continuation is darker by construction; the same holds for the
     # reference (its oracle means: cosine ~0.46, nee ~0.29).
     assert b.mean() < 0.8 * a.mean()
+
+
+def test_nee_textbook_unbiased_and_lower_variance():
+    """The 'correctness over parity' NEE (SURVEY section 7 hard part #2):
+    must converge to the same image as cosine (both unbiased — unlike the
+    reference's NEE-as-continuation) at a fraction of the variance."""
+    ref = _ours("cosine", spp=512, seed=99)
+    a = _ours("cosine", spp=8, seed=1)
+    b = _ours("nee_textbook", spp=8, seed=1)
+    mse_cos = float(((a - ref) ** 2).mean())
+    mse_tb = float(((b - ref) ** 2).mean())
+    assert mse_tb < 0.25 * mse_cos, (mse_tb, mse_cos)
+    # Unbiasedness: high-spp means agree with the cosine reference.
+    c = _ours("nee_textbook", spp=256, seed=5)
+    assert np.abs(c.mean(axis=(0, 1)) - ref.mean(axis=(0, 1))).max() < 2e-2
