@@ -55,7 +55,7 @@ def render_with_stats(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     # NEE probe per diffuse bounce for "nee" (probability mixture_q for
     # "mixture", none for the BSDF-only estimators).
     traces_per_bounce = {
-        "nee": 2.0, "mixture": 1.0 + cfg.mixture_q,
+        "nee": 2.0, "nee_textbook": 2.0, "mixture": 1.0 + cfg.mixture_q,
     }.get(cfg.estimator, 1.0)
     stats = RenderStats(
         width=cfg.width, height=cfg.height, spp=cfg.spp,
