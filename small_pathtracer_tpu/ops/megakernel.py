@@ -31,8 +31,8 @@ defines the semantics):
 
 Coverage: all primitive families (axis rects, general quads, spheres), all
 materials (DIFF, SPEC mirror, REFR dielectric — C16 always-RR variant), all
-estimators (nee / cosine / uniform / uniform_corrected / mixture), light
-modes intended / glibc_overflow (C13a).
+estimators (nee / cosine / uniform / uniform_corrected / mixture /
+nee_textbook), light modes intended / glibc_overflow (C13a).
 """
 
 from __future__ import annotations
@@ -328,11 +328,12 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             "backends"
         )
     est = cfg.estimator
-    if est == "nee_textbook":
-        raise NotImplementedError(
-            "pallas megakernel: nee_textbook not ported yet — use the jnp "
-            "wavefront (wavefront='regen')"
-        )
+    textbook = est == "nee_textbook"
+    # The light object's emission (for the textbook direct term).
+    all_objs = rects + quads + spheres
+    e_light = tuple(
+        np.float32(v) for v in all_objs[light_id]["emission"]
+    ) if all_objs else (np.float32(0),) * 3
     glibc = cfg.light_sample_mode == "glibc_overflow"
 
     width = np.float32(cfg.width)
@@ -429,10 +430,18 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 want_shading=True,
             )
             alive_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
-            # Emission pickup (C10/C13/C14).
-            Lr = Lr + alive_f * tr_ * h["emi"][0]
-            Lg = Lg + alive_f * tg * h["emi"][1]
-            Lb = Lb + alive_f * tb * h["emi"][2]
+            # Emission pickup (C10/C13/C14). nee_textbook lanes whose
+            # previous bounce shadow-sampled the light carry the no_emit
+            # bit (alive_i == 3) and skip this pickup (double-count guard).
+            if textbook:
+                emit_f = jnp.where(
+                    alive_i == np.int32(1), np.float32(1.0), np.float32(0.0)
+                )
+            else:
+                emit_f = alive_f
+            Lr = Lr + emit_f * tr_ * h["emi"][0]
+            Lg = Lg + emit_f * tg * h["emi"][1]
+            Lb = Lb + emit_f * tb * h["emi"][2]
 
             # Hit point; (0,0,0) on miss (C15).
             hitm = h["hit"]
@@ -483,9 +492,10 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             inv_sl = jax.lax.rsqrt(sxr * sxr + syr * syr + szr * szr)
             scx, scy, scz = sxr * inv_sl, syr * inv_sl, szr * inv_sl
 
-            if est in ("nee", "mixture"):
-                # NEE-as-continuation (C13): sample the light plane, probe,
-                # take it if the nearest hit IS the light.
+            if est in ("nee", "mixture", "nee_textbook"):
+                # Light-plane sample + visibility probe. nee/mixture: C13
+                # continuation semantics; nee_textbook: unbiased shadow-ray
+                # direct term (see integrator/wavefront._bounce_core).
                 lu = _uniform(seed, pid, ctr + _u32c(rng.P_LIGHT_U))
                 lv = _uniform(seed, pid, ctr + _u32c(rng.P_LIGHT_V))
                 if glibc:
@@ -512,11 +522,28 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 w_nee = (
                     jnp.abs(area * cos_l) / (t_safe * t_safe)
                 ) * (cos_s * np.float32(1.0 / math.pi))
-                ndx = jnp.where(success, ldx, scx)
-                ndy = jnp.where(success, ldy, scy)
-                ndz = jnp.where(success, ldz, scz)
-                wgt = jnp.where(success, w_nee, 1.0)
-                probes = one
+                if textbook:
+                    # Direct term with the PRE-update throughput; cosine
+                    # continuation; one shadow ray per live diffuse lane
+                    # (matches _bounce_core exactly).
+                    is_diff = ~(h["is_spec"] | h["is_refr"])
+                    gate = jnp.where(
+                        alive & is_diff & success, w_nee, np.float32(0.0)
+                    )
+                    Lr = Lr + gate * tr_ * h["alb"][0] * e_light[0]
+                    Lg = Lg + gate * tg * h["alb"][1] * e_light[1]
+                    Lb = Lb + gate * tb * h["alb"][2] * e_light[2]
+                    ndx, ndy, ndz = scx, scy, scz
+                    wgt = one
+                    probes = jnp.where(
+                        alive & is_diff, np.float32(1.0), np.float32(0.0)
+                    )
+                else:
+                    ndx = jnp.where(success, ldx, scx)
+                    ndy = jnp.where(success, ldy, scy)
+                    ndz = jnp.where(success, ldz, scz)
+                    wgt = jnp.where(success, w_nee, 1.0)
+                    probes = one
                 if est == "mixture":
                     um = _uniform(seed, pid, ctr + _u32c(rng.P_MIX_COIN))
                     take = um < mix_q
@@ -592,9 +619,15 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             tg_n = tg * h["alb"][1] * f_scale
             tb_n = tb * h["alb"][2] * f_scale
 
-            ntr = ntr + jnp.sum(alive_f) + jnp.sum(
-                probes * jnp.where(alive_next, np.float32(1.0), np.float32(0.0))
-            )
+            if textbook:
+                # Shadow rays fire for every live diffuse lane regardless
+                # of the RR outcome (probes already carries that mask).
+                ntr = ntr + jnp.sum(alive_f) + jnp.sum(probes)
+            else:
+                ntr = ntr + jnp.sum(alive_f) + jnp.sum(
+                    probes
+                    * jnp.where(alive_next, np.float32(1.0), np.float32(0.0))
+                )
 
             # Per-path max_bounces truncation (identical to the scan/regen
             # jnp schedules — see path_trace_regen).
@@ -623,6 +656,14 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             alive_i = jnp.where(
                 alive_next | respawn, np.int32(1), np.int32(0)
             )
+            if textbook:
+                # Bit 1 = suppress next emission pickup (fresh respawns DO
+                # pick up their primary-hit emission).
+                is_diff_tb = ~(h["is_spec"] | h["is_refr"])
+                alive_i = alive_i + jnp.where(
+                    alive_next & is_diff_tb & ~respawn,
+                    np.int32(2), np.int32(0),
+                )
 
             return (ox, oy, oz, dx, dy, dz, tr_, tg, tb, Lr, Lg, Lb, alive_i,
                     depth, s, pid, ntr)

@@ -131,3 +131,16 @@ def test_sphere_grid_scalability():
     # 64 spheres => many grazing hits; FMA-rounding path flips are ~0.5%
     # of traces here (vs ~0 for the box scene).
     assert abs(float(ta) - float(tb)) / float(ta) < 2e-2
+
+
+def test_nee_textbook_kernel_matches_jnp():
+    """Unbiased shadow-ray NEE on the kernel path: bit-exact on the box
+    scene, statistical on spheres (grazing-hit divergence)."""
+    cam = make_camera()
+    cfg = RenderConfig(width=32, height=24, spp=4, estimator="nee_textbook",
+                       seed=3)
+    scene = get_scene("cornell_box")
+    a, ta = render_regen(scene, cam, cfg, jnp.uint32(3))
+    b, tb = render_pallas(scene, cam, cfg, 3, interpret=True)
+    assert float(ta) == float(tb)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
