@@ -181,3 +181,24 @@ def test_adam_train_step_converges(scene, cam, target):
     np.testing.assert_array_equal(
         np.asarray(s.rects.refl), np.asarray(scene.rects.refl)
     )
+
+
+def test_emission_grad_nee_textbook_matches_fd(scene, cam):
+    """The unbiased NEE estimator is differentiable too: emission enters
+    both the pickup and the shadow-ray direct term linearly, so AD == FD."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, estimator="nee_textbook")
+    target = render_linear(scene, cam, cfg, SEED, N_BOUNCES) * 1.3
+
+    def loss_fn(scale):
+        s = scene._replace(
+            rects=scene.rects._replace(emission=scene.rects.emission * scale)
+        )
+        return mse_loss(render_linear(s, cam, cfg, SEED, N_BOUNCES), target)
+
+    g_ad = float(jax.grad(loss_fn)(jnp.float32(1.0)))
+    eps = 1e-2
+    g_fd = (float(loss_fn(jnp.float32(1 + eps)))
+            - float(loss_fn(jnp.float32(1 - eps)))) / (2 * eps)
+    assert g_fd == pytest.approx(g_ad, rel=2e-2, abs=1e-7)
