@@ -206,6 +206,34 @@ def cmd_fit(args) -> int:
         mesh = make_mesh(jax.devices()[: sp * dp], mesh_shape=(sp, dp))
     else:
         mesh = make_mesh(jax.devices()[:1], mesh_shape=(1, 1))
+    if args.soft_tau > 0:
+        # Soft-visibility geometry fitting: SGD on selected fields through
+        # the silhouette-aware one-bounce renderer.
+        import jax.tree_util as jtu
+
+        from ..grad.soft import soft_loss_and_grad, soft_render
+
+        fields = set(args.train.split(","))
+        if not args.target:
+            target = soft_render(scene, cam, cfg, jnp.uint32(cfg.seed + 1),
+                                 args.soft_tau)
+
+        def upd(path, p, g):
+            name = next((k.name for k in reversed(path)
+                         if isinstance(k, jtu.GetAttrKey)), "")
+            if hasattr(p, "dtype") and p.dtype.kind == "f" and name in fields:
+                return p - args.lr * g
+            return p
+
+        s = scene
+        for i in range(args.steps):
+            loss, g = soft_loss_and_grad(
+                s, cam, cfg, jnp.uint32(cfg.seed), target, args.soft_tau
+            )
+            s = jtu.tree_map_with_path(upd, s, g)
+            print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
+        print(json.dumps({"final_loss": float(loss), "steps": args.steps}))
+        return 0
     if args.optimizer == "sgd":
         step = make_sharded_train_step(
             cfg, mesh, target, n_bounces=args.bounces, lr=args.lr,
@@ -273,6 +301,10 @@ def main(argv=None) -> int:
                        help="comma-separated scene fields to optimize")
     p_fit.add_argument("--optimizer", default="sgd",
                        choices=["sgd", "adam", "rmsprop"])
+    p_fit.add_argument("--soft-tau", type=float, default=0.0,
+                       help="use the soft-visibility loss (grad/soft.py) "
+                       "with this temperature — enables silhouette-aware "
+                       "GEOMETRY fitting (train fields like 'center')")
     p_fit.set_defaults(fn=cmd_fit)
 
     p_serve = sub.add_parser(

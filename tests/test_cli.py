@@ -110,3 +110,14 @@ def dataclasses_replace(cfg, **kw):
     import dataclasses
 
     return dataclasses.replace(cfg, **kw)
+
+
+def test_fit_soft_geometry(capsys):
+    rc = main([
+        "fit", "--scene", "cornell_spheres", "--width", "24", "--height", "16",
+        "--spp", "2", "--steps", "2", "--lr", "1000", "--train", "center",
+        "--soft-tau", "0.5", "--bounces", "4",
+    ])
+    assert rc == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(d["final_loss"])
