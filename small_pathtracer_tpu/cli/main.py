@@ -15,7 +15,7 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--spp", type=int, default=16)
     p.add_argument("--estimator", default="nee",
-                   help="uniform | uniform_corrected | cosine | nee | mixture")
+                   help="uniform | uniform_corrected | cosine | nee | mixture | nee_textbook (unbiased shadow-ray NEE)")
     p.add_argument("--mixture-q", type=float, default=0.5)
     p.add_argument("--light-sample-mode", default="intended",
                    choices=["intended", "glibc_overflow"])
@@ -188,33 +188,25 @@ def cmd_fit(args) -> int:
     from ..parallel.mesh import make_mesh
 
     scene, cam, cfg = _build(args)
-    if args.target:
-        target = jnp.asarray(
-            film.srgb_from_u8(film.read_ppm(args.target)), jnp.float32
-        )
-    else:
-        # Self-test mode: perturb emission, recover it.
-        bright = scene._replace(
-            rects=scene.rects._replace(emission=scene.rects.emission * 1.5)
-        )
-        target = render_linear(bright, cam, cfg, jnp.uint32(cfg.seed + 1),
-                               args.bounces)
-    import jax
-
-    if args.mesh:
-        sp, dp = (int(x) for x in args.mesh.lower().split("x"))
-        mesh = make_mesh(jax.devices()[: sp * dp], mesh_shape=(sp, dp))
-    else:
-        mesh = make_mesh(jax.devices()[:1], mesh_shape=(1, 1))
     if args.soft_tau > 0:
         # Soft-visibility geometry fitting: SGD on selected fields through
-        # the silhouette-aware one-bounce renderer.
+        # the silhouette-aware one-bounce renderer. (Checked FIRST — this
+        # path needs no path-traced target or mesh.)
+        if args.optimizer != "sgd":
+            raise SystemExit(
+                "--soft-tau currently implements plain SGD; drop "
+                f"--optimizer {args.optimizer}"
+            )
         import jax.tree_util as jtu
 
         from ..grad.soft import soft_loss_and_grad, soft_render
 
         fields = set(args.train.split(","))
-        if not args.target:
+        if args.target:
+            target = jnp.asarray(
+                film.srgb_from_u8(film.read_ppm(args.target)), jnp.float32
+            )
+        else:
             target = soft_render(scene, cam, cfg, jnp.uint32(cfg.seed + 1),
                                  args.soft_tau)
 
@@ -234,6 +226,25 @@ def cmd_fit(args) -> int:
             print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
         print(json.dumps({"final_loss": float(loss), "steps": args.steps}))
         return 0
+
+    if args.target:
+        target = jnp.asarray(
+            film.srgb_from_u8(film.read_ppm(args.target)), jnp.float32
+        )
+    else:
+        # Self-test mode: perturb emission, recover it.
+        bright = scene._replace(
+            rects=scene.rects._replace(emission=scene.rects.emission * 1.5)
+        )
+        target = render_linear(bright, cam, cfg, jnp.uint32(cfg.seed + 1),
+                               args.bounces)
+    import jax
+
+    if args.mesh:
+        sp, dp = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(jax.devices()[: sp * dp], mesh_shape=(sp, dp))
+    else:
+        mesh = make_mesh(jax.devices()[:1], mesh_shape=(1, 1))
     if args.optimizer == "sgd":
         step = make_sharded_train_step(
             cfg, mesh, target, n_bounces=args.bounces, lr=args.lr,

@@ -89,7 +89,6 @@ def _render(req: dict, stats: dict) -> tuple[bytes, str]:
 
     u8 = np.asarray(film.tonemap_u8(img))
     if req.get("format", "png") == "ppm":
-        buf = io.StringIO()
         h, w = u8.shape[:2]
         from .. import native
 

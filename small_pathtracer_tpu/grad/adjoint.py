@@ -233,9 +233,16 @@ def make_sharded_train_step_with_state(
         "sgd": optax.sgd(lr),
         "rmsprop": optax.rmsprop(lr),
     }[optimizer]
-    tx = optax.masked(
-        base,
-        lambda scene: jtu.tree_map_with_path(_trainable, scene),
+    # NB: optax.masked alone is WRONG here — it passes the RAW gradient
+    # through as the update for mask-False leaves, i.e. unscaled gradient
+    # ASCENT on the frozen parameters. multi_transform routes frozen leaves
+    # to set_to_zero instead.
+    tx = optax.multi_transform(
+        {"train": base, "freeze": optax.set_to_zero()},
+        param_labels=lambda scene: jtu.tree_map_with_path(
+            lambda path, p: "train" if _trainable(path, p) else "freeze",
+            scene,
+        ),
     )
 
     def init_fn(scene):

@@ -133,9 +133,7 @@ def soft_render(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
     probe = trace(scene, x_blend, dir_blend)
     lit = (probe.hit & (probe.obj_id == light.light_obj_id)).astype(o.dtype)
 
-    e_light = object_arrays(scene)[1][
-        jnp.asarray(light.light_obj_id, jnp.int32)
-    ]
+    e_light = emission[jnp.asarray(light.light_obj_id, jnp.int32)]
     direct = (
         albedo[None] / jnp.pi
         * e_light[None, None]

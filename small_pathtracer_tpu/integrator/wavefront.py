@@ -196,7 +196,13 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     # (the terminal RR return of e is this same term — see SURVEY C10/C13).
     emit = alive_f * T * sh.emission
     if textbook and no_emit is not None:
-        emit = emit * (~no_emit).astype(T.dtype)[:, None]
+        # Suppress ONLY the sampled light's emission (the shadow ray
+        # estimated exactly that); other emitters must still be picked up
+        # or multi-light scenes would darken.
+        is_light_hit = hit.hit & (
+            hit.obj_id == jnp.asarray(scene.light.light_obj_id, jnp.int32)
+        )
+        emit = emit * (~(no_emit & is_light_hit)).astype(T.dtype)[:, None]
 
     # Per-purpose uniforms for this bounce.
     ctr_base = depth.astype(jnp.uint32) * jnp.uint32(rng.DRAWS_PER_BOUNCE)

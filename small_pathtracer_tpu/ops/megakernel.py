@@ -434,8 +434,11 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             # previous bounce shadow-sampled the light carry the no_emit
             # bit (alive_i == 3) and skip this pickup (double-count guard).
             if textbook:
+                # Suppress only the SAMPLED light's emission (h.is_light
+                # marks lanes whose nearest hit is the light object).
+                suppress = (alive_i > np.int32(1)) & h["is_light"]
                 emit_f = jnp.where(
-                    alive_i == np.int32(1), np.float32(1.0), np.float32(0.0)
+                    alive & ~suppress, np.float32(1.0), np.float32(0.0)
                 )
             else:
                 emit_f = alive_f

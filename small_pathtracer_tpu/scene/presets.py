@@ -156,7 +156,7 @@ def sphere_grid(n: int = 64, seed: int = 0) -> Scene:
     import numpy as np
 
     rng_ = np.random.default_rng(seed)
-    side = max(1, round(n ** (1 / 3)))
+    side = max(1, math.ceil(n ** (1 / 3)))
     spheres = []
     i = 0
     for gx in range(side):

@@ -181,6 +181,15 @@ def test_adam_train_step_converges(scene, cam, target):
     np.testing.assert_array_equal(
         np.asarray(s.rects.refl), np.asarray(scene.rects.refl)
     )
+    # FROZEN float fields must be bit-unchanged (regression: optax.masked
+    # alone passes raw gradients through for mask-False leaves — unscaled
+    # gradient ASCENT on supposedly frozen params).
+    np.testing.assert_array_equal(
+        np.asarray(s.rects.albedo), np.asarray(scene.rects.albedo)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s.rects.k), np.asarray(scene.rects.k)
+    )
 
 
 def test_emission_grad_nee_textbook_matches_fd(scene, cam):
