@@ -14,10 +14,20 @@ Implementations (fastest first):
   regen  — jnp lane-regenerating wavefront, ~36 Mrays/s, ~1 min compile;
   scan   — jnp fixed-slot wavefront (the semantics reference), ~8 Mrays/s.
 
-With no --impl argument this driver tries pallas in a time-boxed subprocess
-and falls back to regen, so a constrained environment still reports a
-number. Timing includes a device->host value fetch (block_until_ready is
-unreliable under the tunnel).
+With no --impl argument this driver tries pallas in time-boxed subprocess
+ATTEMPTS (the Mosaic compile service keeps a terminal-side cache keyed by
+module hash, so an attempt that times out mid-compile usually leaves the
+next attempt a seconds-fast cache hit — measured 100-600 s cold vs ~4 s
+warm) and falls back to regen only when every attempt fails, so a
+constrained environment still reports a number. Timing includes a
+device->host value fetch (block_until_ready is unreliable under the
+tunnel).
+
+Env knobs: SPT_BENCH_PALLAS_BUDGET (seconds per pallas attempt, default
+660), SPT_BENCH_PALLAS_ATTEMPTS (default 3), SPT_BENCH_TOTAL_BUDGET
+(overall pallas budget across attempts, default 1680), SPT_BENCH_IMPL /
+--impl (force one implementation), SPT_BENCH_W/H/SPP (config override),
+SPT_BENCH_CPU (run on host CPU).
 """
 
 from __future__ import annotations
@@ -29,7 +39,9 @@ import sys
 import time
 
 BASELINE_MRAYS = 2.5  # C++ reference, single core (BASELINE.md)
-PALLAS_BUDGET_S = float(os.environ.get("SPT_BENCH_PALLAS_BUDGET", 540))
+PALLAS_BUDGET_S = float(os.environ.get("SPT_BENCH_PALLAS_BUDGET", 660))
+PALLAS_ATTEMPTS = int(os.environ.get("SPT_BENCH_PALLAS_ATTEMPTS", 3))
+TOTAL_BUDGET_S = float(os.environ.get("SPT_BENCH_TOTAL_BUDGET", 1680))
 
 
 def run_bench(impl: str) -> dict:
@@ -64,13 +76,13 @@ def run_bench(impl: str) -> dict:
 
         def once(seed):
             img, tr = render_pallas(scene, cam, cfg, seed)
-            return float(img.mean()), float(tr)
+            return float(img.mean()), float(tr.sum())
     elif impl == "regen":
         from small_pathtracer_tpu.integrator.wavefront import render_regen
 
         def once(seed):
             img, tr = render_regen(scene, cam, cfg, jnp.uint32(seed))
-            return float(img.mean()), float(tr)
+            return float(img.mean()), float(tr.sum())
     else:
         from small_pathtracer_tpu.integrator.wavefront import render_chunk
 
@@ -86,15 +98,22 @@ def run_bench(impl: str) -> dict:
                     min(chunk, cfg.spp - s0), jnp.uint32(s0),
                 )
                 acc = img if acc is None else acc + img
-                trs = trs + tr
+                trs = trs + tr.sum()
             return float(acc.mean()), float(trs)
 
+    t_c0 = time.perf_counter()
     once(7)  # warmup / compile
+    print(
+        f"[bench] {impl} compile+warmup {time.perf_counter() - t_c0:.1f}s",
+        file=sys.stderr, flush=True,
+    )
     best_dt, traces = None, 0.0
     for seed in (1, 2):
         t0 = time.perf_counter()
         _, traces = once(seed)
         dt = time.perf_counter() - t0
+        print(f"[bench] {impl} seed {seed}: {dt:.2f}s", file=sys.stderr,
+              flush=True)
         best_dt = dt if best_dt is None else min(best_dt, dt)
 
     mrays = traces / best_dt / 1e6
@@ -117,23 +136,50 @@ def main() -> int:
         print(json.dumps(run_bench(impl)))
         return 0
 
-    # Orchestrate: pallas in a time-boxed child, regen fallback.
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--impl", "pallas"],
-            timeout=PALLAS_BUDGET_S, capture_output=True, text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+    # Orchestrate: pallas in time-boxed child attempts, regen fallback.
+    # Attempt N's Mosaic compile usually hits the terminal-side module
+    # cache populated by attempt N-1 (even one that timed out), so retries
+    # convert "flaky >10 min compile" into "~4 s cache hit".
+    t_start = time.perf_counter()
+    for attempt in range(PALLAS_ATTEMPTS):
+        elapsed = time.perf_counter() - t_start
+        left = TOTAL_BUDGET_S - elapsed
+        if left < 60:
+            break
+        budget = min(PALLAS_BUDGET_S, left)
+        print(
+            f"[bench] pallas attempt {attempt + 1}/{PALLAS_ATTEMPTS} "
+            f"(budget {budget:.0f}s)",
+            file=sys.stderr, flush=True,
         )
-        if out.returncode == 0:
-            for line in reversed(out.stdout.strip().splitlines()):
-                try:
-                    json.loads(line)
-                    print(line)
-                    return 0
-                except json.JSONDecodeError:
-                    continue
-    except subprocess.TimeoutExpired:
-        pass
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--impl", "pallas"],
+                timeout=budget, capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if out.stderr:
+                sys.stderr.write(out.stderr)
+            if out.returncode == 0:
+                for line in reversed(out.stdout.strip().splitlines()):
+                    try:
+                        json.loads(line)
+                        print(line)
+                        return 0
+                    except json.JSONDecodeError:
+                        continue
+            print(
+                f"[bench] pallas attempt {attempt + 1} exited "
+                f"rc={out.returncode} without a JSON line",
+                file=sys.stderr, flush=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"[bench] pallas attempt {attempt + 1} timed out after "
+                f"{budget:.0f}s",
+                file=sys.stderr, flush=True,
+            )
     print(json.dumps(run_bench("regen")))
     return 0
 

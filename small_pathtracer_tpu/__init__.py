@@ -12,14 +12,19 @@ from .config import ESTIMATORS, RenderConfig
 from .camera.pinhole import CameraParams, make_camera
 from .scene.presets import get_scene
 from .scene.types import Scene
-from .integrator.wavefront import render
+from .integrator.wavefront import render, render_counts
+from .models import MODELS, RenderModel, get_model
 
 __all__ = [
     "ESTIMATORS",
+    "MODELS",
     "RenderConfig",
+    "RenderModel",
     "CameraParams",
     "make_camera",
+    "get_model",
     "get_scene",
     "Scene",
     "render",
+    "render_counts",
 ]

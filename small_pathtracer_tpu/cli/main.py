@@ -22,7 +22,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--wavefront", default="regen", choices=["regen", "scan"])
     p.add_argument("--pallas", action="store_true", dest="use_pallas",
-                   help="use the fused Pallas megakernel (DIFF-only scenes)")
+                   help="use the fused Pallas megakernel (all materials "
+                   "incl. SPEC/REFR and all estimators; requires "
+                   "rng=mix, and bakes the scene at compile time — use "
+                   "the jnp wavefront for scene-optimization loops)")
     p.add_argument("--rng", default="mix", choices=["mix", "threefry"],
                    dest="rng_backend")
     p.add_argument("--mesh", default="",
@@ -96,7 +99,7 @@ def cmd_render(args) -> int:
             img = film.finalize(
                 img.reshape(cfg.height, cfg.width, 3) / cfg.spp
             )
-            traces = float(traces)
+            traces = float(traces.sum())
         else:
             from ..parallel.sharded import render_sharded
 

@@ -66,22 +66,26 @@ def make_handler(stats: dict):
 def _render(req: dict, stats: dict) -> tuple[bytes, str]:
     import numpy as np
 
-    from .. import RenderConfig, get_scene, make_camera, render
+    from .. import render
     from ..core import film
+    from ..models import get_model
 
-    width = int(req.get("width", 256))
-    height = int(req.get("height", 256))
-    cfg = RenderConfig(
-        width=width, height=height, spp=int(req.get("spp", 32)),
-        estimator=req.get("estimator", "nee"),
+    # Resolve through the model registry: each named model carries its own
+    # estimator default (e.g. smallpt_original -> cosine); explicit request
+    # fields override.
+    overrides = dict(
+        width=int(req.get("width", 256)),
+        height=int(req.get("height", 256)),
+        spp=int(req.get("spp", 32)),
         seed=int(req.get("seed", 0)),
         wavefront=req.get("wavefront", "regen"),
         use_pallas=bool(req.get("use_pallas", False)),
     )
-    scene = get_scene(req.get("scene", "cornell_box"))
-    cam = make_camera(aspect=width / height)
+    if "estimator" in req:
+        overrides["estimator"] = req["estimator"]
+    model = get_model(req.get("scene", "cornell_box"), **overrides)
     t0 = time.perf_counter()
-    img, traces = render(scene, cam, cfg)
+    img, traces = render(model.scene, model.camera, model.config)
     dt = time.perf_counter() - t0
     stats["requests"] = stats.get("requests", 0) + 1
     stats["last_mrays_per_s"] = round(traces / dt / 1e6, 3)

@@ -34,7 +34,11 @@ class RenderConfig:
     # Light-sample mode: "intended" = full-range sampling (the author's
     # MinGW behavior and the committed renders); "glibc_overflow" =
     # bit-faithful reproduction of the int32 overflow a glibc build of the
-    # reference exhibits (see sampling._glibc_overflow_offset).
+    # reference exhibits (see sampling._glibc_overflow_offset). Applies to
+    # the reference-parity continuation estimators (nee/mixture) only;
+    # estimator="nee_textbook" ALWAYS samples the full light uniformly
+    # (its shadow-ray weight assumes the uniform-over-area pdf, and there
+    # is no reference behavior to reproduce for it).
     light_sample_mode: str = "intended"
     rr_start_depth: int = 5     # RR kicks in after this depth (C10, :448)
     max_bounces: int = 256      # safety cap; RR terminates a.s. (tail ~88 measured)

@@ -53,7 +53,10 @@ class PathState(NamedTuple):
     alive: jnp.ndarray    # (N,) bool
     depth: jnp.ndarray    # (N,) int32 — the reference's depth counter
     path_id: jnp.ndarray  # (N,) uint32 — global (pixel, sample) identity
-    n_traces: jnp.ndarray  # () f32 — scene-level trace counter (bench metric)
+    n_traces: jnp.ndarray  # (2,) f32 — [extend, probe] scene-trace counters
+    #   (extend = one per live bounce, probe = NEE shadow/continuation
+    #   probes; total = sum — the bench metric; extend/paths = the exact
+    #   mean path length, fixing the reference's broken C17 stat)
     no_emit: jnp.ndarray  # (N,) bool — skip next emission pickup
     #   (nee_textbook double-count guard; always False otherwise)
 
@@ -68,7 +71,7 @@ def init_paths(o, d, path_id) -> PathState:
         alive=jnp.ones((n,), jnp.bool_),
         depth=jnp.zeros((n,), jnp.int32),
         path_id=path_id,
-        n_traces=jnp.zeros((), jnp.float32),
+        n_traces=jnp.zeros((2,), jnp.float32),
         no_emit=jnp.zeros((n,), jnp.bool_),
     )
 
@@ -168,7 +171,7 @@ class BounceOut(NamedTuple):
     new_dir: jnp.ndarray   # (N,3) next direction
     T: jnp.ndarray         # (N,3) next throughput
     alive: jnp.ndarray     # (N,) alive & survived RR
-    traces_inc: jnp.ndarray  # () f32 scene traces consumed this bounce
+    traces_inc: jnp.ndarray  # (2,) f32 [extend, probe] traces this bounce
     logp_inc: jnp.ndarray  # (N,) log-prob of this bounce's RR decision
     #   (score-function/REINFORCE term for d E[L] / d albedo through the
     #   discrete survival decision — grad/score.py; 0 when p in {0, >=1})
@@ -267,6 +270,11 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
         # NEXT bounce's light-emission pickup is suppressed so the BSDF
         # path doesn't count the light twice. RR only gates continuation.
         light = scene.light
+        # Always the intended full-area sampler, regardless of
+        # cfg.light_sample_mode: nee_weight assumes the uniform-over-area
+        # pdf, and the glibc corner patch (C13a) is a reference-parity
+        # quirk with no textbook analogue (config.py docs; the megakernel
+        # matches this).
         lp = sampling.sample_light_point(
             light, u[rng.P_LIGHT_U], u[rng.P_LIGHT_V]
         )
@@ -289,10 +297,10 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     probe_alive = (
         jnp.ones_like(alive) if textbook else (alive_out & (sh.refl == DIFF))
     )
-    traces_inc = (
-        jnp.sum(alive.astype(jnp.float32))
-        + jnp.sum(probes * probe_alive.astype(jnp.float32))
-    )
+    traces_inc = jnp.stack([
+        jnp.sum(alive.astype(jnp.float32)),
+        jnp.sum(probes * probe_alive.astype(jnp.float32)),
+    ])
 
     return BounceOut(
         emit=emit, x=sh.x, new_dir=new_dir, T=T_out, alive=alive_out,
@@ -324,7 +332,8 @@ def bounce_step(scene: Scene, cfg: RenderConfig, seed, state: PathState) -> Path
 
 
 def path_trace(scene: Scene, cfg: RenderConfig, seed, o, d, path_id):
-    """Run paths to termination. Returns (L (N,3), n_traces ())."""
+    """Run paths to termination. Returns (L (N,3), n_traces (2,) [extend,
+    probe])."""
     state0 = init_paths(o, d, path_id)
 
     def cond(state):
@@ -387,7 +396,7 @@ class RegenState(NamedTuple):
     depth: jnp.ndarray    # (N,) int32 current-path depth
     s: jnp.ndarray        # (N,) uint32 current sample index (within lane)
     path_id: jnp.ndarray  # (N,) uint32
-    n_traces: jnp.ndarray  # () f32
+    n_traces: jnp.ndarray  # (2,) f32 [extend, probe]
     no_emit: jnp.ndarray  # (N,) bool (nee_textbook double-count guard)
 
 
@@ -427,7 +436,7 @@ def path_trace_regen(scene: Scene, cfg: RenderConfig, seed,
     pix, s_start, s_stop: (N,) uint32 per-lane work assignment (several
     lanes may share a pixel with disjoint sample ranges — "groups").
 
-    Returns (per-lane radiance sum over its samples (N,3), traces ())."""
+    Returns (per-lane radiance sum over its samples (N,3), traces (2,))."""
     n = pix.shape[0]
     px = (pix % jnp.uint32(cfg.width)).astype(jnp.int32)
     py = (pix // jnp.uint32(cfg.width)).astype(jnp.int32)
@@ -445,7 +454,7 @@ def path_trace_regen(scene: Scene, cfg: RenderConfig, seed,
         depth=jnp.zeros((n,), jnp.int32),
         s=s_start,
         path_id=pid0,
-        n_traces=jnp.zeros((), jnp.float32),
+        n_traces=jnp.zeros((2,), jnp.float32),
         no_emit=jnp.zeros((n,), jnp.bool_),
     )
 
@@ -515,7 +524,7 @@ def regen_groups(cfg: RenderConfig) -> int:
 def render_regen(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed):
     """Single-pass regenerating render: ``groups`` lanes per pixel, each
     walking spp/groups samples. Returns ((h, w, 3) radiance sum over spp,
-    traces)."""
+    traces (2,) [extend, probe])."""
     n_pix = cfg.width * cfg.height
     g = regen_groups(cfg)
     per = cfg.spp // g
@@ -555,33 +564,40 @@ def _chunk_paths(cam: CameraParams, cfg: RenderConfig, seed, s0, n_s):
 def render_chunk(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
                  n_s: int, s0):
     """Sum of per-sample radiance over sample indices [s0, s0+n_s) for every
-    pixel. Returns ((h, w, 3) radiance sum, n_traces)."""
+    pixel. Returns ((h, w, 3) radiance sum, n_traces (2,))."""
     o, d, path_id = _chunk_paths(cam, cfg, seed, s0, n_s)
     L, n_traces = path_trace(scene, cfg, seed, o, d, path_id)
     img = L.reshape(cfg.height * cfg.width, n_s, 3).sum(axis=1)
     return img.reshape(cfg.height, cfg.width, 3), n_traces
 
 
-def render(scene: Scene, cam: CameraParams, cfg: RenderConfig):
-    """Full render. cfg.wavefront selects the schedule:
+def render_counts(scene: Scene, cam: CameraParams, cfg: RenderConfig):
+    """Full render returning the split trace counters.
+
+    cfg.wavefront selects the schedule:
 
     - "regen" (default): lane-per-pixel regenerating wavefront, single pass;
     - "scan": fixed-slot wavefront, chunked over spp on the host.
 
     Both produce per-sample-identical radiance (counter RNG); they differ
     only in accumulation order. Returns (linear image (h, w, 3) in [0,1] —
-    contract C3 clamp applied — and total scene-trace count)."""
+    contract C3 clamp applied — and (extend, probe) trace counts as floats;
+    extend/paths is the exact mean path length, the fixed C17 stat)."""
     if cfg.use_pallas:
         from ..ops.megakernel import render_pallas
 
         img, n_tr = render_pallas(scene, cam, cfg, cfg.seed)
-        return film.finalize(img / cfg.spp), float(n_tr)
+        return film.finalize(img / cfg.spp), (
+            float(n_tr[0]), float(n_tr[1])
+        )
     if cfg.wavefront == "regen":
         img, n_tr = render_regen(scene, cam, cfg, jnp.uint32(cfg.seed))
-        return film.finalize(img / cfg.spp), float(n_tr)
+        return film.finalize(img / cfg.spp), (
+            float(n_tr[0]), float(n_tr[1])
+        )
     chunk = cfg.resolved_spp_chunk()
     acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
-    traces = 0.0
+    extends = probes = 0.0
     s0 = 0
     while s0 < cfg.spp:
         n_s = min(chunk, cfg.spp - s0)
@@ -589,6 +605,14 @@ def render(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             scene, cam, cfg, cfg.seed, n_s, jnp.uint32(s0)
         )
         acc = acc + img
-        traces += float(n_tr)
+        extends += float(n_tr[0])
+        probes += float(n_tr[1])
         s0 += n_s
-    return film.finalize(acc / cfg.spp), traces
+    return film.finalize(acc / cfg.spp), (extends, probes)
+
+
+def render(scene: Scene, cam: CameraParams, cfg: RenderConfig):
+    """Full render (see render_counts). Returns (linear image (h, w, 3) in
+    [0,1], total scene-trace count — the bench metric)."""
+    img, (extends, probes) = render_counts(scene, cam, cfg)
+    return img, extends + probes

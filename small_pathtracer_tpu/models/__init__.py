@@ -30,12 +30,15 @@ def _default_camera(aspect: float) -> CameraParams:
 
 
 def get_model(name: str, **config_overrides) -> RenderModel:
-    """Build a named model. Names: cornell_box, cornell_spheres,
-    smallpt_original. config_overrides feed RenderConfig."""
+    """Build a named model (every scene preset is a model; each carries its
+    own estimator default — e.g. smallpt_original renders with cosine
+    sampling like original smallpt). config_overrides feed RenderConfig."""
     defaults = {
         "cornell_box": dict(estimator="nee"),
         "cornell_spheres": dict(estimator="nee"),
         "smallpt_original": dict(estimator="cosine"),
+        "cornell_tilted_light": dict(estimator="nee"),
+        "sphere_grid": dict(estimator="nee"),
     }
     if name not in defaults:
         raise ValueError(f"unknown model {name!r}; one of {sorted(defaults)}")
@@ -48,4 +51,7 @@ def get_model(name: str, **config_overrides) -> RenderModel:
     )
 
 
-MODELS = ("cornell_box", "cornell_spheres", "smallpt_original")
+MODELS = tuple(
+    ("cornell_box", "cornell_spheres", "smallpt_original",
+     "cornell_tilted_light", "sphere_grid")
+)

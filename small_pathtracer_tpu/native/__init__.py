@@ -26,8 +26,15 @@ _tried = False
 
 
 def _build() -> str | None:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
+    if os.path.exists(_LIB):
+        # A prebuilt .so without sources (e.g. a binary wheel) is valid:
+        # only rebuild when the source exists AND is newer.
+        if not os.path.exists(_SRC) or (
+            os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
+        ):
+            return _LIB
+    if not os.path.exists(_SRC):
+        return None
     try:
         # Build to a temp file then rename (atomic wrt concurrent builders).
         fd, tmp = tempfile.mkstemp(dir=_HERE, suffix=".so.tmp")

@@ -413,7 +413,8 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             jnp.zeros_like(px, dtype=jnp.int32),  # depth
             s0,                         # sample idx
             pid0,                       # path id
-            jnp.zeros((), jnp.float32),  # traces
+            jnp.zeros((), jnp.float32),  # extend traces
+            jnp.zeros((), jnp.float32),  # probe traces
         )
 
         def cond(c):
@@ -421,7 +422,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
 
         def body(c):
             (ox, oy, oz, dx, dy, dz, tr_, tg, tb, Lr, Lg, Lb, alive_i, depth,
-             s, pid, ntr) = c
+             s, pid, nex, npr) = c
             alive = alive_i > 0
             depth = jnp.where(alive, depth + 1, depth)
 
@@ -501,7 +502,13 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 # direct term (see integrator/wavefront._bounce_core).
                 lu = _uniform(seed, pid, ctr + _u32c(rng.P_LIGHT_U))
                 lv = _uniform(seed, pid, ctr + _u32c(rng.P_LIGHT_V))
-                if glibc:
+                # nee_textbook ALWAYS samples the full light uniformly (its
+                # nee_weight assumes the uniform-over-area pdf, and the jnp
+                # path's textbook shadow ray uses sample_light_point
+                # unconditionally — integrator/wavefront.py _bounce_core);
+                # the glibc_overflow corner-patch mode (C13a) only applies
+                # to the reference-parity continuation estimators.
+                if glibc and not textbook:
                     off_u = glibc_offset(lu)
                     off_v = glibc_offset(lv)
                     lpx = lc[0] + off_u * leu_hat[0] + off_v * lev_hat[0]
@@ -622,12 +629,13 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             tg_n = tg * h["alb"][1] * f_scale
             tb_n = tb * h["alb"][2] * f_scale
 
+            nex = nex + jnp.sum(alive_f)
             if textbook:
                 # Shadow rays fire for every live diffuse lane regardless
                 # of the RR outcome (probes already carries that mask).
-                ntr = ntr + jnp.sum(alive_f) + jnp.sum(probes)
+                npr = npr + jnp.sum(probes)
             else:
-                ntr = ntr + jnp.sum(alive_f) + jnp.sum(
+                npr = npr + jnp.sum(
                     probes
                     * jnp.where(alive_next, np.float32(1.0), np.float32(0.0))
                 )
@@ -669,21 +677,23 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 )
 
             return (ox, oy, oz, dx, dy, dz, tr_, tg, tb, Lr, Lg, Lb, alive_i,
-                    depth, s, pid, ntr)
+                    depth, s, pid, nex, npr)
 
         out = jax.lax.while_loop(cond, body, carry0)
         lr_ref[...] = out[9]
         lg_ref[...] = out[10]
         lb_ref[...] = out[11]
-        # TPU grid steps run sequentially on a core: accumulate the trace
-        # count across tiles into the single (1,1) SMEM cell.
+        # TPU grid steps run sequentially on a core: accumulate the
+        # [extend, probe] trace counters across tiles in the (1,2) SMEM row.
         @pl.when(pl.program_id(0) == 0)
         def _():
             traces_ref[0, 0] = out[16]
+            traces_ref[0, 1] = out[17]
 
         @pl.when(pl.program_id(0) != 0)
         def _():
             traces_ref[0, 0] = traces_ref[0, 0] + out[16]
+            traces_ref[0, 1] = traces_ref[0, 1] + out[17]
 
     return kernel
 
@@ -699,8 +709,8 @@ def render_pallas(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
     executable is cached by their values (changing the scene recompiles —
     use the jnp wavefront for scene optimization loops).
 
-    Returns ((h, w, 3) radiance SUM over spp, traces ()). Divide by spp and
-    clamp (film.finalize) for the final image."""
+    Returns ((h, w, 3) radiance SUM over spp, traces (2,) [extend, probe]).
+    Divide by spp and clamp (film.finalize) for the final image."""
     import hashlib
 
     # Mosaic needs a real TPU; anywhere else (CPU tests) use the
@@ -765,14 +775,14 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             ],
             out_specs=[
                 block, block, block,
-                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
                 jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
                 jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, 2), jnp.float32),
             ],
             interpret=interpret,
         )(
@@ -789,7 +799,7 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         img = L.reshape(n_pix, g, 3).sum(axis=1).reshape(
             cfg.height, cfg.width, 3
         )
-        return img, jnp.sum(traces)
+        return img, traces[0]
 
     return run
 
@@ -801,7 +811,8 @@ def render_pallas_sharded(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     sums reduce over the dp axis with one psum (ICI). Composes the fastest
     single-chip path with the parallel/ scaling design.
 
-    Returns ((h*w, 3) radiance sum sharded over sp, traces ())."""
+    Returns ((h*w, 3) radiance sum sharded over sp, traces (2,) [extend,
+    probe] psum-reduced over the whole mesh)."""
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import AXIS_PIXEL, AXIS_SAMPLE
@@ -856,14 +867,14 @@ def render_pallas_sharded(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             ],
             out_specs=[
                 block, block, block,
-                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
                 jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
                 jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, 2), jnp.float32),
             ],
             interpret=interpret,
         )(
@@ -879,7 +890,7 @@ def render_pallas_sharded(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         img_loc = L.reshape(n_pix_loc, g, 3).sum(axis=1)
         img_loc = jax.lax.psum(img_loc, AXIS_SAMPLE)
         return img_loc, jax.lax.psum(
-            jnp.sum(traces), (AXIS_PIXEL, AXIS_SAMPLE)
+            traces[0], (AXIS_PIXEL, AXIS_SAMPLE)
         )
 
     return jax.jit(

@@ -154,7 +154,7 @@ def render_sharded(scene: Scene, cam: CameraParams, cfg: RenderConfig, mesh):
             scene, cam, cfg, jnp.uint32(cfg.seed), n_s, mesh, jnp.uint32(s0)
         )
         acc = img if acc is None else acc + img
-        traces += float(n_tr)
+        traces += float(n_tr.sum())
         s0 += n_s
     img = (acc / cfg.spp).reshape(cfg.height, cfg.width, 3)
     return film.finalize(img), traces

@@ -114,7 +114,7 @@ def render_with_checkpoints(scene: Scene, cam: CameraParams,
         n_s = min(step, cfg.spp - spp_done)
         L, tr = _render_span(scene, cam, cfg, seed, jnp.uint32(spp_done), n_s)
         acc = acc + np.asarray(L)
-        traces += float(tr)
+        traces += float(tr.sum())
         spp_done += n_s
         save_state(ckpt_path, acc, spp_done, traces, fp)
 

@@ -44,26 +44,24 @@ class RenderStats:
 
 def render_with_stats(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                       log=sys.stderr):
-    """Render + RenderStats. Mean path length here counts real bounces
-    (extend traces / paths), unlike the reference's broken stat."""
+    """Render + RenderStats. Mean path length counts real bounces exactly
+    (extend traces / paths — the integrator returns extend and NEE-probe
+    counters separately), unlike the reference's broken C17 stat and
+    unlike an estimator-based traces-per-bounce guess (which is wrong on
+    SPEC/REFR scenes, where NEE probes fire only at diffuse vertices)."""
     t0 = time.perf_counter()
-    img, traces = wavefront.render(scene, cam, cfg)
+    img, (extends, probes) = wavefront.render_counts(scene, cam, cfg)
     img = jax.block_until_ready(img)
     wall = time.perf_counter() - t0
     paths = cfg.width * cfg.height * cfg.spp
-    # Traces per bounce depends on the estimator: 1 extend always, plus an
-    # NEE probe per diffuse bounce for "nee" (probability mixture_q for
-    # "mixture", none for the BSDF-only estimators).
-    traces_per_bounce = {
-        "nee": 2.0, "nee_textbook": 2.0, "mixture": 1.0 + cfg.mixture_q,
-    }.get(cfg.estimator, 1.0)
+    traces = extends + probes
     stats = RenderStats(
         width=cfg.width, height=cfg.height, spp=cfg.spp,
         estimator=cfg.estimator, wavefront=cfg.wavefront,
         wall_s=round(wall, 4), traces=traces,
         mrays_per_s=round(traces / wall / 1e6, 6),
         paths=paths,
-        mean_path_length=round(traces / traces_per_bounce / paths, 3),
+        mean_path_length=round(extends / paths, 3),
     )
     if log is not None:
         print(stats.to_json(), file=log)

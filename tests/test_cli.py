@@ -81,7 +81,7 @@ class TestCheckpoint:
         p2 = tmp_path / "b.ckpt"
         L, tr = _render_span(scene, cam, cfg, jnp.uint32(cfg.seed), 0, 2)
         fp = _fingerprint(scene, cam, cfg)
-        save_state(str(p2), np.asarray(L), 2, float(tr), fp)
+        save_state(str(p2), np.asarray(L), 2, float(tr.sum()), fp)
         img2, tr2 = render_with_checkpoints(scene, cam, cfg, str(p2), 3)
 
         np.testing.assert_allclose(

@@ -24,6 +24,26 @@ def test_render_with_stats_json():
     assert 1.0 < d["mean_path_length"] < 5.0
 
 
+def test_exact_path_length_on_specular_scene():
+    """Regression (round-1 advisor finding): mean_path_length used a
+    traces-per-bounce lookup (nee -> 2.0) that is wrong on scenes with
+    SPEC/REFR content, where NEE probes fire only at diffuse vertices. The
+    integrator now returns extend and probe counters separately and the
+    stat is exact."""
+    from small_pathtracer_tpu import render_counts
+
+    scene = get_scene("smallpt_original")  # mirror + glass spheres
+    cfg = RenderConfig(width=24, height=16, spp=4, estimator="nee")
+    cam = make_camera(aspect=24 / 16)
+    _, (extends, probes) = render_counts(scene, cam, cfg)
+    # Specular/refractive bounces have no NEE probe => strictly fewer
+    # probes than extends on this scene.
+    assert 0 < probes < extends
+    img, stats = render_with_stats(scene, cam, cfg, log=None)
+    paths = cfg.width * cfg.height * cfg.spp
+    assert stats.mean_path_length == round(extends / paths, 3)
+
+
 def test_occupancy_decays():
     scene = get_scene("cornell_box")
     cfg = RenderConfig(width=24, height=16, spp=4, estimator="nee",
