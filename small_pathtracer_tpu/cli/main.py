@@ -72,15 +72,19 @@ def cmd_render(args) -> int:
     scene, cam, cfg = _build(args)
     t0 = time.perf_counter()
     if args.checkpoint:
-        if cfg.use_pallas or args.mesh:
-            raise SystemExit(
-                "--checkpoint does not compose with --pallas/--mesh yet; "
-                "drop the flags or render without checkpointing"
-            )
         from ..utils.checkpoint import render_with_checkpoints
 
+        mesh = None
+        if args.mesh:
+            import jax
+
+            from ..parallel.mesh import make_mesh
+
+            sp, dp = (int(x) for x in args.mesh.lower().split("x"))
+            mesh = make_mesh(jax.devices()[: sp * dp], mesh_shape=(sp, dp))
         img, traces = render_with_checkpoints(
-            scene, cam, cfg, args.checkpoint, args.checkpoint_every
+            scene, cam, cfg, args.checkpoint, args.checkpoint_every,
+            mesh=mesh,
         )
     elif args.mesh:
         import jax
@@ -192,14 +196,10 @@ def cmd_fit(args) -> int:
 
     scene, cam, cfg = _build(args)
     if args.soft_tau > 0:
-        # Soft-visibility geometry fitting: SGD on selected fields through
-        # the silhouette-aware one-bounce renderer. (Checked FIRST — this
-        # path needs no path-traced target or mesh.)
-        if args.optimizer != "sgd":
-            raise SystemExit(
-                "--soft-tau currently implements plain SGD; drop "
-                f"--optimizer {args.optimizer}"
-            )
+        # Soft-visibility geometry fitting (silhouette + soft-shadow
+        # gradients, grad/soft.py) on selected fields; SGD or any optax
+        # optimizer. (Checked FIRST — this path needs no path-traced
+        # target or mesh.)
         import jax.tree_util as jtu
 
         from ..grad.soft import soft_loss_and_grad, soft_render
@@ -213,21 +213,93 @@ def cmd_fit(args) -> int:
             target = soft_render(scene, cam, cfg, jnp.uint32(cfg.seed + 1),
                                  args.soft_tau)
 
-        def upd(path, p, g):
+        def trainable(path, p):
             name = next((k.name for k in reversed(path)
                          if isinstance(k, jtu.GetAttrKey)), "")
-            if hasattr(p, "dtype") and p.dtype.kind == "f" and name in fields:
-                return p - args.lr * g
-            return p
-
-        s = scene
-        for i in range(args.steps):
-            loss, g = soft_loss_and_grad(
-                s, cam, cfg, jnp.uint32(cfg.seed), target, args.soft_tau
+            return (
+                hasattr(p, "dtype") and p.dtype.kind == "f"
+                and name in fields
             )
-            s = jtu.tree_map_with_path(upd, s, g)
-            print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
+
+        if args.optimizer == "sgd":
+            def upd(path, p, g):
+                return p - args.lr * g if trainable(path, p) else p
+
+            s = scene
+            for i in range(args.steps):
+                loss, g = soft_loss_and_grad(
+                    s, cam, cfg, jnp.uint32(cfg.seed), target, args.soft_tau
+                )
+                s = jtu.tree_map_with_path(upd, s, g)
+                print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
+        else:
+            import optax
+
+            base = {
+                "adam": optax.adam(args.lr),
+                "rmsprop": optax.rmsprop(args.lr),
+            }[args.optimizer]
+            tx = optax.multi_transform(
+                {"train": base, "freeze": optax.set_to_zero()},
+                param_labels=lambda sc: jtu.tree_map_with_path(
+                    lambda path, p: "train" if trainable(path, p)
+                    else "freeze", sc,
+                ),
+            )
+            s = scene
+            state = tx.init(s)
+            for i in range(args.steps):
+                loss, g = soft_loss_and_grad(
+                    s, cam, cfg, jnp.uint32(cfg.seed), target, args.soft_tau
+                )
+                g = jtu.tree_map(
+                    lambda p, gg: gg if jnp.issubdtype(
+                        jnp.asarray(p).dtype, jnp.floating
+                    ) else jnp.zeros_like(p), s, g,
+                )
+                upds, state = tx.update(g, state, s)
+                new_s = optax.apply_updates(s, upds)
+                s = jtu.tree_map(
+                    lambda p, q: q if jnp.issubdtype(
+                        jnp.asarray(p).dtype, jnp.floating
+                    ) else p, s, new_s,
+                )
+                print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
         print(json.dumps({"final_loss": float(loss), "steps": args.steps}))
+        return 0
+
+    if cfg.use_pallas:
+        # Chip-speed material fitting: forward + adjoint megakernels with
+        # runtime material tables (ops/megakernel_grad.py) — one compile,
+        # SGD on albedo/emission only.
+        from ..ops.megakernel import render_pallas
+        from ..ops.megakernel_grad import fit_pallas
+
+        fields = tuple(args.train.split(","))
+        bad = [f for f in fields if f not in ("albedo", "emission")]
+        if bad or args.optimizer != "sgd":
+            raise SystemExit(
+                "fit --pallas supports --optimizer sgd on albedo/emission "
+                f"only (got optimizer={args.optimizer}, fields={fields}); "
+                "drop --pallas for other parameters/optimizers"
+            )
+        if args.target:
+            target = jnp.asarray(
+                film.srgb_from_u8(film.read_ppm(args.target)), jnp.float32
+            )
+        else:
+            bright = scene._replace(
+                rects=scene.rects._replace(
+                    emission=scene.rects.emission * 1.5
+                )
+            )
+            img_sum, _ = render_pallas(bright, cam, cfg, cfg.seed + 1)
+            target = img_sum / cfg.spp
+        _, losses = fit_pallas(
+            scene, cam, cfg, target, steps=args.steps, lr=args.lr,
+            train_fields=fields, seed=cfg.seed, log=sys.stderr,
+        )
+        print(json.dumps({"final_loss": losses[-1], "steps": args.steps}))
         return 0
 
     if args.target:

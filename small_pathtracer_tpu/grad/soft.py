@@ -14,9 +14,22 @@ primary visibility:
 As tau -> 0 this converges to the hard one-bounce (direct lighting)
 renderer; at tau > 0 the mixture weights are smooth in every geometry
 parameter, so d L / d (sphere center/radius, plane offsets, quad corners)
-includes the silhouette term. Secondary effects (shadow-edge derivatives,
-indirect bounces) remain hard/ignored — use this as the geometry-fitting
-loss and the full path tracer for appearance.
+includes the silhouette term.
+
+Shadow edges (v2): the light-visibility term is likewise smooth for
+SPHERE occluders — per candidate hit, the transmittance toward the light
+sample is
+
+    T_i = hard_vis(rects/quads) * prod_s (1 - sigmoid((r_s - d_perp)/tau))
+
+where d_perp is the shadow ray's closest-approach distance to sphere s
+(axially gated to the segment). d T / d (sphere center, radius) is the
+shadow-boundary gradient, so a blocker's position is recoverable from its
+CAST SHADOW alone (tests/test_soft.py::test_recover_blocker_from_shadow —
+impossible with a hard shadow probe). Rect/quad occluders stay hard (the
+walls/boxes are not the geometry-fitting targets); indirect bounces stay
+hard/ignored — use this as the geometry-fitting loss and the full path
+tracer for appearance. Cost is O(K_candidates x K_objects) per path.
 
 Typical use (tests/test_soft.py): recover a sphere's position by Adam on
 mse(soft_render(scene), soft_render(target_scene)) — the pathwise-only
@@ -38,7 +51,6 @@ from ..geometry.intersect import (
     intersect_quads,
     intersect_rects,
     intersect_spheres,
-    trace,
 )
 from ..integrator import sampling
 from ..scene.types import Scene, object_arrays
@@ -126,19 +138,68 @@ def soft_render(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
     area, n_light = sampling.light_area_normal(light)
     cos_s = jnp.maximum(jnp.sum(ldir * n, axis=-1), 0.0)
     cos_l = jnp.abs(jnp.sum(ldir * n_light, axis=-1))
-    # Hard shadow test from the BLENDED (most likely) hit point — keeps the
-    # probe cost O(N); shadow-edge derivatives stay hard (documented).
-    x_blend = jnp.sum(wts[..., None] * x, axis=1)
-    dir_blend = vm.norm(lp - x_blend)
-    probe = trace(scene, x_blend, dir_blend)
-    lit = (probe.hit & (probe.obj_id == light.light_obj_id)).astype(o.dtype)
+
+    # Shadow transmittance per CANDIDATE hit (v2, module docstring):
+    # hard visibility vs rects/quads, soft (sigmoid-boundary) vs spheres.
+    N, K = ts.shape
+    R = scene.rects.k.shape[0]
+    Q = scene.quads.corner.shape[0]
+    S = scene.spheres.radius.shape[0]
+    xf = x.reshape(N * K, 3)
+    lf = ldir.reshape(N * K, 3)
+    distf = dist.reshape(N * K)
+    eps = 1e-3
+    vis = jnp.ones((N * K,), o.dtype)
+    if R:
+        t_r = intersect_rects(scene.rects, xf, lf)          # (N*K, R)
+        is_light_obj = (
+            jnp.arange(R)[None, :]
+            == jnp.asarray(light.light_obj_id, jnp.int32)
+        )
+        blocked = jnp.any(
+            (t_r > eps) & (t_r < distf[:, None] - eps) & ~is_light_obj,
+            axis=1,
+        )
+        vis = vis * jnp.where(blocked, 0.0, 1.0)
+    if Q:
+        t_q = intersect_quads(scene.quads, xf, lf)
+        is_light_obj = (
+            R + jnp.arange(Q)[None, :]
+            == jnp.asarray(light.light_obj_id, jnp.int32)
+        )
+        blocked = jnp.any(
+            (t_q > eps) & (t_q < distf[:, None] - eps) & ~is_light_obj,
+            axis=1,
+        )
+        vis = vis * jnp.where(blocked, 0.0, 1.0)
+    if S:
+        # Soft sphere occlusion: closest-approach distance of the shadow
+        # ray to each sphere center vs its radius, axially gated to the
+        # (hit point, light sample) segment; candidate i never occludes
+        # itself (it IS that surface).
+        oc = scene.spheres.center[None, :, :] - xf[:, None, :]  # (NK, S, 3)
+        proj = jnp.sum(oc * lf[:, None, :], axis=-1)            # (NK, S)
+        dperp = jnp.sqrt(jnp.maximum(
+            jnp.sum(oc * oc, axis=-1) - proj * proj, 1e-8
+        ))
+        axial = (proj > eps) & (proj < distf[:, None] - eps)
+        occ = jax.nn.sigmoid(
+            (scene.spheres.radius[None, :] - dperp) / tau
+        ) * axial.astype(o.dtype)
+        self_id = (
+            jnp.arange(K)[:, None] == (R + Q + jnp.arange(S))[None, :]
+        )  # (K, S)
+        self_mask = jnp.tile(self_id, (N, 1))                   # (NK, S)
+        occ = occ * (~self_mask).astype(o.dtype)
+        vis = vis * jnp.prod(1.0 - occ, axis=1)
+    lit = vis.reshape(N, K)
 
     e_light = emission[jnp.asarray(light.light_obj_id, jnp.int32)]
     direct = (
         albedo[None] / jnp.pi
         * e_light[None, None]
         * (cos_s * cos_l * area / jnp.maximum(dist2, 1e-6))[..., None]
-        * lit[:, None, None]
+        * lit[..., None]
     )
     shade = emission[None] + direct                  # (N, K, 3)
     L = jnp.sum(wts[..., None] * shade, axis=1)      # (N, 3)

@@ -148,12 +148,15 @@ def _scene_consts(scene: Scene):
 
 
 def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
-                    want_shading: bool):
+                    want_shading: bool, want_obj: bool = False):
     """Unrolled nearest-hit over all primitives.
 
     Returns dict with t, hit, is_light and (if want_shading) the winning
     object's material/normal, all selected in-register during the scan
-    (C8/C9/C15 semantics; miss defaults = object 0's shading at t=MISS_T)."""
+    (C8/C9/C15 semantics; miss defaults = object 0's shading at t=MISS_T).
+    want_obj adds the winning global object id as an i32 plane (stale 0 on
+    miss, C15) — the adjoint kernel's scatter mask
+    (ops/megakernel_grad.py)."""
     o = (ox, oy, oz)
     d = (dx, dy, dz)
     # One reciprocal per axis shared by every rect (bit-parity with the jnp
@@ -165,6 +168,7 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
 
     t_best = jnp.full_like(ox, MISS_T)
     is_light = jnp.zeros_like(ox, dtype=jnp.bool_)
+    obj_best = jnp.zeros_like(ox, dtype=jnp.int32) if want_obj else None
     if want_shading:
         # C15 miss defaults: stale object id 0, shaded at (0,0,0). The
         # default normal must be object 0's oriented normal (a zero normal
@@ -188,8 +192,11 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
 
     def consider(obj_id, t_i, valid, n_raw, ng_raw, obj):
         nonlocal t_best, is_light, alb, emi, nrm, ngm, is_spec, is_refr
+        nonlocal obj_best
         win = valid & (t_i < t_best)
         t_best = jnp.where(win, t_i, t_best)
+        if want_obj:
+            obj_best = jnp.where(win, np.int32(obj_id), obj_best)
         # Logical update, not jnp.where-over-bools (Mosaic lowers bool
         # selects through i8 and fails on the i8->i1 truncation).
         if light_id == obj_id:
@@ -309,14 +316,64 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
         obj_id += 1
 
     out = dict(t=t_best, hit=t_best < np.float32(MISS_T), is_light=is_light)
+    if want_obj:
+        out["obj"] = obj_best
     if want_shading:
         out.update(alb=alb, emi=emi, nrm=nrm, ngm=ngm, is_spec=is_spec,
                    is_refr=is_refr)
     return out
 
 
-def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
-    """Returns the Pallas kernel body closed over scene/cam/cfg constants."""
+def make_spawn(cam: CameraParams, cfg: RenderConfig):
+    """(spawn closure, origin consts) — primary-ray generation (C4/C5),
+    shared bit-for-bit by the forward kernel and the adjoint kernel
+    (ops/megakernel_grad.py replays paths by regenerating the same rays)."""
+    width = np.float32(cfg.width)
+    height = np.float32(cfg.height)
+    origin = tuple(np.float32(v) for v in np.asarray(cam.origin))
+    lower_left = tuple(np.float32(v) for v in np.asarray(cam.lower_left))
+    horizontal = tuple(np.float32(v) for v in np.asarray(cam.horizontal))
+    vertical = tuple(np.float32(v) for v in np.asarray(cam.vertical))
+
+    def spawn(seed, px, py, path_id):
+        ju = _uniform(seed, path_id, np.uint32(0))
+        jv = _uniform(seed, path_id, np.uint32(1))
+        s = (px - np.float32(0.5) + ju) / width
+        t = ((height - py - np.float32(1.0)) - np.float32(0.5) + jv) / height
+        dxyz = [
+            lower_left[c] + s * horizontal[c] + t * vertical[c] - origin[c]
+            for c in range(3)
+        ]
+        inv_len = jax.lax.rsqrt(
+            dxyz[0] ** 2 + dxyz[1] ** 2 + dxyz[2] ** 2
+        )
+        return [v * inv_len for v in dxyz]
+
+    return spawn, origin
+
+
+def _runtime_materials(objs: list[dict], alb_ref, emi_ref, base: int):
+    """Replace baked albedo/emission constants with SMEM scalar loads —
+    used by the differentiable kernels so a fit loop updates materials
+    WITHOUT recompiling (geometry stays baked)."""
+    out = []
+    for i, o in enumerate(objs):
+        o = dict(o)
+        o["albedo"] = tuple(alb_ref[base + i, c] for c in range(3))
+        o["emission"] = tuple(emi_ref[base + i, c] for c in range(3))
+        out.append(o)
+    return out
+
+
+def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
+                 mat_refs: bool = False):
+    """Returns the Pallas kernel body closed over scene/cam/cfg constants.
+
+    mat_refs=True: the kernel takes two extra leading refs (alb_ref,
+    emi_ref — (K, 3) SMEM material tables, global object order) after the
+    seed and reads materials from them instead of baking them as
+    immediates; the RNG/trace/shade structure is otherwise identical, so
+    renders are bit-identical to the baked kernel at equal materials."""
     rects, quads, spheres, light = _scene_consts(scene)
     has_spec = any(o["refl"] == 1 for o in rects + quads + spheres)
     has_refr = any(o["refl"] == 2 for o in rects + quads + spheres)
@@ -336,12 +393,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     ) if all_objs else (np.float32(0),) * 3
     glibc = cfg.light_sample_mode == "glibc_overflow"
 
-    width = np.float32(cfg.width)
-    height = np.float32(cfg.height)
-    origin = tuple(np.float32(v) for v in np.asarray(cam.origin))
-    lower_left = tuple(np.float32(v) for v in np.asarray(cam.lower_left))
-    horizontal = tuple(np.float32(v) for v in np.asarray(cam.horizontal))
-    vertical = tuple(np.float32(v) for v in np.asarray(cam.vertical))
+    spawn, origin = make_spawn(cam, cfg)
 
     lc = tuple(np.float32(v) for v in light["corner"])
     leu = tuple(np.float32(v) for v in light["edge_u"])
@@ -367,28 +419,25 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     mix_q = np.float32(cfg.mixture_q)
     DPB = _u32c(rng.DRAWS_PER_BOUNCE)
 
-    def spawn(seed, px, py, path_id):
-        """Primary ray (C4/C5)."""
-        ju = _uniform(seed, path_id, np.uint32(0))
-        jv = _uniform(seed, path_id, np.uint32(1))
-        s = (px - np.float32(0.5) + ju) / width
-        t = ((height - py - np.float32(1.0)) - np.float32(0.5) + jv) / height
-        dxyz = [
-            lower_left[c] + s * horizontal[c] + t * vertical[c] - origin[c]
-            for c in range(3)
-        ]
-        inv_len = jax.lax.rsqrt(
-            dxyz[0] ** 2 + dxyz[1] ** 2 + dxyz[2] ** 2
-        )
-        return [v * inv_len for v in dxyz]
-
     def glibc_offset(u):
         r = (u * np.float32(2147483648.0)).astype(jnp.uint32)
         wrapped = (r * np.uint32(36)).view(jnp.int32).astype(jnp.float32)
         return wrapped * np.float32(1.0 / 2147483647.0)
 
-    def kernel(seed_ref, px_ref, py_ref, pid_ref, sstart_ref, sstop_ref,
-               lr_ref, lg_ref, lb_ref, traces_ref):
+    def kernel(seed_ref, *refs):
+        if mat_refs:
+            alb_ref, emi_ref = refs[0], refs[1]
+            refs = refs[2:]
+            R, Q = len(rects), len(quads)
+            rects_k = _runtime_materials(rects, alb_ref, emi_ref, 0)
+            quads_k = _runtime_materials(quads, alb_ref, emi_ref, R)
+            spheres_k = _runtime_materials(spheres, alb_ref, emi_ref, R + Q)
+            e_light_k = tuple(emi_ref[light_id, c] for c in range(3))
+        else:
+            rects_k, quads_k, spheres_k = rects, quads, spheres
+            e_light_k = e_light
+        (px_ref, py_ref, pid_ref, sstart_ref, sstop_ref,
+         lr_ref, lg_ref, lb_ref, traces_ref) = refs
         seed = seed_ref[0]
         px = px_ref[...]
         py = py_ref[...]
@@ -427,7 +476,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             depth = jnp.where(alive, depth + 1, depth)
 
             h = _trace_unrolled(
-                rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
+                rects_k, quads_k, spheres_k, light_id, ox, oy, oz, dx, dy, dz,
                 want_shading=True,
             )
             alive_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
@@ -522,8 +571,8 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 inv_wl = jax.lax.rsqrt(wx_ * wx_ + wy_ * wy_ + wz_ * wz_)
                 ldx, ldy, ldz = wx_ * inv_wl, wy_ * inv_wl, wz_ * inv_wl
                 probe = _trace_unrolled(
-                    rects, quads, spheres, light_id, hx, hy, hz, ldx, ldy, ldz,
-                    want_shading=False,
+                    rects_k, quads_k, spheres_k, light_id, hx, hy, hz,
+                    ldx, ldy, ldz, want_shading=False,
                 )
                 success = probe["hit"] & probe["is_light"]
                 t_safe = jnp.where(success, probe["t"], 1.0)
@@ -540,9 +589,9 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                     gate = jnp.where(
                         alive & is_diff & success, w_nee, np.float32(0.0)
                     )
-                    Lr = Lr + gate * tr_ * h["alb"][0] * e_light[0]
-                    Lg = Lg + gate * tg * h["alb"][1] * e_light[1]
-                    Lb = Lb + gate * tb * h["alb"][2] * e_light[2]
+                    Lr = Lr + gate * tr_ * h["alb"][0] * e_light_k[0]
+                    Lg = Lg + gate * tg * h["alb"][1] * e_light_k[1]
+                    Lb = Lb + gate * tb * h["alb"][2] * e_light_k[2]
                     ndx, ndy, ndz = scx, scy, scz
                     wgt = one
                     probes = jnp.where(
@@ -701,36 +750,54 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
 _CACHE: dict = {}
 
 
+def _geom_hash(scene: Scene, cam: CameraParams) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves((scene, cam)):
+        h.update(np.asarray(leaf).tobytes())
+    return h.hexdigest()
+
+
 def render_pallas(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
                   interpret: bool = False):
     """Full render via the Pallas megakernel.
 
     Scene/camera/config are compile-time constants of the kernel; the jitted
     executable is cached by their values (changing the scene recompiles —
-    use the jnp wavefront for scene optimization loops).
+    use the differentiable kernel pair in ops/megakernel_grad.py or the jnp
+    wavefront for scene optimization loops).
 
     Returns ((h, w, 3) radiance SUM over spp, traces (2,) [extend, probe]).
     Divide by spp and clamp (film.finalize) for the final image."""
-    import hashlib
+    return render_pallas_span(
+        scene, cam, cfg, seed, 0, cfg.spp, interpret
+    )
 
+
+def render_pallas_span(scene: Scene, cam: CameraParams, cfg: RenderConfig,
+                       seed, s0, n_s: int, interpret: bool = False):
+    """Megakernel render of sample indices [s0, s0+n_s) for every pixel —
+    the checkpoint-span unit (utils/checkpoint.py). s0 is a TRACED input
+    (it only shifts the per-lane s_start/s_stop planes), so a checkpoint
+    loop compiles once per span size.
+
+    Returns ((h, w, 3) radiance SUM over the span, traces (2,))."""
     # Mosaic needs a real TPU; anywhere else (CPU tests) use the
     # interpreter automatically.
     if not interpret and jax.devices()[0].platform != "tpu":
         interpret = True
 
-    h = hashlib.sha256()
-    for leaf in jax.tree.leaves((scene, cam)):
-        h.update(np.asarray(leaf).tobytes())
-    key = (h.hexdigest(), cfg, interpret)
+    key = (_geom_hash(scene, cam), cfg, int(n_s), interpret)
     fn = _CACHE.get(key)
     if fn is None:
-        fn = _build_render(scene, cam, cfg, interpret)
+        fn = _build_render(scene, cam, cfg, int(n_s), interpret)
         _CACHE[key] = fn
-    return fn(jnp.asarray(seed, jnp.uint32))
+    return fn(jnp.asarray(seed, jnp.uint32), jnp.asarray(s0, jnp.uint32))
 
 
 def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
-                  interpret: bool):
+                  n_s: int, interpret: bool):
     from ..integrator.wavefront import lane_groups
 
     n_pix = cfg.width * cfg.height
@@ -738,8 +805,8 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     # beat more lanes with small budgets (the tile's while loop runs to its
     # slowest lane; long budgets amortize that tail — measured 813 vs 707
     # Mrays/s for g=1 vs g=8 at 512x512x64spp, PERF.md).
-    g = lane_groups(n_pix, cfg.spp, 1 << 18, cfg.regen_groups)
-    per = cfg.spp // g
+    g = lane_groups(n_pix, n_s, 1 << 18, cfg.regen_groups)
+    per = n_s // g
     n_lanes = n_pix * g
     pad = (-n_lanes) % TILE
     n_total = n_lanes + pad
@@ -751,12 +818,12 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     )
 
     @jax.jit
-    def run(seed):
+    def run(seed, s0):
         pix = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), g)
         px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
         py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
         pid_base = pix * jnp.uint32(cfg.spp)
-        s_start = jnp.tile(
+        s_start = s0 + jnp.tile(
             jnp.arange(g, dtype=jnp.uint32) * jnp.uint32(per), n_pix
         )
         s_stop = s_start + jnp.uint32(per)
@@ -805,28 +872,44 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
 
 
 def render_pallas_sharded(scene: Scene, cam: CameraParams, cfg: RenderConfig,
-                          mesh, seed, interpret: bool = False):
+                          mesh, seed, interpret: bool = False,
+                          s0=0, n_s: int | None = None):
     """Megakernel + device mesh: each device runs the SAME compiled kernel
     over its (pixel-block x sample-range) lanes inside shard_map; per-pixel
     sums reduce over the dp axis with one psum (ICI). Composes the fastest
     single-chip path with the parallel/ scaling design.
 
+    s0/n_s render the sample span [s0, s0+n_s) only (checkpoint spans;
+    n_s defaults to cfg.spp). Compiled executables are cached per
+    (geometry, cfg, mesh, n_s) — s0 is traced.
+
     Returns ((h*w, 3) radiance sum sharded over sp, traces (2,) [extend,
     probe] psum-reduced over the whole mesh)."""
+    if not interpret and jax.devices()[0].platform != "tpu":
+        interpret = True
+    n_s = cfg.spp if n_s is None else int(n_s)
+    key = (_geom_hash(scene, cam), cfg, mesh, n_s, interpret, "sharded")
+    fn = _CACHE.get(key)
+    if fn is None:
+        fn = _build_render_sharded(scene, cam, cfg, mesh, n_s, interpret)
+        _CACHE[key] = fn
+    return fn(jnp.asarray(seed, jnp.uint32), jnp.asarray(s0, jnp.uint32))
+
+
+def _build_render_sharded(scene: Scene, cam: CameraParams,
+                          cfg: RenderConfig, mesh, n_s: int,
+                          interpret: bool):
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import AXIS_PIXEL, AXIS_SAMPLE
 
-    if not interpret and jax.devices()[0].platform != "tpu":
-        interpret = True
-
     n_sp = mesh.shape[AXIS_PIXEL]
     n_dp = mesh.shape[AXIS_SAMPLE]
     n_pix = cfg.width * cfg.height
-    if n_pix % n_sp or cfg.spp % n_dp:
-        raise ValueError(f"{n_pix=} % {n_sp=} or {cfg.spp=} % {n_dp=} != 0")
+    if n_pix % n_sp or n_s % n_dp:
+        raise ValueError(f"{n_pix=} % {n_sp=} or {n_s=} % {n_dp=} != 0")
     n_pix_loc = n_pix // n_sp
-    n_s_loc = cfg.spp // n_dp
+    n_s_loc = n_s // n_dp
 
     from ..integrator.wavefront import lane_groups
 
@@ -841,9 +924,11 @@ def render_pallas_sharded(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
 
-    def local(seed):
+    def local(seed, s0):
         pix0 = (jax.lax.axis_index(AXIS_PIXEL) * n_pix_loc).astype(jnp.uint32)
-        samp0 = (jax.lax.axis_index(AXIS_SAMPLE) * n_s_loc).astype(jnp.uint32)
+        samp0 = s0 + (
+            jax.lax.axis_index(AXIS_SAMPLE) * n_s_loc
+        ).astype(jnp.uint32)
         pix = pix0 + jnp.repeat(jnp.arange(n_pix_loc, dtype=jnp.uint32), g)
         px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
         py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
@@ -895,7 +980,7 @@ def render_pallas_sharded(scene: Scene, cam: CameraParams, cfg: RenderConfig,
 
     return jax.jit(
         jax.shard_map(
-            local, mesh=mesh, in_specs=(P(),),
+            local, mesh=mesh, in_specs=(P(), P()),
             out_specs=(P(AXIS_PIXEL), P()), check_vma=False,
         )
-    )(jnp.asarray(seed, jnp.uint32))
+    )

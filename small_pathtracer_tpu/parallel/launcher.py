@@ -51,18 +51,28 @@ def distributed_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                        process_id: int | None = None,
                        mesh_shape: tuple[int, int] | None = None,
                        max_retries: int = 3,
-                       retry_delay_s: float = 5.0):
+                       retry_delay_s: float = 5.0,
+                       checkpoint: str | None = None,
+                       checkpoint_every: int = 0):
     """Initialize the cluster (if requested), build the global mesh, and
     render with retry-on-failure.
 
-    Retries re-enter the sharded render from scratch; pair with
-    utils/checkpoint.render_with_checkpoints for chunk-level resume on
-    long renders."""
+    With ``checkpoint`` set, every retry RESUMES from the last saved span
+    (utils/checkpoint.py composes with the mesh) — the restart cost is one
+    spp chunk, not the whole render. Without it, retries re-enter the
+    sharded render from scratch."""
     init_distributed(coordinator, num_processes, process_id)
     mesh = make_mesh(mesh_shape=mesh_shape)
     last = None
     for attempt in range(max_retries + 1):
         try:
+            if checkpoint:
+                from ..utils.checkpoint import render_with_checkpoints
+
+                every = checkpoint_every or max(1, cfg.spp // 8)
+                return render_with_checkpoints(
+                    scene, cam, cfg, checkpoint, every, mesh=mesh
+                )
             return render_sharded(scene, cam, cfg, mesh)
         except Exception as e:  # pragma: no cover - exercised by injection
             last = e

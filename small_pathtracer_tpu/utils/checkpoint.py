@@ -95,9 +95,17 @@ def _render_span(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
 
 def render_with_checkpoints(scene: Scene, cam: CameraParams,
                             cfg: RenderConfig, ckpt_path: str,
-                            every_spp: int = 0):
+                            every_spp: int = 0, mesh=None):
     """Chunked render that saves resumable state every ``every_spp`` samples
     (0 = only at completion) and resumes from ``ckpt_path`` if present.
+
+    Composes with every render path: mesh (sharded span renders, psum over
+    the sample axis, single-host save of the gathered accumulator) and
+    cfg.use_pallas (megakernel spans — the kernel's per-lane s_start/s_stop
+    work assignment IS a span; s0 is a traced input so the loop compiles
+    once per span size). Because per-sample radiance is a pure function of
+    (seed, path_id, counter), a resumed render equals an uninterrupted one
+    up to float accumulation order on every path.
 
     Returns (finalized (h, w, 3) image, total traces)."""
     fp = _fingerprint(scene, cam, cfg)
@@ -109,11 +117,44 @@ def render_with_checkpoints(scene: Scene, cam: CameraParams,
         spp_done, traces = 0, 0.0
 
     step = every_spp if every_spp > 0 else cfg.spp
+    if mesh is not None:
+        # Spans must stay divisible by the sample-parallel axis.
+        from ..parallel.mesh import AXIS_SAMPLE
+
+        n_dp = mesh.shape[AXIS_SAMPLE]
+        if cfg.spp % n_dp:
+            raise ValueError(f"spp ({cfg.spp}) not divisible by dp={n_dp}")
+        step = max(n_dp, (step // n_dp) * n_dp)
     seed = jnp.uint32(cfg.seed)
     while spp_done < cfg.spp:
         n_s = min(step, cfg.spp - spp_done)
-        L, tr = _render_span(scene, cam, cfg, seed, jnp.uint32(spp_done), n_s)
-        acc = acc + np.asarray(L)
+        if cfg.use_pallas and mesh is not None:
+            from ..ops.megakernel import render_pallas_sharded
+
+            L, tr = render_pallas_sharded(
+                scene, cam, cfg, mesh, seed, s0=spp_done, n_s=n_s
+            )
+            L = np.asarray(L).reshape(-1, 3)
+        elif cfg.use_pallas:
+            from ..ops.megakernel import render_pallas_span
+
+            L, tr = render_pallas_span(
+                scene, cam, cfg, seed, jnp.uint32(spp_done), n_s
+            )
+            L = np.asarray(L).reshape(-1, 3)
+        elif mesh is not None:
+            from ..parallel.sharded import render_chunk_sharded
+
+            L, tr = render_chunk_sharded(
+                scene, cam, cfg, seed, n_s, mesh, jnp.uint32(spp_done)
+            )
+            L = np.asarray(L)
+        else:
+            L, tr = _render_span(
+                scene, cam, cfg, seed, jnp.uint32(spp_done), n_s
+            )
+            L = np.asarray(L)
+        acc = acc + L
         traces += float(tr.sum())
         spp_done += n_s
         save_state(ckpt_path, acc, spp_done, traces, fp)

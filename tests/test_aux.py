@@ -36,6 +36,53 @@ def test_launcher_retries_then_raises(monkeypatch):
     assert calls["n"] == 3
 
 
+def test_launcher_retry_resumes_from_checkpoint(tmp_path, monkeypatch):
+    """Elastic recovery v2 (round-1 VERDICT weak #4): a failed attempt no
+    longer re-renders from scratch — the retry RESUMES the checkpoint. The
+    first attempt is killed after one span; the retry must (a) produce the
+    same image as an uninterrupted render and (b) render only the
+    remaining spans."""
+    import small_pathtracer_tpu.utils.checkpoint as ck
+    from small_pathtracer_tpu.parallel.launcher import distributed_render
+
+    scene = spt.get_scene("cornell_box")
+    cam = spt.make_camera(aspect=1.5)
+    cfg = spt.RenderConfig(width=24, height=16, spp=8, estimator="nee",
+                           seed=7)
+
+    ref, ref_tr = distributed_render(
+        scene, cam, cfg, checkpoint=str(tmp_path / "ref.ckpt"),
+        checkpoint_every=2,
+    )
+
+    # The mesh path renders spans via parallel.sharded.render_chunk_sharded
+    # (imported at call time inside render_with_checkpoints).
+    import small_pathtracer_tpu.parallel.sharded as sh
+
+    spans = []
+    real_span = sh.render_chunk_sharded
+
+    def spying_span(sc, c, cf, seed, n_s, mesh, s0):
+        spans.append(int(np.asarray(s0)))
+        if len(spans) == 2 and not spying_span.failed:
+            spying_span.failed = True
+            raise RuntimeError("injected mid-render failure")
+        return real_span(sc, c, cf, seed, n_s, mesh, s0)
+
+    spying_span.failed = False
+    monkeypatch.setattr(sh, "render_chunk_sharded", spying_span)
+    img, traces = distributed_render(
+        scene, cam, cfg, checkpoint=str(tmp_path / "r.ckpt"),
+        checkpoint_every=2, retry_delay_s=0.0,
+    )
+    # Attempt 1 rendered span 0 then died at span 2; the retry resumed at
+    # span 2 (NOT at 0).
+    assert spans[:3] == [0, 2, 2], spans
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(img),
+                               rtol=2e-5, atol=2e-6)
+    assert traces == pytest.approx(ref_tr, rel=1e-6)
+
+
 def test_phase_timer():
     from small_pathtracer_tpu.utils.profiling import PhaseTimer
 

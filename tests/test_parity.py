@@ -196,6 +196,118 @@ def test_estimator_cross_consistency():
     assert b.mean() < 0.8 * a.mean()
 
 
+def _ours_samples(estimator, spp, seed, light_mode="intended"):
+    """Per-sample radiance (n_pix, spp, 3) from the fixed-slot wavefront —
+    gives the UNCLAMPED per-pixel mean and the per-pixel sample variance
+    the SURVEY 4.3 parity bound needs."""
+    import jax.numpy as jnp
+
+    import small_pathtracer_tpu as spt
+    from small_pathtracer_tpu.integrator.wavefront import (
+        _chunk_paths,
+        path_trace,
+    )
+
+    cfg = spt.RenderConfig(
+        width=W, height=H, spp=spp, estimator=estimator, seed=seed,
+        light_sample_mode=light_mode, max_bounces=64,
+    )
+    scene = spt.get_scene("cornell_box")
+    cam = spt.make_camera()
+    o, d, pid = _chunk_paths(cam, cfg, jnp.uint32(seed), jnp.uint32(0), spp)
+    L, _ = path_trace(scene, cfg, jnp.uint32(seed), o, d, pid)
+    return np.asarray(L, np.float64).reshape(W * H, spp, 3)
+
+
+def test_parity_per_pixel_zscore():
+    """SURVEY 4.3's variance-aware per-pixel bound, replacing the
+    whole-image mean-|diff| criterion. Radiance is heavy-tailed (rare
+    large NEE 1/t^2 samples), so per-pixel sample variance UNDERestimates
+    the noise and absolute z thresholds fail even oracle-vs-oracle
+    (measured: 14.5% of oracle-self z beyond 4). The honest criterion is
+    therefore RELATIVE: our per-pixel z-distribution against a held-out
+    3-seed oracle ensemble must be no worse than a held-out oracle
+    seed's own z-distribution — a spatially-structured bias in our
+    renderer inflates z_ours but not z_oracle."""
+    ens = np.stack([
+        oh.render_oracle(W, H, SPP, seed=s, estimator="nee",
+                         self_hit_eps=1e-3, linear=True)
+        for s in (2, 3, 4)
+    ])
+    o_mean = ens.mean(axis=0).reshape(W * H, 3)
+    o_hold = oh.render_oracle(W, H, SPP, seed=1, estimator="nee",
+                              self_hit_eps=1e-3, linear=True).reshape(-1, 3)
+
+    samples = _ours_samples("nee", 128, seed=5)
+    mine = samples.mean(axis=1)
+    svar = samples.var(axis=1, ddof=1)
+    # Same-estimator per-sample variance on all sides.
+    denom_ours = np.sqrt(svar / samples.shape[1] + svar / (SPP * 3) + 1e-12)
+    denom_orc = np.sqrt(svar / SPP + svar / (SPP * 3) + 1e-12)
+    z_ours = np.abs(mine - o_mean) / denom_ours
+    z_orc = np.abs(o_hold - o_mean) / denom_orc
+    # Our render has 2x the oracle's spp, so with matched estimators our
+    # z should be somewhat BETTER than the oracle's own; allow 15% slack.
+    assert z_ours.mean() < 1.15 * z_orc.mean(), (z_ours.mean(), z_orc.mean())
+    f_ours, f_orc = (z_ours > 4).mean(), (z_orc > 4).mean()
+    assert f_ours < 1.5 * f_orc + 1e-3, (f_ours, f_orc)
+    f6_ours, f6_orc = (z_ours > 6).mean(), (z_orc > 6).mean()
+    assert f6_ours < 1.5 * f6_orc + 1e-3, (f6_ours, f6_orc)
+
+
+@pytest.mark.parametrize("estimator", ["nee", "cosine", "uniform",
+                                       "mixture"])
+def test_parity_high_spp_bias(estimator):
+    """256-spp bias check per estimator (VERDICT round-1 item 6): at high
+    spp the MC noise floor drops below ~1e-3, so a channel-mean comparison
+    against a single oracle render becomes a real bias test."""
+    o = oh.render_oracle(W, H, 256, seed=9, estimator=estimator,
+                         self_hit_eps=1e-3, linear=True)
+    mine = _ours_samples(estimator, 256, seed=21).mean(axis=1)
+    np.testing.assert_allclose(
+        mine.mean(axis=0), o.reshape(-1, 3).mean(axis=0), atol=4e-3
+    )
+
+
+def test_committed_ppm_sanity():
+    """Coarse structural sanity vs a committed reference render
+    (image2_32pps_explicitsampling.ppm — sphere scene, NEE, 32 spp,
+    SURVEY 4.2). Those PPMs predate the snapshot (older scene/light
+    variants), so this is a gross-drift detector (brightness/structure
+    correlation), not a parity oracle."""
+    ppm = Path("/root/reference/image2_32pps_explicitsampling.ppm")
+    if not ppm.exists():
+        pytest.skip("committed reference PPM unavailable")
+    toks = ppm.read_text().split()
+    assert toks[0] == "P3"
+    rw, rh, maxv = int(toks[1]), int(toks[2]), int(toks[3])
+    ref = np.array(toks[4:4 + rw * rh * 3], np.float64).reshape(rh, rw, 3)
+    ref /= maxv
+
+    import small_pathtracer_tpu as spt
+
+    cfg = spt.RenderConfig(width=96, height=96, spp=32, estimator="nee",
+                           seed=3)
+    img, _ = spt.render(spt.get_scene("cornell_spheres"),
+                        spt.make_camera(), cfg)
+    mine_u8 = np.asarray(
+        __import__("small_pathtracer_tpu.core.film",
+                   fromlist=["film"]).tonemap_u8(img), np.float64
+    ) / 255.0
+
+    def pool(x, n=16):
+        h, w = x.shape[:2]
+        g = x.mean(axis=2)
+        return g.reshape(n, h // n, n, w // n).mean(axis=(1, 3))
+
+    a = pool(ref)
+    b = pool(mine_u8)
+    # Brightness within 35% and downsampled structure correlated.
+    assert abs(a.mean() - b.mean()) < 0.35 * max(a.mean(), b.mean())
+    corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
+    assert corr > 0.6, corr
+
+
 def test_nee_textbook_unbiased_and_lower_variance():
     """The 'correctness over parity' NEE (SURVEY section 7 hard part #2):
     must converge to the same image as cosine (both unbiased — unlike the

@@ -28,6 +28,51 @@ def cam():
     return spt.make_camera(aspect=48 / 36)
 
 
+def _blocker_scene(x):
+    """cornell_spheres with sphere 0 raised toward the light (center
+    (x, 62, 78), r=9): it casts a shadow onto the floor while its own
+    silhouette sits in the UPPER image half."""
+    s = spt.get_scene("cornell_spheres")
+    ctr = s.spheres.center.at[0].set(jnp.asarray([x, 62.0, 78.0]))
+    rad = s.spheres.radius.at[0].set(9.0)
+    return s._replace(spheres=s.spheres._replace(center=ctr, radius=rad))
+
+
+def test_recover_blocker_from_shadow(cam):
+    """Shadow-edge gradients (soft v2): recover a blocker's x position
+    from its CAST SHADOW alone — the loss is masked to the floor region
+    (bottom 40% of rows), which excludes the sphere's own silhouette, so
+    the only signal is the soft shadow transmittance term. With the v1
+    hard shadow probe this gradient was exactly zero."""
+    import optax
+
+    cfg = spt.RenderConfig(width=32, height=24, spp=2, estimator="nee",
+                           seed=1)
+    tau = 2.0
+    rows = slice(15, 24)  # floor region
+    # Common random numbers (same seed both sides): at spp=2 an
+    # independent-seed MC noise floor would drown the shadow signal.
+    target = soft_render(_blocker_scene(56.0), cam, cfg, jnp.uint32(1),
+                         tau)[rows]
+
+    def loss(x):
+        img = soft_render(_blocker_scene(x), cam, cfg, jnp.uint32(1), tau)
+        return jnp.mean((img[rows] - target) ** 2)
+
+    g0 = float(jax.grad(loss)(44.0))
+    assert abs(g0) > 1e-8, "no shadow gradient at all"
+
+    tx = optax.adam(1.0)
+    x = jnp.asarray(44.0)
+    state = tx.init(x)
+    vg = jax.jit(jax.value_and_grad(loss))
+    for _ in range(50):
+        val, g = vg(x)
+        upd, state = tx.update(g, state, x)
+        x = optax.apply_updates(x, upd)
+    assert abs(float(x) - 56.0) < 2.5, (float(x), float(val))
+
+
 def test_soft_matches_hard_at_small_tau(scene, cam):
     """tau -> 0 recovers the hard one-bounce image (on a direct-light-
     dominated scene the mean should be in the right range and the images
