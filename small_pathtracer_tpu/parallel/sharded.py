@@ -156,5 +156,12 @@ def render_sharded(scene: Scene, cam: CameraParams, cfg: RenderConfig, mesh):
         acc = img if acc is None else acc + img
         traces += float(n_tr.sum())
         s0 += n_s
-    img = (acc / cfg.spp).reshape(cfg.height, cfg.width, 3)
-    return film.finalize(img), traces
+    img = film.finalize((acc / cfg.spp).reshape(cfg.height, cfg.width, 3))
+    if jax.process_count() > 1:
+        # Multi-host: the accumulator spans non-addressable devices; gather
+        # a host-local replica so callers can np.asarray / encode it
+        # (exercised by tests/test_distributed.py's 2-process run).
+        from jax.experimental import multihost_utils
+
+        img = multihost_utils.process_allgather(img, tiled=True)
+    return img, traces
