@@ -87,6 +87,27 @@ def uniform_mix(seed, path_id, ctr) -> jnp.ndarray:
     return (bits >> np.uint32(8)).astype(jnp.float32) * _INV_2_24
 
 
+_INV_2_16 = np.float32(1.0 / (1 << 16))
+
+
+def uniform_mix_packed(seed, path_id, ctr) -> jnp.ndarray:
+    """Packed variant: ONE hash yields TWO 16-bit draws — counter pairs
+    (2k, 2k+1) share the hash of counter k and take the low/high half.
+
+    Halves of a murmur-finalized word are statistically independent; 16-bit
+    resolution (2^-16 ~ 1.5e-5) is far below MC noise at any practical spp.
+    Saves ~40% of RNG ALU on NEE bounces (5 draws -> 3 hashes) — the
+    megakernel headroom experiment from round-1 PERF.md. A distinct
+    backend (not the default) because it changes the sampled sequence."""
+    ctr = _u32(ctr)
+    bits = hash_u32(seed, path_id, ctr >> np.uint32(1))
+    half = jnp.where(
+        (ctr & np.uint32(1)) != 0, bits >> np.uint32(16),
+        bits & np.uint32(0xFFFF),
+    )
+    return half.astype(jnp.float32) * _INV_2_16
+
+
 def uniform_threefry(seed, path_id, ctr) -> jnp.ndarray:
     """Gold-standard backend: the threefry-2x32 block cipher applied to the
     per-draw counter pair (path_id, ctr) under key (seed, seed^golden).
@@ -109,6 +130,8 @@ def uniform_threefry(seed, path_id, ctr) -> jnp.ndarray:
 def make_uniform_fn(backend: str = "mix"):
     if backend == "mix":
         return uniform_mix
+    if backend == "mix_packed":
+        return uniform_mix_packed
     if backend == "threefry":
         return uniform_threefry
     raise ValueError(f"unknown rng backend: {backend!r}")

@@ -134,6 +134,31 @@ def test_sphere_grid_scalability():
     assert abs(float(ta.sum()) - float(tb.sum())) / float(ta.sum()) < 2e-2
 
 
+def test_packed_rng_backend_matches_jnp_and_is_unbiased():
+    """rng_backend="mix_packed" (one hash -> two 16-bit draws, the PERF.md
+    headroom experiment): kernel and jnp wavefront stay bit-identical on
+    the box scene, and the estimate agrees statistically with the default
+    backend (independent streams, same estimator)."""
+    scene = get_scene("cornell_box")
+    cam = make_camera()
+    cfg = RenderConfig(width=32, height=24, spp=8, estimator="nee", seed=3,
+                       rng_backend="mix_packed")
+    a, ta = render_regen(scene, cam, cfg, jnp.uint32(3))
+    b, tb = render_pallas(scene, cam, cfg, 3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-4)
+    cfg_mix = RenderConfig(width=32, height=24, spp=64, estimator="nee",
+                           seed=3)
+    cfg_pk = RenderConfig(width=32, height=24, spp=64, estimator="nee",
+                          seed=3, rng_backend="mix_packed")
+    m, _ = render_regen(scene, cam, cfg_mix, jnp.uint32(3))
+    p, _ = render_regen(scene, cam, cfg_pk, jnp.uint32(3))
+    m = np.asarray(m) / 64
+    p = np.asarray(p) / 64
+    assert abs(m.mean() - p.mean()) < 5e-3, (m.mean(), p.mean())
+
+
 def test_nee_textbook_ignores_glibc_mode():
     """Regression (round-1 advisor finding): with estimator=nee_textbook +
     light_sample_mode=glibc_overflow the kernel used to apply the glibc
