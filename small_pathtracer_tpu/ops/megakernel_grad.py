@@ -36,9 +36,17 @@ Geometry/camera/RNG-discreteness cotangents are NOT computed here (same
 scope as the pathwise jnp adjoint; use grad/soft.py and grad/score.py for
 silhouette and RR-decision terms).
 
-Estimators: nee / cosine / uniform / uniform_corrected / mixture, all
-materials (DIFF/SPEC/REFR). nee_textbook is rejected (its direct term
-needs an extra albedo/emission product chain — jnp path handles it).
+Estimators: all six (nee / cosine / uniform / uniform_corrected / mixture /
+nee_textbook — the textbook shadow-ray direct term contributes its own
+albedo and light-emission cotangents, and the double-count pickup
+suppression is replayed bit-exactly), all materials (DIFF/SPEC/REFR).
+
+Known pathology (nee_textbook, any adjoint — jnp included): the gradient
+w.r.t. the LIGHT's own albedo is dominated by knife-edge 1/t^2 shadow-ray
+events at the C13 81.5-vs-81.6 plane mismatch; its value varies by O(1)
+factors under float-rounding-level program changes (tests/
+test_megakernel_grad.py discussion). A zero-albedo emitter's albedo is not
+a meaningful training target; all other rows are stable and validated.
 """
 
 from __future__ import annotations
@@ -122,11 +130,7 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     if cfg.rng_backend != "mix":
         raise NotImplementedError("adjoint kernel: rng_backend='mix' only")
     est = cfg.estimator
-    if est == "nee_textbook":
-        raise NotImplementedError(
-            "adjoint kernel does not cover nee_textbook yet; use the jnp "
-            "adjoint (grad/adjoint.py) for that estimator"
-        )
+    textbook = est == "nee_textbook"
     glibc = cfg.light_sample_mode == "glibc_overflow"
     has_spec = any(o["refl"] == 1 for o in rects + quads + spheres)
     has_refr = any(o["refl"] == 2 for o in rects + quads + spheres)
@@ -196,6 +200,7 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             izero,                      # depth
             s0,                         # sample idx
             pid0,                       # path id
+            izero,                      # no_emit (nee_textbook guard)
         )
 
         def cond(c):
@@ -203,7 +208,7 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
 
         def body(c):
             (ox, oy, oz, dx, dy, dz, tr_, tg, tb, ar, ag, ab,
-             lar, lag, lab, ph, alive_i, depth, s, pid) = c
+             lar, lag, lab, ph, alive_i, depth, s, pid, ne) = c
             alive = alive_i > 0
             depth = jnp.where(alive, depth + 1, depth)
 
@@ -215,9 +220,18 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
 
             # Emission pickup with the PRE-update throughput (C14); this is
             # both pass A's L accumulation and pass B's partial sum A_j+1.
-            ar_n = ar + alive_f * tr_ * h["emi"][0]
-            ag_n = ag + alive_f * tg * h["emi"][1]
-            ab_n = ab + alive_f * tb * h["emi"][2]
+            # nee_textbook: lanes whose previous bounce shadow-sampled the
+            # light skip the SAMPLED light's pickup (double-count guard,
+            # mirrors build_kernel's alive_i bit 1).
+            if textbook:
+                suppress = (ne > 0) & h["is_light"]
+                emit_f = jnp.where(alive & ~suppress, np.float32(1.0),
+                                   np.float32(0.0))
+            else:
+                emit_f = alive_f
+            ar_n = ar + emit_f * tr_ * h["emi"][0]
+            ag_n = ag + emit_f * tg * h["emi"][1]
+            ab_n = ab + emit_f * tb * h["emi"][2]
 
             hitm = h["hit"]
             hx = jnp.where(hitm, ox + h["t"] * dx, 0.0)
@@ -268,10 +282,11 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             inv_sl = jax.lax.rsqrt(sxr * sxr + syr * syr + szr * szr)
             scx, scy, scz = sxr * inv_sl, syr * inv_sl, szr * inv_sl
 
-            if est in ("nee", "mixture"):
+            if est in ("nee", "mixture", "nee_textbook"):
                 lu = _uniform(seed, pid, ctr + _u32c(rng.P_LIGHT_U))
                 lv = _uniform(seed, pid, ctr + _u32c(rng.P_LIGHT_V))
-                if glibc:
+                # textbook ALWAYS samples the full light (config.py docs).
+                if glibc and not textbook:
                     off_u = glibc_offset(lu)
                     off_v = glibc_offset(lv)
                     lpx = lc[0] + off_u * leu_hat[0] + off_v * lev_hat[0]
@@ -295,10 +310,32 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 w_nee = (
                     jnp.abs(area * cos_l) / (t_safe * t_safe)
                 ) * (cos_s * np.float32(1.0 / math.pi))
-                ndx = jnp.where(success, ldx, scx)
-                ndy = jnp.where(success, ldy, scy)
-                ndz = jnp.where(success, ldz, scz)
-                wgt = jnp.where(success, w_nee, 1.0)
+                if textbook:
+                    # Unbiased shadow-ray direct term with the PRE-update
+                    # throughput; continuation is plain cosine (wgt = 1).
+                    # Mirrors build_kernel's textbook block exactly.
+                    is_diff_tb = ~(h["is_spec"] | h["is_refr"])
+                    e_light_k = tuple(
+                        emi_ref[light_id, c] for c in range(3)
+                    )
+                    gate = jnp.where(
+                        alive & is_diff_tb & success, w_nee,
+                        np.float32(0.0),
+                    )
+                    dir_r = gate * tr_ * h["alb"][0] * e_light_k[0]
+                    dir_g = gate * tg * h["alb"][1] * e_light_k[1]
+                    dir_b = gate * tb * h["alb"][2] * e_light_k[2]
+                    ar_n = ar_n + dir_r
+                    ag_n = ag_n + dir_g
+                    ab_n = ab_n + dir_b
+                    ndx, ndy, ndz = scx, scy, scz
+                    wgt = one
+                else:
+                    gate = None
+                    ndx = jnp.where(success, ldx, scx)
+                    ndy = jnp.where(success, ldy, scy)
+                    ndz = jnp.where(success, ldz, scz)
+                    wgt = jnp.where(success, w_nee, 1.0)
                 if est == "mixture":
                     um = _uniform(seed, pid, ctr + _u32c(rng.P_MIX_COIN))
                     take = um < mix_q
@@ -420,8 +457,20 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             val_alb_tot = [
                 val_alb[chn] + am_w[chn] * s_am for chn in range(3)
             ]
-            # Emission cotangent: the pickup this bounce used T_j.
-            val_emi = [g_ct[chn] * T_ch[chn] for chn in range(3)]
+            if textbook:
+                # Direct-term cotangents: b_dir = gate*T*c*e_light, so
+                # d/dc picks up gate*T*e_light on the hit object and
+                # d/de_light picks up gate*T*c on the LIGHT's emission row.
+                val_alb_tot = [
+                    val_alb_tot[chn]
+                    + g_ct[chn] * gate * T_ch[chn] * e_light_k[chn]
+                    for chn in range(3)
+                ]
+            # Emission cotangent: the pickup this bounce used T_j (gated by
+            # the textbook double-count suppression via emit_f).
+            val_emi = [
+                g_ct[chn] * T_ch[chn] * emit_f for chn in range(3)
+            ]
 
             hobj = h["obj"]
             for o in range(n_obj):
@@ -431,6 +480,12 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                     gacc[ia] = gacc[ia] + m * val_alb_tot[chn]
                     ie = n_obj * 3 + ia
                     gacc[ie] = gacc[ie] + m * val_emi[chn]
+            if textbook:
+                for chn in range(3):
+                    ie_l = n_obj * 3 + light_id * 3 + chn
+                    gacc[ie_l] = gacc[ie_l] + (
+                        isB_f * g_ct[chn] * gate * T_ch[chn] * h["alb"][chn]
+                    )
             # --------------------------------------------------------------
 
             alive_next = alive_next & (depth < max_bounces)
@@ -468,8 +523,17 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             alive_i = jnp.where(
                 alive_next | reborn, np.int32(1), np.int32(0)
             )
+            if textbook:
+                # Next bounce suppresses the sampled light's pickup for
+                # continuing diffuse lanes; reborn lanes start fresh.
+                ne = jnp.where(
+                    alive_next & is_diff_tb & ~reborn, np.int32(1),
+                    np.int32(0),
+                )
+            else:
+                ne = jnp.zeros_like(ne)
             return (ox, oy, oz, dx, dy, dz, tr_, tg, tb, ar, ag, ab,
-                    lar, lag, lab, ph, alive_i, depth, s, pid)
+                    lar, lag, lab, ph, alive_i, depth, s, pid, ne)
 
         jax.lax.while_loop(cond, body, carry0)
 
