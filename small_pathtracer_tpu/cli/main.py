@@ -24,9 +24,12 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pallas", action="store_true", dest="use_pallas",
                    help="use the fused Pallas megakernel (all materials "
                    "incl. SPEC/REFR and all estimators; requires "
-                   "rng=mix, and bakes the scene at compile time — use "
-                   "the jnp wavefront for scene-optimization loops)")
-    p.add_argument("--rng", default="mix", choices=["mix", "threefry"],
+                   "rng mix/mix_packed, and bakes the scene geometry at "
+                   "compile time — fit --pallas updates materials without "
+                   "recompiling; other scene-optimization loops use the "
+                   "jnp wavefront)")
+    p.add_argument("--rng", default="mix",
+                   choices=["mix", "mix_packed", "threefry"],
                    dest="rng_backend")
     p.add_argument("--mesh", default="",
                    help="distributed mesh shape 'SPxDP' (e.g. 4x2); empty = single device")
@@ -38,6 +41,18 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="render-state checkpoint path (resume if it exists)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="save render state every N spp (0 = only at end)")
+
+
+def _mesh_from_arg(args):
+    """Parse --mesh 'SPxDP' into a device mesh (None when unset)."""
+    if not getattr(args, "mesh", ""):
+        return None
+    import jax
+
+    from ..parallel.mesh import make_mesh
+
+    sp, dp = (int(x) for x in args.mesh.lower().split("x"))
+    return make_mesh(jax.devices()[: sp * dp], mesh_shape=(sp, dp))
 
 
 def _build(args):
@@ -74,25 +89,13 @@ def cmd_render(args) -> int:
     if args.checkpoint:
         from ..utils.checkpoint import render_with_checkpoints
 
-        mesh = None
-        if args.mesh:
-            import jax
-
-            from ..parallel.mesh import make_mesh
-
-            sp, dp = (int(x) for x in args.mesh.lower().split("x"))
-            mesh = make_mesh(jax.devices()[: sp * dp], mesh_shape=(sp, dp))
+        mesh = _mesh_from_arg(args)
         img, traces = render_with_checkpoints(
             scene, cam, cfg, args.checkpoint, args.checkpoint_every,
             mesh=mesh,
         )
     elif args.mesh:
-        import jax
-
-        from ..parallel.mesh import make_mesh
-
-        sp, dp = (int(x) for x in args.mesh.lower().split("x"))
-        mesh = make_mesh(jax.devices()[: sp * dp], mesh_shape=(sp, dp))
+        mesh = _mesh_from_arg(args)
         if cfg.use_pallas:
             from ..core import film
             from ..ops.megakernel import render_pallas_sharded
@@ -130,16 +133,13 @@ def cmd_render(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import jax
     import numpy as np
 
     scene, cam, cfg = _build(args)
     if args.mesh:
-        from ..parallel.mesh import make_mesh
         from ..parallel.sharded import render_sharded
 
-        sp, dp = (int(x) for x in args.mesh.lower().split("x"))
-        mesh = make_mesh(jax.devices()[: sp * dp], mesh_shape=(sp, dp))
+        mesh = _mesh_from_arg(args)
 
         def run():
             return render_sharded(scene, cam, cfg, mesh)
@@ -187,6 +187,9 @@ def cmd_viz(args) -> int:
 def cmd_fit(args) -> int:
     """Inverse rendering: recover scene parameters from a target image."""
     import numpy as np
+
+    if args.steps < 1:
+        raise SystemExit("--steps must be >= 1")
 
     import jax.numpy as jnp
 
@@ -315,11 +318,8 @@ def cmd_fit(args) -> int:
                                args.bounces)
     import jax
 
-    if args.mesh:
-        sp, dp = (int(x) for x in args.mesh.lower().split("x"))
-        mesh = make_mesh(jax.devices()[: sp * dp], mesh_shape=(sp, dp))
-    else:
-        mesh = make_mesh(jax.devices()[:1], mesh_shape=(1, 1))
+    mesh = _mesh_from_arg(args) or make_mesh(jax.devices()[:1],
+                                             mesh_shape=(1, 1))
     if args.optimizer == "sgd":
         step = make_sharded_train_step(
             cfg, mesh, target, n_bounces=args.bounces, lr=args.lr,

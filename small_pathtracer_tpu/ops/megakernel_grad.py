@@ -113,12 +113,7 @@ def unpack_materials(scene: Scene, alb, emi) -> Scene:
 def material_grads_to_scene(scene: Scene, galb, gemi):
     """(K,3) material cotangents -> a scene-shaped pytree of gradients
     (zeros for every non-material leaf)."""
-    zero = jax.tree.map(
-        lambda x: jnp.zeros_like(x)
-        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
-        else jnp.zeros_like(x),
-        scene,
-    )
+    zero = jax.tree.map(jnp.zeros_like, scene)
     return unpack_materials(zero, galb, gemi)
 
 

@@ -134,27 +134,30 @@ def render_with_checkpoints(scene: Scene, cam: CameraParams,
             L, tr = render_pallas_sharded(
                 scene, cam, cfg, mesh, seed, s0=spp_done, n_s=n_s
             )
-            L = np.asarray(L).reshape(-1, 3)
         elif cfg.use_pallas:
             from ..ops.megakernel import render_pallas_span
 
             L, tr = render_pallas_span(
                 scene, cam, cfg, seed, jnp.uint32(spp_done), n_s
             )
-            L = np.asarray(L).reshape(-1, 3)
         elif mesh is not None:
             from ..parallel.sharded import render_chunk_sharded
 
             L, tr = render_chunk_sharded(
                 scene, cam, cfg, seed, n_s, mesh, jnp.uint32(spp_done)
             )
-            L = np.asarray(L)
         else:
             L, tr = _render_span(
                 scene, cam, cfg, seed, jnp.uint32(spp_done), n_s
             )
-            L = np.asarray(L)
-        acc = acc + L
+        if mesh is not None and jax.process_count() > 1:
+            # Multi-host: span images are sharded over non-addressable
+            # devices; gather a host-local replica before the numpy
+            # accumulate/save (same fix as parallel.sharded.render_sharded).
+            from jax.experimental import multihost_utils
+
+            L = multihost_utils.process_allgather(L, tiled=True)
+        acc = acc + np.asarray(L).reshape(-1, 3)
         traces += float(tr.sum())
         spp_done += n_s
         save_state(ckpt_path, acc, spp_done, traces, fp)

@@ -1,6 +1,8 @@
-"""Worker for the 2-process jax.distributed test (test_distributed.py).
+"""Worker for the 2-process jax.distributed tests (test_distributed.py).
 
-Run as: python _mp_worker.py <process_id> <num_processes> <coordinator>
+Run as: python _mp_worker.py <pid> <nproc> <coordinator> [mode] [ckpt_dir]
+mode: "plain" (sharded render) or "ckpt" (checkpointed spans over the
+mesh — exercises the multi-host process_allgather in the span loop).
 Prints one line: MP_RESULT mean=<f> traces=<f>
 """
 
@@ -28,10 +30,21 @@ from small_pathtracer_tpu import RenderConfig, get_scene, make_camera  # noqa: E
 from small_pathtracer_tpu.parallel.mesh import make_mesh  # noqa: E402
 from small_pathtracer_tpu.parallel.sharded import render_sharded  # noqa: E402
 
+mode = sys.argv[4] if len(sys.argv) > 4 else "plain"
 cfg = RenderConfig(width=16, height=16, spp=8, estimator="nee", seed=4)
 mesh = make_mesh(jax.devices(), mesh_shape=(4, 2))
-img, traces = render_sharded(
-    get_scene("cornell_box"), make_camera(), cfg, mesh
-)
+if mode == "ckpt":
+    from small_pathtracer_tpu.utils.checkpoint import (
+        render_with_checkpoints,
+    )
+
+    ckpt = os.path.join(sys.argv[5], f"mp_{pid}.ckpt")
+    img, traces = render_with_checkpoints(
+        get_scene("cornell_box"), make_camera(), cfg, ckpt, 2, mesh=mesh
+    )
+else:
+    img, traces = render_sharded(
+        get_scene("cornell_box"), make_camera(), cfg, mesh
+    )
 img = np.asarray(img)
 print(f"MP_RESULT mean={img.mean():.9f} traces={traces}", flush=True)

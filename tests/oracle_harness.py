@@ -49,7 +49,8 @@ def available() -> bool:
     return REF_SRC.exists() and shutil.which("g++") is not None
 
 
-def _enable_spec_refr(txt: str, mode: str) -> str:
+def _enable_spec_refr(txt: str, mode: str,
+                      overrides: dict | None = None) -> str:
     """Replace the commented SPEC/REFR block (smallpt.cpp:481-495, contract
     C16) with compiling code.
 
@@ -59,8 +60,11 @@ def _enable_spec_refr(txt: str, mode: str) -> str:
     args, and only the ORIENTED normal ``nl`` is returned). The re-enabled
     code adapts it:
     - mirror reflection about nl == reflection about n (sign cancels);
-    - ``into`` is recovered from the glass sphere's known center (the only
-      REFR object in the oracle scene) — outward geometric normal test;
+    - ``into`` is recovered from the REFR sphere's center via an outward
+      geometric-normal test; since either sphere may be REFR (and sphere 0's
+      center is overridable), the test picks the NEAREST of the two scene
+      sphere centers to the hit point — x lies on the refracting sphere's
+      surface, so the nearest center is that sphere's;
     mode="split": the as-written estimator (trace BOTH rays at depth <= 2,
     Russian roulette beyond). mode="rr": Russian roulette at every depth
     with the same P=.25+.5*Re — the repo wavefront's always-RR variant
@@ -72,12 +76,17 @@ def _enable_spec_refr(txt: str, mode: str) -> str:
     end = txt.index("*/", idx) + 2
     cond = "depth > 2" if mode == "split" else "true"
     radiance_tail = ", depth, Xi, path_length, dict, counter_red)"
+    s0 = (overrides or {}).get("sphere0_center", (27.0, 16.5, 47.0))
+    c0 = f"Vec({s0[0]!r}, {s0[1]!r}, {s0[2]!r})"
+    c1 = "Vec(73, 16.5, 78)"
     code = f"""
 \telse if (hit.refl == SPEC) {{            // Ideal SPECULAR reflection
 \t\treturn hit.e + f.mult(radiance(Ray(x, r.d - nl * 2 * nl.dot(r.d)){radiance_tail});
 \t}} else {{
 \t\tRay reflRay(x, r.d - nl * 2 * nl.dot(r.d));     // Ideal dielectric REFRACTION
-\t\tbool into = (x - Vec(73, 16.5, 78)).dot(nl) > 0;  // outward n faces the ray?
+\t\tVec d0c = x - {c0}, d1c = x - {c1};  // x is ON the refracting sphere:
+\t\tVec cvec = d0c.dot(d0c) < d1c.dot(d1c) ? d0c : d1c;  // nearest center
+\t\tbool into = cvec.dot(nl) > 0;        // outward geometric n faces the ray?
 \t\tVec n = into ? nl : nl * -1;
 \t\tdouble nc = 1, nt = 1.5, nnt = into ? nc / nt : nt / nc, ddn = r.d.dot(nl), cos2t;
 \t\tif ((cos2t = 1 - nnt * nnt * (1 - ddn * ddn)) < 0)    // Total internal reflection
@@ -169,7 +178,7 @@ def _patched_source(
     txt = "".join(lines)
 
     if spec_refr:
-        txt = _enable_spec_refr(txt, spec_refr)
+        txt = _enable_spec_refr(txt, spec_refr, overrides)
 
     if scene != "box" or overrides:
         # Regenerate the scene table (smallpt.cpp:286-311) with parameter

@@ -39,13 +39,7 @@ def test_mesh_default_factoring():
     assert mesh.devices.size == 8
 
 
-def test_two_process_distributed_render():
-    """REAL multi-process jax.distributed (round-1 VERDICT weak #4: the
-    multi-host path had never run with >1 process): two subprocesses, 4
-    virtual CPU devices each, gloo collectives over a (4, 2) global mesh.
-    Both processes must produce the host-gathered image (the
-    process_allgather in render_sharded), agreeing with the single-process
-    8-device render of the same config."""
+def _run_two_process(mode: str, extra: list[str]):
     import os
     import re
     import subprocess
@@ -53,11 +47,11 @@ def test_two_process_distributed_render():
     from pathlib import Path
 
     worker = Path(__file__).resolve().parent / "_mp_worker.py"
-    port = 20000 + (os.getpid() % 9999)
+    port = 20000 + ((os.getpid() + (7919 if mode == "ckpt" else 0)) % 9999)
     coord = f"127.0.0.1:{port}"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), "2", coord],
+            [sys.executable, str(worker), str(i), "2", coord, mode, *extra],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for i in range(2)
@@ -78,13 +72,37 @@ def test_two_process_distributed_render():
         assert m, out
         results.append((float(m.group(1)), float(m.group(2))))
     assert results[0] == results[1], results
+    return results[0]
 
-    # Single-process reference on the same (4, 2) mesh shape.
+
+def _single_process_reference():
     cfg = RenderConfig(width=16, height=16, spp=8, estimator="nee", seed=4)
     mesh = make_mesh(jax.devices(), mesh_shape=(4, 2))
     img, traces = render_sharded(
         get_scene("cornell_box"), make_camera(), cfg, mesh
     )
-    assert results[0][0] == pytest.approx(float(np.asarray(img).mean()),
-                                          rel=1e-5)
-    assert results[0][1] == pytest.approx(traces, rel=1e-6)
+    return float(np.asarray(img).mean()), traces
+
+
+def test_two_process_distributed_render():
+    """REAL multi-process jax.distributed (round-1 VERDICT weak #4: the
+    multi-host path had never run with >1 process): two subprocesses, 4
+    virtual CPU devices each, gloo collectives over a (4, 2) global mesh.
+    Both processes must produce the host-gathered image (the
+    process_allgather in render_sharded), agreeing with the single-process
+    8-device render of the same config."""
+    mean, traces = _run_two_process("plain", [])
+    ref_mean, ref_traces = _single_process_reference()
+    assert mean == pytest.approx(ref_mean, rel=1e-5)
+    assert traces == pytest.approx(ref_traces, rel=1e-6)
+
+
+def test_two_process_checkpointed_render(tmp_path):
+    """Checkpointed span rendering over a 2-process mesh: each span's
+    sharded image is process_allgathered before the host-side accumulate
+    (review finding: the span loop used to crash multi-host), and the
+    result equals the single-process render."""
+    mean, traces = _run_two_process("ckpt", [str(tmp_path)])
+    ref_mean, ref_traces = _single_process_reference()
+    assert mean == pytest.approx(ref_mean, rel=1e-5)
+    assert traces == pytest.approx(ref_traces, rel=1e-6)

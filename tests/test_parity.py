@@ -160,6 +160,20 @@ def test_parity_spec_refr_vs_oracle():
     )
 
 
+def test_spec_refr_oracle_with_overrides_builds():
+    """The re-enabled REFR branch recovers 'into' from the NEAREST sphere
+    center, so it stays correct when sphere 0 is the refractor and/or its
+    center is overridden (review finding: a hardcoded glass center would
+    silently corrupt overridden-parameter oracles)."""
+    img = oh.render_oracle(
+        32, 32, 4, seed=1, estimator="nee", self_hit_eps=1e-3,
+        scene="spheres", spec_refr="rr",
+        overrides={"sphere_materials": ("REFR", "DIFF"),
+                   "sphere0_center": (30.0, 16.5, 47.0)},
+    )
+    assert np.all(np.isfinite(img)) and 0.05 < img.mean() < 1.0
+
+
 def test_refr_split_vs_rr_deviation_is_variance_only():
     """Quantifies the documented deviation (integrator/wavefront.py
     _refr_scatter): the reference's depth<=2 dielectric ray SPLITTING vs
