@@ -107,6 +107,30 @@ def test_full_scene_camera_grads_finite(scene, cam, target):
     assert np.abs(np.asarray(g_scene.rects.emission)[6]).max() > 0
 
 
+def test_camera_translation_grad_is_interior_only(scene, cam, target):
+    """Pins the documented limitation (grad/adjoint.py docstring): the
+    pathwise camera-ORIGIN gradient omits the edge-advection term, which
+    DOMINATES camera sensitivity (moving the camera sweeps object edges
+    across pixels; smooth-region shading barely changes). Measured: FD ~13
+    vs AD ~-0.04 on the box scene. Asserted so the finite camera
+    cotangents are never mistaken for usable translation gradients —
+    train steps freeze the camera by default (train_cam=False)."""
+    from small_pathtracer_tpu.grad.adjoint import mse_loss, render_linear
+
+    def loss(dy):
+        c2 = cam._replace(origin=cam.origin.at[1].add(dy))
+        return mse_loss(
+            render_linear(scene, c2, CFG, SEED, N_BOUNCES), target
+        )
+
+    g_ad = float(jax.grad(loss)(0.0))
+    eps = 1e-2
+    g_fd = (float(loss(eps)) - float(loss(-eps))) / (2 * eps)
+    assert np.isfinite(g_ad)
+    # The edge term FD sees is an order of magnitude beyond pathwise AD.
+    assert abs(g_fd) > 10.0 * abs(g_ad), (g_fd, g_ad)
+
+
 def test_sphere_center_grad_exists():
     scene = get_scene("cornell_spheres")
     cam = make_camera(aspect=CFG.width / CFG.height)
