@@ -301,8 +301,11 @@ def cmd_fit(args) -> int:
         _, losses = fit_pallas(
             scene, cam, cfg, target, steps=args.steps, lr=args.lr,
             train_fields=fields, seed=cfg.seed, log=sys.stderr,
+            checkpoint=args.checkpoint or None,
+            checkpoint_every=args.checkpoint_every,
         )
-        print(json.dumps({"final_loss": losses[-1], "steps": args.steps}))
+        final = losses[-1] if losses else None
+        print(json.dumps({"final_loss": final, "steps": args.steps}))
         return 0
 
     if args.target:
@@ -320,15 +323,43 @@ def cmd_fit(args) -> int:
 
     mesh = _mesh_from_arg(args) or make_mesh(jax.devices()[:1],
                                              mesh_shape=(1, 1))
+    # Optional training-state checkpoint (utils/train_checkpoint): resumed
+    # if present, saved every --checkpoint-every steps (0 = at end only).
+    ck_path = args.checkpoint or None
+    ck_every = args.checkpoint_every
+    if ck_path:
+        from ..utils.train_checkpoint import (
+            load_train_state,
+            save_train_state,
+            train_tag,
+        )
+
+        tag = train_tag(
+            cfg, f"fit|{args.optimizer}|{args.lr}|{args.train}|{args.bounces}"
+        )
+
+    def maybe_save(i, params, opt_state=None):
+        if ck_path and (
+            i == args.steps - 1 or (ck_every and (i + 1) % ck_every == 0)
+        ):
+            save_train_state(ck_path, i + 1, params, opt_state, tag=tag)
+
+    loss = float("nan")
     if args.optimizer == "sgd":
         step = make_sharded_train_step(
             cfg, mesh, target, n_bounces=args.bounces, lr=args.lr,
             train_fields=tuple(args.train.split(",")),
         )
         s, c = scene, cam
-        for i in range(args.steps):
+        start = 0
+        if ck_path:
+            st = load_train_state(ck_path, s, tag=tag)
+            if st is not None:
+                start, s, _ = st
+        for i in range(start, args.steps):
             loss, s, c = step(s, c, jnp.uint32(cfg.seed))
             print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
+            maybe_save(i, s)
     else:
         from ..grad.adjoint import make_sharded_train_step_with_state
 
@@ -339,10 +370,18 @@ def cmd_fit(args) -> int:
         )
         opt_state = init(scene)
         s = scene
-        for i in range(args.steps):
+        start = 0
+        if ck_path:
+            st = load_train_state(ck_path, s, opt_state, tag=tag)
+            if st is not None:
+                start, s, opt_state = st
+        for i in range(start, args.steps):
             loss, s, opt_state = step(s, cam, jnp.uint32(cfg.seed), opt_state)
             print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
-    print(json.dumps({"final_loss": float(loss), "steps": args.steps}))
+            maybe_save(i, s, opt_state)
+    final = float(loss) if loss == loss else None  # NaN -> null (fully
+    # resumed checkpoint: no steps left to run)
+    print(json.dumps({"final_loss": final, "steps": args.steps}))
     return 0
 
 

@@ -770,16 +770,36 @@ def loss_and_material_grads(scene: Scene, cam: CameraParams,
 def fit_pallas(scene: Scene, cam: CameraParams, cfg: RenderConfig, target,
                steps: int = 20, lr: float = 1.0,
                train_fields: tuple[str, ...] = ("emission", "albedo"),
-               seed: int = 0, interpret: bool = False, log=None):
+               seed: int = 0, interpret: bool = False, log=None,
+               checkpoint: str | None = None, checkpoint_every: int = 0):
     """Kernel-path inverse rendering: SGD on the material tables through
     the forward+adjoint megakernels. Both kernels compile once (materials
     are runtime inputs); each step costs ~3x a forward render (1 forward +
     the two-pass adjoint replay).
 
+    checkpoint: optional training-state directory (utils/train_checkpoint)
+    — resumed if present, saved every ``checkpoint_every`` steps (0 = only
+    at the end). Resuming reproduces the uninterrupted run exactly (each
+    step's randomness is the fixed per-step counter seed).
+
     Returns (optimized scene, list of per-step losses)."""
     alb, emi = pack_materials(scene)
+    start = 0
+    tag = ""
+    if checkpoint:
+        from ..utils.train_checkpoint import (
+            load_train_state,
+            save_train_state,
+            train_tag,
+        )
+
+        tag = train_tag(cfg, f"fit_pallas|{lr}|{sorted(train_fields)}")
+        st = load_train_state(checkpoint, {"alb": alb, "emi": emi}, tag=tag)
+        if st is not None:
+            start, params, _ = st
+            alb, emi = params["alb"], params["emi"]
     losses = []
-    for i in range(steps):
+    for i in range(start, steps):
         s = unpack_materials(scene, alb, emi)
         loss, galb, gemi = loss_and_material_grads(
             s, cam, cfg, jnp.uint32(seed), target, interpret
@@ -791,4 +811,10 @@ def fit_pallas(scene: Scene, cam: CameraParams, cfg: RenderConfig, target,
         losses.append(float(loss))
         if log is not None:
             print(f"step {i}: loss {float(loss):.6f}", file=log)
+        if checkpoint and (
+            i == steps - 1
+            or (checkpoint_every and (i + 1) % checkpoint_every == 0)
+        ):
+            save_train_state(checkpoint, i + 1,
+                             {"alb": alb, "emi": emi}, tag=tag)
     return unpack_materials(scene, alb, emi), losses

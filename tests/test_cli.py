@@ -180,6 +180,67 @@ def dataclasses_replace(cfg, **kw):
     return dataclasses.replace(cfg, **kw)
 
 
+class TestTrainCheckpoint:
+    """Training-state checkpoint/resume (utils/train_checkpoint, orbax):
+    an interrupted fit resumed from its checkpoint must match the
+    uninterrupted run exactly (per-step randomness is the fixed counter
+    seed, so the remaining steps are deterministic given the params)."""
+
+    ARGS = ["fit", "--width", "16", "--height", "12", "--spp", "2",
+            "--bounces", "6", "--lr", "0.5", "--train", "emission",
+            "--optimizer", "adam", "--seed", "3"]
+
+    def _run(self, capsys, extra):
+        rc = main(self.ARGS + extra)
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    def test_resume_matches_uninterrupted(self, tmp_path, capsys):
+        full = self._run(capsys, ["--steps", "4"])
+        ck = str(tmp_path / "train_ck")
+        # "Interrupted": run only 2 steps, saving state each step...
+        self._run(capsys, ["--steps", "2", "--checkpoint", ck,
+                           "--checkpoint-every", "1"])
+        # ...then resume to 4.
+        resumed = self._run(capsys, ["--steps", "4", "--checkpoint", ck,
+                                     "--checkpoint-every", "1"])
+        assert resumed["final_loss"] == pytest.approx(
+            full["final_loss"], rel=1e-5
+        )
+
+    def test_stale_checkpoint_ignored(self, tmp_path, capsys):
+        ck = str(tmp_path / "train_ck2")
+        self._run(capsys, ["--steps", "2", "--checkpoint", ck])
+        # Different lr -> different fingerprint tag -> fresh start (the
+        # run completes from step 0 rather than restoring).
+        rc = main(self.ARGS[:9] + ["--lr", "0.25"]
+                  + self.ARGS[11:] + ["--steps", "2", "--checkpoint", ck])
+        assert rc == 0
+        d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert np.isfinite(d["final_loss"])
+
+    def test_fit_pallas_resume(self, tmp_path, capsys):
+        base = ["fit", "--pallas", "--width", "16", "--height", "12",
+                "--spp", "4", "--lr", "4.0", "--train", "emission",
+                "--seed", "5"]
+
+        def run(extra):
+            rc = main(base + extra)
+            assert rc == 0
+            return json.loads(
+                capsys.readouterr().out.strip().splitlines()[-1]
+            )
+
+        full = run(["--steps", "3"])
+        ck = str(tmp_path / "pk_ck")
+        run(["--steps", "1", "--checkpoint", ck, "--checkpoint-every", "1"])
+        resumed = run(["--steps", "3", "--checkpoint", ck,
+                       "--checkpoint-every", "1"])
+        assert resumed["final_loss"] == pytest.approx(
+            full["final_loss"], rel=1e-5
+        )
+
+
 def test_fit_pallas_selftest(capsys):
     """fit --pallas: kernel-path material fitting (interpret mode on CPU;
     forward + adjoint megakernels, no per-step recompile)."""
