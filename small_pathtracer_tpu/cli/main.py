@@ -43,6 +43,22 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="save render state every N spp (0 = only at end)")
 
 
+def _fit_result(loss, ran_steps: bool, steps: int) -> dict:
+    """Strict-JSON fit summary distinguishing the two non-numeric cases:
+    a checkpoint already past --steps (no work left) vs a run whose last
+    step diverged to NaN."""
+    out = {"steps": steps}
+    if not ran_steps:
+        out["final_loss"] = None
+        out["already_complete"] = True
+    elif float(loss) != float(loss):
+        out["final_loss"] = None
+        out["diverged"] = True
+    else:
+        out["final_loss"] = float(loss)
+    return out
+
+
 def _mesh_from_arg(args):
     """Parse --mesh 'SPxDP' into a device mesh (None when unset)."""
     if not getattr(args, "mesh", ""):
@@ -203,6 +219,11 @@ def cmd_fit(args) -> int:
         # gradients, grad/soft.py) on selected fields; SGD or any optax
         # optimizer. (Checked FIRST — this path needs no path-traced
         # target or mesh.)
+        if args.checkpoint:
+            raise SystemExit(
+                "--checkpoint is not supported with --soft-tau yet; "
+                "drop one of the flags"
+            )
         import jax.tree_util as jtu
 
         from ..grad.soft import soft_loss_and_grad, soft_render
@@ -304,8 +325,10 @@ def cmd_fit(args) -> int:
             checkpoint=args.checkpoint or None,
             checkpoint_every=args.checkpoint_every,
         )
-        final = losses[-1] if losses else None
-        print(json.dumps({"final_loss": final, "steps": args.steps}))
+        print(json.dumps(_fit_result(
+            losses[-1] if losses else float("nan"),
+            ran_steps=bool(losses), steps=args.steps,
+        )))
         return 0
 
     if args.target:
@@ -335,7 +358,9 @@ def cmd_fit(args) -> int:
         )
 
         tag = train_tag(
-            cfg, f"fit|{args.optimizer}|{args.lr}|{args.train}|{args.bounces}"
+            cfg,
+            f"fit|{args.optimizer}|{args.lr}|{args.train}|{args.bounces}",
+            scene=scene, cam=cam, target=target,
         )
 
     def maybe_save(i, params, opt_state=None):
@@ -379,9 +404,8 @@ def cmd_fit(args) -> int:
             loss, s, opt_state = step(s, cam, jnp.uint32(cfg.seed), opt_state)
             print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
             maybe_save(i, s, opt_state)
-    final = float(loss) if loss == loss else None  # NaN -> null (fully
-    # resumed checkpoint: no steps left to run)
-    print(json.dumps({"final_loss": final, "steps": args.steps}))
+    print(json.dumps(_fit_result(loss, ran_steps=start < args.steps,
+                                 steps=args.steps)))
     return 0
 
 

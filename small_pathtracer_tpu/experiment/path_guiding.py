@@ -65,6 +65,22 @@ def voxel_id(x) -> jnp.ndarray:
     return (ix[:, 0] * _NVOX[1] + ix[:, 1]) * _NVOX[2] + ix[:, 2]
 
 
+def _require_diffuse(scene: Scene, what: str) -> None:
+    """The guiding demo implements the DIFFUSE cosine estimator only —
+    SPEC/REFR vertices would be silently mis-scattered (review finding).
+    Use the wavefront/megakernel renderers for mixed-material scenes."""
+    refl = np.concatenate([
+        np.asarray(scene.rects.refl).ravel(),
+        np.asarray(scene.quads.refl).ravel(),
+        np.asarray(scene.spheres.refl).ravel(),
+    ])
+    if refl.size and refl.max(initial=0) != DIFF:
+        raise NotImplementedError(
+            f"{what} supports all-DIFF scenes only (the guiding demo has "
+            "no SPEC/REFR scatter branch); got non-diffuse objects"
+        )
+
+
 def _spawn_all(cam: CameraParams, cfg: RenderConfig, seed):
     w, h, spp = cfg.width, cfg.height, cfg.spp
     uniform = rng.make_uniform_fn(cfg.rng_backend)
@@ -83,12 +99,20 @@ def _spawn_all(cam: CameraParams, cfg: RenderConfig, seed):
     return o, d, path_id
 
 
-@partial(jax.jit, static_argnums=(2, 3))
 def train_guide(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 n_bounces: int, seed) -> jnp.ndarray:
     """Cosine-sampled training pass; returns the (V, 3) direction-moment
     table: sum over emission pickups of (pickup luminance) * (incoming
-    direction), deposited at the voxel the direction LEFT from."""
+    direction), deposited at the voxel the direction LEFT from.
+
+    All-DIFF scenes only (see _require_diffuse)."""
+    _require_diffuse(scene, "train_guide")
+    return _train_guide(scene, cam, cfg, n_bounces, seed)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _train_guide(scene: Scene, cam: CameraParams, cfg: RenderConfig,
+                 n_bounces: int, seed) -> jnp.ndarray:
     uniform = rng.make_uniform_fn(cfg.rng_backend)
     o, d, path_id = _spawn_all(cam, cfg, seed)
     n = o.shape[0]
@@ -151,16 +175,23 @@ def guide_lobes(moments, min_weight: float = 1e-3):
     return mu, use
 
 
-@partial(jax.jit, static_argnums=(2, 5, 6, 7))
 def render_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                   seed, guide, n_bounces: int, beta: float = 0.5,
                   k: float = 8.0):
     """Guided render (cosine estimator base, no NEE): mixture-sampled
     scattering with exact pdf reweighting. guide = (mu, use) from
     guide_lobes; beta = lobe probability in guided voxels; k = lobe
-    sharpness (power-cosine exponent).
+    sharpness (power-cosine exponent). All-DIFF scenes only.
 
     Returns the unclamped linear (h, w, 3) mean image."""
+    _require_diffuse(scene, "render_guided")
+    return _render_guided(scene, cam, cfg, seed, guide, n_bounces, beta, k)
+
+
+@partial(jax.jit, static_argnums=(2, 5, 6, 7))
+def _render_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
+                   seed, guide, n_bounces: int, beta: float,
+                   k: float):
     mu_tab, use_tab = guide
     uniform = rng.make_uniform_fn(cfg.rng_backend)
     o, d, path_id = _spawn_all(cam, cfg, seed)

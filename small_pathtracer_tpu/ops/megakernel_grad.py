@@ -73,7 +73,7 @@ from .megakernel import (
     _scene_consts,
     _trace_unrolled,
     _u32c,
-    _uniform,
+    _uniform_for,
     build_kernel,
     make_spawn,
 )
@@ -122,8 +122,7 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     rects, quads, spheres, light = _scene_consts(scene)
     n_obj = len(rects) + len(quads) + len(spheres)
     light_id = light["light_obj_id"]
-    if cfg.rng_backend != "mix":
-        raise NotImplementedError("adjoint kernel: rng_backend='mix' only")
+    uni = _uniform_for(cfg.rng_backend)
     est = cfg.estimator
     textbook = est == "nee_textbook"
     glibc = cfg.light_sample_mode == "glibc_overflow"
@@ -235,7 +234,7 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             nx, ny, nz = h["nrm"]
 
             ctr = depth.astype(jnp.uint32) * DPB
-            u_rr = _uniform(seed, pid, ctr + _u32c(rng.P_RR))
+            u_rr = uni(seed, pid, ctr + _u32c(rng.P_RR))
 
             p_max = jnp.maximum(
                 h["alb"][0], jnp.maximum(h["alb"][1], h["alb"][2])
@@ -252,8 +251,8 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
 
             # Scatter frame + cosine/uniform direction (identical math to
             # the forward kernel — bit-equal replay).
-            u1 = _uniform(seed, pid, ctr + _u32c(rng.P_SCATTER_U))
-            u2 = _uniform(seed, pid, ctr + _u32c(rng.P_SCATTER_V))
+            u1 = uni(seed, pid, ctr + _u32c(rng.P_SCATTER_U))
+            u2 = uni(seed, pid, ctr + _u32c(rng.P_SCATTER_V))
             pick = jnp.abs(nx) > np.float32(0.1)
             uxr = jnp.where(pick, nz, 0.0)
             uyr = jnp.where(pick, 0.0, -nz)
@@ -278,8 +277,8 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             scx, scy, scz = sxr * inv_sl, syr * inv_sl, szr * inv_sl
 
             if est in ("nee", "mixture", "nee_textbook"):
-                lu = _uniform(seed, pid, ctr + _u32c(rng.P_LIGHT_U))
-                lv = _uniform(seed, pid, ctr + _u32c(rng.P_LIGHT_V))
+                lu = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_U))
+                lv = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_V))
                 # textbook ALWAYS samples the full light (config.py docs).
                 if glibc and not textbook:
                     off_u = glibc_offset(lu)
@@ -332,7 +331,7 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                     ndz = jnp.where(success, ldz, scz)
                     wgt = jnp.where(success, w_nee, 1.0)
                 if est == "mixture":
-                    um = _uniform(seed, pid, ctr + _u32c(rng.P_MIX_COIN))
+                    um = uni(seed, pid, ctr + _u32c(rng.P_MIX_COIN))
                     take = um < mix_q
                     ndx = jnp.where(take, ndx, scx)
                     ndy = jnp.where(take, ndy, scy)
@@ -389,7 +388,7 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                     re = r0 + (np.float32(1.0) - r0) * cth * cth * cth * cth * cth
                     trn = np.float32(1.0) - re
                     prr = np.float32(0.25) + np.float32(0.5) * re
-                    u_refr = _uniform(seed, pid, ctr + _u32c(rng.P_REFR_COIN))
+                    u_refr = uni(seed, pid, ctr + _u32c(rng.P_REFR_COIN))
                     pick_refl = (u_refr < prr) | tir
                     w_refr = jnp.where(
                         tir, np.float32(1.0),
@@ -793,7 +792,8 @@ def fit_pallas(scene: Scene, cam: CameraParams, cfg: RenderConfig, target,
             train_tag,
         )
 
-        tag = train_tag(cfg, f"fit_pallas|{lr}|{sorted(train_fields)}")
+        tag = train_tag(cfg, f"fit_pallas|{lr}|{sorted(train_fields)}",
+                        scene=scene, cam=cam, target=target)
         st = load_train_state(checkpoint, {"alb": alb, "emi": emi}, tag=tag)
         if st is not None:
             start, params, _ = st

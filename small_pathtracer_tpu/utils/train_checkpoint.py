@@ -103,9 +103,20 @@ def load_train_state(path: str, params_like, opt_state_like=None,
     return step, params, opt_state
 
 
-def train_tag(cfg, extra: str = "") -> str:
-    """Stable fingerprint tag for a RenderConfig + context string."""
+def train_tag(cfg, extra: str = "", scene=None, cam=None,
+              target=None) -> str:
+    """Stable fingerprint tag: RenderConfig + context string + (optionally)
+    the scene/camera leaves and the target image bytes — a checkpoint
+    trained toward a different target or scene must NOT be restored."""
     import dataclasses
     import json
 
-    return json.dumps(dataclasses.asdict(cfg), sort_keys=True) + "|" + extra
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves((scene, cam)):
+        h.update(np.asarray(leaf).tobytes())
+    if target is not None:
+        h.update(np.asarray(target).tobytes())
+    return (
+        json.dumps(dataclasses.asdict(cfg), sort_keys=True)
+        + "|" + extra + "|" + h.hexdigest()
+    )

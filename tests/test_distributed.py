@@ -75,7 +75,12 @@ def _run_two_process(mode: str, extra: list[str]):
     return results[0]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _single_process_reference():
+    # Cached: both 2-process tests compare against the same reference.
     cfg = RenderConfig(width=16, height=16, spp=8, estimator="nee", seed=4)
     mesh = make_mesh(jax.devices(), mesh_shape=(4, 2))
     img, traces = render_sharded(

@@ -39,9 +39,10 @@ def test_sphere_scene_statistical():
     b = np.asarray(b) / cfg.spp
     assert abs(a.mean() - b.mean()) < 5e-3
     # The vast majority of per-sample paths are identical (measured 0.945
-    # at this config; FMA grazing-hit flips account for the rest).
+    # at this config; FMA grazing-hit flips account for the rest — bound
+    # left with headroom for compiler/hardware rounding variation).
     same = (np.abs(a - b) < 1e-6).mean()
-    assert same > 0.92, same
+    assert same > 0.88, same
 
 
 def test_spec_refr_scene():
@@ -55,9 +56,10 @@ def test_spec_refr_scene():
     b = np.asarray(b) / cfg.spp
     assert abs(a.mean() - b.mean()) < 1e-2
     # Measured 0.989 at this config (round 2) — the round-1 0.7 blanket
-    # left far too much headroom.
+    # left far too much headroom; 0.93 keeps margin for compiler/hardware
+    # rounding variation.
     same = (np.abs(a - b) < 1e-6).mean()
-    assert same > 0.95, same
+    assert same > 0.93, same
 
 
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
