@@ -15,9 +15,11 @@ Design:
   reparameterized derivatives (radiance is smooth in them along fixed paths);
   gradients w.r.t. *geometry* (sphere centers/radii, plane offsets, camera)
   flow through the hit-distance/normal/shading chain but omit the
-  visibility-discontinuity (silhouette-edge) term — the score-function /
-  edge-sampling correction is tracked as future work and the FD tests pin
-  down which parameters are exact (tests/test_grad.py);
+  visibility-discontinuity (silhouette-edge) term — the FD tests pin
+  down which parameters are exact (tests/test_grad.py). For geometry use
+  grad/soft.py (silhouette + soft-shadow terms); for camera TRANSLATION
+  (entirely edge-advection-dominated) use the screen-space warp estimator
+  in grad/warp.py;
 - multi-device: gradients are taken THROUGH shard_map (JAX transposes the
   sample-axis psum automatically), so scene-parameter gradients arrive
   all-reduced over ICI with zero extra code.
