@@ -19,6 +19,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mixture-q", type=float, default=0.5)
     p.add_argument("--light-sample-mode", default="intended",
                    choices=["intended", "glibc_overflow"])
+    p.add_argument("--light-select", default="power",
+                   choices=["power", "uniform"],
+                   help="multi-emitter light-list selection heuristic "
+                        "(scenes with scene.lights, e.g. cornell_twolights)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--wavefront", default="regen", choices=["regen", "scan"])
     p.add_argument("--pallas", action="store_true", dest="use_pallas",
@@ -87,6 +91,7 @@ def _build(args):
         width=args.width, height=args.height, spp=args.spp,
         estimator=args.estimator, mixture_q=args.mixture_q,
         light_sample_mode=args.light_sample_mode, seed=args.seed,
+        light_select=args.light_select,
         wavefront=args.wavefront, rng_backend=args.rng_backend,
         use_pallas=getattr(args, "use_pallas", False),
     )

@@ -40,6 +40,10 @@ class RenderConfig:
     # (its shadow-ray weight assumes the uniform-over-area pdf, and there
     # is no reference behavior to reproduce for it).
     light_sample_mode: str = "intended"
+    # Multi-emitter light-list selection (scenes with scene.lights set):
+    # "power" = q_k proportional to area*luminance (power heuristic);
+    # "uniform" = q_k = 1/K. Ignored for single-light scenes.
+    light_select: str = "power"
     rr_start_depth: int = 5     # RR kicks in after this depth (C10, :448)
     max_bounces: int = 256      # safety cap; RR terminates a.s. (tail ~88 measured)
     spp_chunk: int = 0          # paths per device pass; 0 = auto

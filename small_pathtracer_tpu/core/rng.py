@@ -41,7 +41,7 @@ P_SCATTER_U = 3   # hemisphere sample, angle                (C11/C12)
 P_SCATTER_V = 4   # hemisphere sample, radius               (C11/C12)
 P_MIX_COIN = 5    # NEE-vs-BSDF mixture coin q              (C13)
 P_REFR_COIN = 6   # dielectric reflect/refract RR coin      (C16)
-P_SPARE = 7
+P_LIGHT_SEL = 7  # multi-emitter light-list index draw (scene.lights)
 
 _INV_2_24 = np.float32(1.0 / (1 << 24))
 

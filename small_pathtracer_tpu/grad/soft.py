@@ -97,6 +97,11 @@ def soft_render(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
 
     Returns the unclamped linear (h, w, 3) mean image; smooth in all scene
     geometry parameters for tau > 0."""
+    if scene.lights is not None:
+        raise NotImplementedError(
+            "soft_render estimates direct light from the single scene.light "
+            "sampler; multi-emitter scenes (scene.lights) are not supported"
+        )
     w, h, spp = cfg.width, cfg.height, cfg.spp
     uniform = rng.make_uniform_fn(cfg.rng_backend)
     pix = jnp.arange(w * h, dtype=jnp.uint32)

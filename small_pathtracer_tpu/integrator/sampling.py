@@ -8,10 +8,11 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from ..core import vecmath as vm
-from ..scene.types import LightSampler
+from ..scene.types import LightList, LightSampler
 
 
 def sample_cosine(nl: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
@@ -51,7 +52,9 @@ def light_area_normal(light: LightSampler):
     constant, smallpt.cpp:471) and normal = (0,1,0)."""
     c = vm.cross(light.edge_u, light.edge_v)
     area = vm.magnitude(c)
-    return area, c / area
+    # [..., None]: broadcasts for both the scalar single-light case ((3,)
+    # edges) and the lane-batched multi-light case ((N, 3) edges).
+    return area, c / area[..., None]
 
 
 def sample_light_point(
@@ -116,3 +119,63 @@ def nee_weight(
     pdf_inv = jnp.abs(area * vm.dot(d_hat, n_light)) / (t * t)
     brdf = jnp.abs(vm.dot(d_hat, nl)) * (1.0 / math.pi)
     return pdf_inv * brdf
+
+
+# ---------------------------------------------------------------------------
+# Multi-emitter light-list selection (generalizing the reference's single
+# explicit light, smallpt.cpp:363-369/467, to K parallelogram emitters —
+# scene/types.LightList).
+# ---------------------------------------------------------------------------
+
+
+def light_select_probs(lights: LightList, emission: jnp.ndarray,
+                       mode: str = "power") -> jnp.ndarray:
+    """Discrete light-selection probabilities q (K,).
+
+    mode="power": q_k proportional to area_k * luminance(emission_k) — the
+    standard power heuristic (a bright/large light is proportionally more
+    likely to matter). mode="uniform": q_k = 1/K.
+
+    Probabilities are stop_gradient'ed: the 1/q_k importance weight keeps
+    the ESTIMATOR unbiased for any fixed q, so q is a sampling-strategy
+    constant, not a differentiable model parameter (differentiating through
+    q would need a score-function term the pathwise pass does not carry).
+    """
+    k = lights.obj_id.shape[0]
+    if mode == "uniform":
+        return jnp.full((k,), 1.0 / k, jnp.float32)
+    if mode != "power":
+        raise ValueError(f"unknown light_select mode {mode!r}")
+    area = vm.magnitude(vm.cross(lights.edge_u, lights.edge_v))
+    e = emission[lights.obj_id]
+    lum = e[:, 0] * 0.2126 + e[:, 1] * 0.7152 + e[:, 2] * 0.0722
+    w = area * lum
+    total = jnp.sum(w)
+    # All-dark light list: fall back to uniform rather than 0/0.
+    probs = jnp.where(total > 0.0, w / jnp.where(total > 0.0, total, 1.0),
+                      1.0 / k)
+    return jax.lax.stop_gradient(probs)
+
+
+def sample_light_index(probs: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-CDF draw of a light index: idx = #{k < K-1 : u >= cdf_k}.
+
+    Branch-free over the (tiny) K axis — a (N, K-1) compare + sum, the
+    TPU-native form of std::upper_bound. Returns (N,) int32 in [0, K)."""
+    cdf = jnp.cumsum(probs)
+    return jnp.sum(
+        (u[..., None] >= cdf[None, :-1]).astype(jnp.int32), axis=-1
+    )
+
+
+def gather_light(lights: LightList, idx: jnp.ndarray) -> LightSampler:
+    """Per-lane single-light view of the list: a batched LightSampler whose
+    leaves are gathered at ``idx`` ((N,3)/(N,) fields). Downstream samplers
+    (sample_light_point, nee_weight) broadcast over the lane axis, so the
+    chosen-light path is the single-light code unchanged."""
+    return LightSampler(
+        corner=lights.corner[idx],
+        edge_u=lights.edge_u[idx],
+        edge_v=lights.edge_v[idx],
+        light_obj_id=lights.obj_id[idx],
+    )

@@ -76,6 +76,30 @@ def init_paths(o, d, path_id) -> PathState:
     )
 
 
+def _select_light(scene: Scene, cfg: RenderConfig, u):
+    """Per-lane NEE light: the single C13 sampler, or — when the scene
+    carries a light list — the light chosen by the P_LIGHT_SEL draw.
+
+    Returns (light, q_sel): a (possibly lane-batched) LightSampler and the
+    per-lane selection probability ((N,) — divide the NEE weight by it), or
+    (scene.light, None) for single-light scenes."""
+    if scene.lights is None:
+        return scene.light, None
+    if cfg.light_sample_mode == "glibc_overflow":
+        raise ValueError(
+            "light_sample_mode='glibc_overflow' reproduces the reference's "
+            "single-light int32-overflow quirk (C13a) and has no "
+            "multi-emitter analogue; use light_sample_mode='intended' for "
+            "scenes with a light list"
+        )
+    _, emission_all, _ = object_arrays(scene)
+    probs = sampling.light_select_probs(
+        scene.lights, emission_all, cfg.light_select
+    )
+    idx = sampling.sample_light_index(probs, u[rng.P_LIGHT_SEL])
+    return sampling.gather_light(scene.lights, idx), probs[idx]
+
+
 def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
     """Diffuse-bounce direction + path weight for the configured estimator.
 
@@ -97,7 +121,10 @@ def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
         return uni_dir, w, jnp.zeros(nl.shape[:-1], jnp.float32)
 
     # NEE-as-continuation (C13), optionally mixed with cosine ("mixture").
-    light = scene.light
+    # Multi-emitter scenes (scene.lights set) first draw a light index k
+    # with probability q_k and divide the NEE weight by q_k — unbiased for
+    # the sum of direct light over the list (scene/types.LightList).
+    light, q_sel = _select_light(scene, cfg, u)
     if cfg.light_sample_mode == "glibc_overflow":
         lp = sampling.sample_light_point_glibc(
             light, u[rng.P_LIGHT_U], u[rng.P_LIGHT_V]
@@ -111,6 +138,8 @@ def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
     # t*t (=> inf => NaN cotangents through the where in reverse mode).
     t_safe = jnp.where(success, probe.t, 1.0)
     w_nee = sampling.nee_weight(light, d_l, nl, t_safe)
+    if q_sel is not None:
+        w_nee = w_nee / q_sel
     nee_dir = jnp.where(success[:, None], d_l, cos_dir)
     nee_w = jnp.where(success, w_nee, 1.0)
     if cfg.estimator == "mixture":
@@ -199,12 +228,19 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     # (the terminal RR return of e is this same term — see SURVEY C10/C13).
     emit = alive_f * T * sh.emission
     if textbook and no_emit is not None:
-        # Suppress ONLY the sampled light's emission (the shadow ray
-        # estimated exactly that); other emitters must still be picked up
-        # or multi-light scenes would darken.
-        is_light_hit = hit.hit & (
-            hit.obj_id == jnp.asarray(scene.light.light_obj_id, jnp.int32)
-        )
+        # Suppress ONLY emission the previous bounce's shadow ray already
+        # estimated: the single sampled light — or, with a light LIST, any
+        # listed light (the 1/q_k-weighted one-light estimate is unbiased
+        # for the whole list's direct term). Unlisted emitters must still
+        # be picked up or their light would be lost.
+        if scene.lights is not None:
+            is_light_hit = hit.hit & jnp.any(
+                hit.obj_id[:, None] == scene.lights.obj_id[None, :], axis=1
+            )
+        else:
+            is_light_hit = hit.hit & (
+                hit.obj_id == jnp.asarray(scene.light.light_obj_id, jnp.int32)
+            )
         emit = emit * (~(no_emit & is_light_hit)).astype(T.dtype)[:, None]
 
     # Per-purpose uniforms for this bounce.
@@ -219,6 +255,7 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
             rng.P_SCATTER_V,
             rng.P_MIX_COIN,
             rng.P_REFR_COIN,
+            rng.P_LIGHT_SEL,
         )
     }
 
@@ -269,12 +306,13 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
         # (the same weight formula as C13 — sampling.nee_weight), and the
         # NEXT bounce's light-emission pickup is suppressed so the BSDF
         # path doesn't count the light twice. RR only gates continuation.
-        light = scene.light
         # Always the intended full-area sampler, regardless of
         # cfg.light_sample_mode: nee_weight assumes the uniform-over-area
         # pdf, and the glibc corner patch (C13a) is a reference-parity
         # quirk with no textbook analogue (config.py docs; the megakernel
-        # matches this).
+        # matches this). Multi-emitter scenes pick light k ~ q and divide
+        # by q_k (see _select_light).
+        light, q_sel = _select_light(scene, cfg, u)
         lp = sampling.sample_light_point(
             light, u[rng.P_LIGHT_U], u[rng.P_LIGHT_V]
         )
@@ -283,6 +321,8 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
         success = probe2.hit & (probe2.obj_id == light.light_obj_id)
         t_safe = jnp.where(success, probe2.t, 1.0)
         w_d = sampling.nee_weight(light, d_l, sh.n, t_safe)
+        if q_sel is not None:
+            w_d = w_d / q_sel
         _, emission_all, _ = object_arrays(scene)
         e_light = emission_all[jnp.asarray(light.light_obj_id, jnp.int32)]
         diff_live = alive & (sh.refl == DIFF)

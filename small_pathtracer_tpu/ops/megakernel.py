@@ -136,6 +136,12 @@ def _uniform_for(backend: str):
 
 def _scene_consts(scene: Scene):
     """Scene as nested Python float tuples (compile-time constants)."""
+    if scene.lights is not None:
+        raise NotImplementedError(
+            "the pallas megakernel bakes ONE explicit light as compile-time "
+            "constants; multi-emitter scenes (scene.lights) render on the "
+            "jnp wavefront (cfg.use_pallas=False)"
+        )
     rects = []
     r = scene.rects
     for i in range(int(np.asarray(r.k).shape[0])):

@@ -21,7 +21,9 @@ import math
 
 import jax.numpy as jnp
 
-from .types import DIFF, REFR, SPEC, LightSampler, Scene, make_scene
+from .types import (
+    DIFF, REFR, SPEC, LightList, LightSampler, Scene, make_scene,
+)
 
 # Axis codes
 AX_X, AX_Y, AX_Z = 0, 1, 2
@@ -176,11 +178,60 @@ def sphere_grid(n: int = 64, seed: int = 0) -> Scene:
     return make_scene(_cornell_walls(), spheres, _cornell_light_sampler())
 
 
+def cornell_twolights() -> Scene:
+    """Cornell box with TWO ceiling lights of different size and color —
+    the multi-emitter NEE exercise (scene/types.LightList).
+
+    The reference's NEE is hard-wired to one light (`id == 6`,
+    smallpt.cpp:467); this preset is what that cannot render with explicit
+    sampling. Walls 0-5, warm light id 6 (25x25, e=(17,12,4)), cool light
+    id 7 (20x20, e=(4,10,18)), then the two standard boxes (ids 8-17).
+    Light planes sit at y=81.5 and the samplers target the SAME plane —
+    the 81.6-vs-81.5 mismatch is a single-light parity quirk (C13) not
+    carried into new scenes. scene.light marks the warm light (for
+    single-light-only consumers); NEE estimators use the list."""
+    walls = _cornell_walls()[:6]
+    light_rects = [
+        (AX_Y, 81.5, (15.0, 63.0), (40.0, 88.0), _ZERO, (17.0, 12.0, 4.0), DIFF),
+        (AX_Y, 81.5, (60.0, 68.0), (80.0, 88.0), _ZERO, (4.0, 10.0, 18.0), DIFF),
+    ]
+    box_rects = [
+        (AX_Z, 32.0, (12.0, 0.0), (42.0, 50.0), _ONE, _ZERO, DIFF),
+        (AX_Z, 62.0, (12.0, 0.0), (42.0, 50.0), _ONE, _ZERO, DIFF),
+        (AX_X, 12.0, (0.0, 32.0), (50.0, 62.0), _ONE, _ZERO, DIFF),
+        (AX_X, 42.0, (0.0, 32.0), (50.0, 62.0), _ONE, _ZERO, DIFF),
+        (AX_Y, 50.0, (12.0, 32.0), (42.0, 62.0), _ONE, _ZERO, DIFF),
+        (AX_Z, 63.0, (63.0, 0.0), (88.0, 25.0), _ONE, _ZERO, DIFF),
+        (AX_Z, 88.0, (63.0, 0.0), (88.0, 25.0), _ONE, _ZERO, DIFF),
+        (AX_X, 63.0, (0.0, 63.0), (25.0, 88.0), _ONE, _ZERO, DIFF),
+        (AX_X, 88.0, (0.0, 63.0), (25.0, 88.0), _ONE, _ZERO, DIFF),
+        (AX_Y, 25.0, (63.0, 63.0), (88.0, 88.0), _ONE, _ZERO, DIFF),
+    ]
+    light = LightSampler(
+        corner=jnp.asarray([15.0, 81.5, 63.0], jnp.float32),
+        edge_u=jnp.asarray([25.0, 0.0, 0.0], jnp.float32),
+        edge_v=jnp.asarray([0.0, 0.0, 25.0], jnp.float32),
+        light_obj_id=jnp.asarray(6, jnp.int32),
+    )
+    lights = LightList(
+        corner=jnp.asarray(
+            [[15.0, 81.5, 63.0], [60.0, 81.5, 68.0]], jnp.float32
+        ),
+        edge_u=jnp.asarray([[25.0, 0.0, 0.0], [20.0, 0.0, 0.0]], jnp.float32),
+        edge_v=jnp.asarray([[0.0, 0.0, 25.0], [0.0, 0.0, 20.0]], jnp.float32),
+        obj_id=jnp.asarray([6, 7], jnp.int32),
+    )
+    return make_scene(
+        walls + light_rects + box_rects, [], light, lights=lights
+    )
+
+
 PRESETS = {
     "cornell_box": cornell_box,
     "cornell_spheres": cornell_spheres,
     "smallpt_original": smallpt_original,
     "cornell_tilted_light": cornell_tilted_light,
+    "cornell_twolights": cornell_twolights,
     "sphere_grid": sphere_grid,
 }
 

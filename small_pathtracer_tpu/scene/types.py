@@ -99,14 +99,40 @@ class LightSampler(NamedTuple):
     light_obj_id: jnp.ndarray  # () int32
 
 
+class LightList(NamedTuple):
+    """Batched parallelogram emitters for multi-light NEE (K lights).
+
+    The reference supports exactly ONE explicit light (the NEE success test
+    is ``id == 6``, smallpt.cpp:467). This generalizes the C13 sampler to a
+    light LIST: a discrete light-selection draw picks light k with
+    probability q_k (uniform or emission*area power weighted,
+    sampling.light_select_probs), the chosen light is point-sampled exactly
+    like the single-light case, and the NEE weight is divided by q_k —
+    unbiased for the SUM of direct illumination over all listed lights.
+
+    corner/edge_u/edge_v: (K, 3); obj_id: (K,) int32 global object ids.
+    """
+
+    corner: jnp.ndarray
+    edge_u: jnp.ndarray
+    edge_v: jnp.ndarray
+    obj_id: jnp.ndarray
+
+
 class Scene(NamedTuple):
     """Global object ids: rects (0..R-1), quads (R..R+Q-1), spheres
-    (R+Q..R+Q+S-1)."""
+    (R+Q..R+Q+S-1).
+
+    ``lights`` (optional): multi-emitter light list. When None (all
+    reference-parity presets), the NEE estimators use the single ``light``
+    sampler; when set, they sample over the list (``light`` then only marks
+    the primary light for single-light-only consumers)."""
 
     rects: Rects
     quads: Quads
     spheres: Spheres
     light: LightSampler
+    lights: LightList | None = None
 
 
 def make_scene(
@@ -115,6 +141,7 @@ def make_scene(
     light: LightSampler,
     quads: list[tuple] = (),
     dtype=jnp.float32,
+    lights: LightList | None = None,
 ) -> Scene:
     """Build a Scene from python lists.
 
@@ -176,7 +203,7 @@ def make_scene(
             emission=jnp.zeros((0, 3), dtype),
             refl=jnp.zeros((0,), jnp.int32),
         )
-    return Scene(rects=r, quads=q, spheres=s, light=light)
+    return Scene(rects=r, quads=q, spheres=s, light=light, lights=lights)
 
 
 def num_objects(scene: Scene) -> int:
