@@ -57,6 +57,25 @@ def light_area_normal(light: LightSampler):
     return area, c / area[..., None]
 
 
+# Shadow-ray origin lift for multi-emitter (light-list) NEE probes, in
+# absolute scene units along the shading normal. The single-light C13
+# sampler targets a plane 0.1 BEYOND the light surface (the 81.6-vs-81.5
+# reference quirk, scene/presets.py), which incidentally keeps its probes
+# away from any self-intersection knife edge; list samplers target the true
+# light plane, so a probe fired from a surface NEAR-COPLANAR with the light
+# (e.g. the Cornell ceiling at y=81.6 toward a light at y=81.5) is almost
+# parallel to its own surface and re-hits it at t ~ (f32 hit-point
+# rounding)/|d_y| ~ 4e-3 — above the 1e-4 intersection eps, so ~half of
+# such probes falsely self-occlude, with the outcome decided by the LAST
+# BIT of the hit point. Lifting the probe origin by SHADOW_EPS (~100x the
+# f32 rounding of Cornell-scale coordinates, and small enough that the
+# cos/t^2 weight shifts by O(1e-5) relative) removes the false occlusion
+# and makes the estimator implementation-rounding-stable. Applied ONLY on
+# the light-list path — the single-light path reproduces the reference's
+# exact probe geometry (smallpt.cpp:463-470).
+SHADOW_EPS = 1e-3
+
+
 def sample_light_point(
     light: LightSampler, u1: jnp.ndarray, u2: jnp.ndarray
 ) -> jnp.ndarray:

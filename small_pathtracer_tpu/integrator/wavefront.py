@@ -104,13 +104,17 @@ def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
     """Diffuse-bounce direction + path weight for the configured estimator.
 
     u: dict of per-purpose uniforms. Returns (new_dir (N,3), weight (N,),
-    probe_count (N,) f32 — scene traces spent on NEE probes)."""
+    probe_count (N,) f32 — scene traces spent on NEE probes, origin (N,3) —
+    the next bounce's ray origin: sh.x, except for light-list NEE-success
+    lanes which continue from the SHADOW_EPS-lifted probe origin so the
+    emission-pickup trace robustly clears a near-coplanar origin surface
+    (sampling.SHADOW_EPS))."""
     nl = sh.n
     cos_dir = sampling.sample_cosine(nl, u[rng.P_SCATTER_U], u[rng.P_SCATTER_V])
     if cfg.estimator in ("cosine", "nee_textbook"):
         # nee_textbook: continuation is plain cosine; the direct (shadow-
         # ray) term is added in _bounce_core.
-        return cos_dir, jnp.ones(nl.shape[:-1], nl.dtype), jnp.zeros(nl.shape[:-1], jnp.float32)
+        return cos_dir, jnp.ones(nl.shape[:-1], nl.dtype), jnp.zeros(nl.shape[:-1], jnp.float32), hit_x
     if cfg.estimator in ("uniform", "uniform_corrected"):
         uni_dir = sampling.sample_uniform(nl, u[rng.P_SCATTER_U], u[rng.P_SCATTER_V])
         if cfg.estimator == "uniform":
@@ -118,21 +122,27 @@ def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
             w = jnp.ones(nl.shape[:-1], nl.dtype)
         else:
             w = 2.0 * jnp.maximum(vm.dot(uni_dir, nl), 0.0)
-        return uni_dir, w, jnp.zeros(nl.shape[:-1], jnp.float32)
+        return uni_dir, w, jnp.zeros(nl.shape[:-1], jnp.float32), hit_x
 
     # NEE-as-continuation (C13), optionally mixed with cosine ("mixture").
     # Multi-emitter scenes (scene.lights set) first draw a light index k
     # with probability q_k and divide the NEE weight by q_k — unbiased for
     # the sum of direct light over the list (scene/types.LightList).
     light, q_sel = _select_light(scene, cfg, u)
+    # Light-list probes fire from a SHADOW_EPS-lifted origin (see
+    # sampling.SHADOW_EPS: list samplers target the true light plane, so
+    # near-coplanar origins otherwise falsely self-occlude on f32
+    # rounding); the single-light path keeps the reference's exact probe
+    # geometry.
+    probe_o = hit_x if q_sel is None else hit_x + sampling.SHADOW_EPS * nl
     if cfg.light_sample_mode == "glibc_overflow":
         lp = sampling.sample_light_point_glibc(
             light, u[rng.P_LIGHT_U], u[rng.P_LIGHT_V]
         )
     else:
         lp = sampling.sample_light_point(light, u[rng.P_LIGHT_U], u[rng.P_LIGHT_V])
-    d_l = vm.norm(lp - hit_x)
-    probe = trace(scene, hit_x, d_l)
+    d_l = vm.norm(lp - probe_o)
+    probe = trace(scene, probe_o, d_l)
     success = probe.hit & (probe.obj_id == light.light_obj_id)
     # Sanitize t before the 1/t^2 weight: a miss t = 1e20 overflows f32 in
     # t*t (=> inf => NaN cotangents through the where in reverse mode).
@@ -142,15 +152,20 @@ def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
         w_nee = w_nee / q_sel
     nee_dir = jnp.where(success[:, None], d_l, cos_dir)
     nee_w = jnp.where(success, w_nee, 1.0)
+    # NEE-success lanes continue from the probe origin (== hit_x on the
+    # single-light path) so the light-emission pickup retraces the probe.
+    nee_o = jnp.where(success[:, None], probe_o, hit_x)
     if cfg.estimator == "mixture":
         take = u[rng.P_MIX_COIN] < cfg.mixture_q
         new_dir = jnp.where(take[:, None], nee_dir, cos_dir)
         w = jnp.where(take, nee_w, 1.0)
         probes = take.astype(jnp.float32)
+        origin = jnp.where(take[:, None], nee_o, hit_x)
     else:
         new_dir, w = nee_dir, nee_w
         probes = jnp.ones(nl.shape[:-1], jnp.float32)
-    return new_dir, w, probes
+        origin = nee_o
+    return new_dir, w, probes, origin
 
 
 def _spec_scatter(sh, d_in):
@@ -285,7 +300,7 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
 
     # Material scatter: branch-free select over material type (vtable-free,
     # SURVEY row 4).
-    diff_dir, diff_w, probes = _diff_scatter(scene, cfg, sh, sh.x, u)
+    diff_dir, diff_w, probes, diff_o = _diff_scatter(scene, cfg, sh, sh.x, u)
     spec_dir, spec_w = _spec_scatter(sh, d)
     refr_dir, refr_w = _refr_scatter(sh, d, u[rng.P_REFR_COIN])
     is_spec = (sh.refl == SPEC)[:, None]
@@ -294,6 +309,10 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     w = jnp.where(
         sh.refl == SPEC, spec_w, jnp.where(sh.refl == REFR, refr_w, diff_w)
     )
+    # Next-bounce origin: sh.x, except light-list NEE-success diffuse lanes
+    # (lifted probe origin — _diff_scatter docstring). Bitwise sh.x on the
+    # single-light path.
+    x_next = jnp.where(is_spec | is_refr, sh.x, diff_o)
 
     T_out = T * f * w[:, None]
 
@@ -316,8 +335,11 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
         lp = sampling.sample_light_point(
             light, u[rng.P_LIGHT_U], u[rng.P_LIGHT_V]
         )
-        d_l = vm.norm(lp - sh.x)
-        probe2 = trace(scene, sh.x, d_l)
+        # Light-list probes fire from the lifted origin (sampling.
+        # SHADOW_EPS); the continuation (cosine) still leaves from sh.x.
+        probe2_o = sh.x if q_sel is None else sh.x + sampling.SHADOW_EPS * sh.n
+        d_l = vm.norm(lp - probe2_o)
+        probe2 = trace(scene, probe2_o, d_l)
         success = probe2.hit & (probe2.obj_id == light.light_obj_id)
         t_safe = jnp.where(success, probe2.t, 1.0)
         w_d = sampling.nee_weight(light, d_l, sh.n, t_safe)
@@ -343,7 +365,7 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     ])
 
     return BounceOut(
-        emit=emit, x=sh.x, new_dir=new_dir, T=T_out, alive=alive_out,
+        emit=emit, x=x_next, new_dir=new_dir, T=T_out, alive=alive_out,
         traces_inc=traces_inc, logp_inc=logp_inc,
         no_emit_next=no_emit_next,
     )

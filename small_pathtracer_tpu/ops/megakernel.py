@@ -52,6 +52,7 @@ from ..config import RenderConfig
 from ..core import rng
 from ..scene.types import DIFF, Scene
 from ..geometry.intersect import MISS_T, SELF_HIT_EPS, SPHERE_EPS
+from ..integrator.sampling import SHADOW_EPS
 
 # Lane tile: (TILE_ROWS, 128) f32. 64 sublanes x 128 lanes = 8192 lanes per
 # grid step — enough ILP to hide VPU latencies, ~0.6 MB VMEM of state.
@@ -135,13 +136,11 @@ def _uniform_for(backend: str):
 
 
 def _scene_consts(scene: Scene):
-    """Scene as nested Python float tuples (compile-time constants)."""
-    if scene.lights is not None:
-        raise NotImplementedError(
-            "the pallas megakernel bakes ONE explicit light as compile-time "
-            "constants; multi-emitter scenes (scene.lights) render on the "
-            "jnp wavefront (cfg.use_pallas=False)"
-        )
+    """Scene as nested Python float tuples (compile-time constants).
+
+    Returns (rects, quads, spheres, light, lightlist): lightlist is None for
+    single-light scenes, else a list of per-emitter dicts mirroring
+    scene/types.LightList (multi-emitter NEE, kernel-side)."""
     rects = []
     r = scene.rects
     for i in range(int(np.asarray(r.k).shape[0])):
@@ -181,7 +180,19 @@ def _scene_consts(scene: Scene):
         edge_v=tuple(float(v) for v in np.asarray(scene.light.edge_v)),
         light_obj_id=int(np.asarray(scene.light.light_obj_id)),
     )
-    return rects, quads, spheres, light
+    lightlist = None
+    if scene.lights is not None:
+        ll = scene.lights
+        lightlist = [
+            dict(
+                corner=tuple(float(v) for v in np.asarray(ll.corner)[i]),
+                edge_u=tuple(float(v) for v in np.asarray(ll.edge_u)[i]),
+                edge_v=tuple(float(v) for v in np.asarray(ll.edge_v)[i]),
+                obj_id=int(np.asarray(ll.obj_id)[i]),
+            )
+            for i in range(int(np.asarray(ll.obj_id).shape[0]))
+        ]
+    return rects, quads, spheres, light, lightlist
 
 
 def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
@@ -193,7 +204,16 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
     (C8/C9/C15 semantics; miss defaults = object 0's shading at t=MISS_T).
     want_obj adds the winning global object id as an i32 plane (stale 0 on
     miss, C15) — the adjoint kernel's scatter mask
-    (ops/megakernel_grad.py)."""
+    (ops/megakernel_grad.py).
+
+    light_id: a single global object id, or a tuple of ids (multi-emitter
+    scenes) — is_light then marks a hit on ANY listed light (the textbook
+    double-count guard over a light list, integrator/wavefront.py
+    _bounce_core)."""
+    light_ids = (
+        (light_id,) if isinstance(light_id, (int, np.integer))
+        else tuple(light_id)
+    )
     o = (ox, oy, oz)
     d = (dx, dy, dz)
     # One reciprocal per axis shared by every rect (bit-parity with the jnp
@@ -236,7 +256,7 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
             obj_best = jnp.where(win, np.int32(obj_id), obj_best)
         # Logical update, not jnp.where-over-bools (Mosaic lowers bool
         # selects through i8 and fails on the i8->i1 truncation).
-        if light_id == obj_id:
+        if obj_id in light_ids:
             is_light = is_light | win
         else:
             is_light = is_light & ~win
@@ -403,6 +423,59 @@ def _runtime_materials(objs: list[dict], alb_ref, emi_ref, base: int):
     return out
 
 
+def _light_select_cdf(ml, all_objs, mode, emi_ref=None):
+    """Light-list selection probabilities q_k, inverse-CDF thresholds cdf_k
+    and per-light emissions — the kernel-side mirror of
+    sampling.light_select_probs, computed in strict float32 so the baked
+    constants bit-match the jnp path's device values.
+
+    emi_ref=None: all values are np.float32 compile-time constants.
+    emi_ref given (runtime SMEM material table, build_kernel(mat_refs=True)):
+    traced scalars read from the table — selection follows fitted emissions
+    like the jnp path's object_arrays(scene) does."""
+    k = len(ml)
+
+    def _emi(i):
+        if emi_ref is None:
+            return tuple(np.float32(v) for v in all_objs[i]["emission"])
+        return tuple(emi_ref[i, c] for c in range(3))
+
+    e_lights = [_emi(m["id"]) for m in ml]
+    if mode == "uniform":
+        q = [np.float32(1.0 / k)] * k
+    elif mode == "power":
+        w = []
+        for m, e in zip(ml, e_lights):
+            lum = (
+                e[0] * np.float32(0.2126)
+                + e[1] * np.float32(0.7152)
+                + e[2] * np.float32(0.0722)
+            )
+            w.append(m["area"] * lum)
+        total = w[0]
+        for x in w[1:]:
+            total = total + x
+        if emi_ref is None:
+            q = (
+                [np.float32(x / total) for x in w] if total > 0
+                else [np.float32(1.0 / k)] * k
+            )
+        else:
+            pos = total > 0.0
+            t_safe = jnp.where(pos, total, np.float32(1.0))
+            q = [
+                jnp.where(pos, x / t_safe, np.float32(1.0 / k)) for x in w
+            ]
+    else:
+        raise ValueError(f"unknown light_select mode {mode!r}")
+    cdf = []
+    acc = np.float32(0.0)
+    for x in q:
+        acc = acc + x
+        cdf.append(acc)
+    return q, cdf, e_lights
+
+
 def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                  mat_refs: bool = False):
     """Returns the Pallas kernel body closed over scene/cam/cfg constants.
@@ -412,7 +485,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     seed and reads materials from them instead of baking them as
     immediates; the RNG/trace/shade structure is otherwise identical, so
     renders are bit-identical to the baked kernel at equal materials."""
-    rects, quads, spheres, light = _scene_consts(scene)
+    rects, quads, spheres, light, lightlist = _scene_consts(scene)
     has_spec = any(o["refl"] == 1 for o in rects + quads + spheres)
     has_refr = any(o["refl"] == 2 for o in rects + quads + spheres)
     light_id = light["light_obj_id"]
@@ -425,6 +498,44 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         np.float32(v) for v in all_objs[light_id]["emission"]
     ) if all_objs else (np.float32(0),) * 3
     glibc = cfg.light_sample_mode == "glibc_overflow"
+
+    # Multi-emitter light list (scene.lights): per-light compile-time
+    # constants + a per-lane inverse-CDF selection draw in the kernel body
+    # (the chained-select form of sampling.gather_light — no dynamic
+    # gather, Mosaic-friendly). Semantics match integrator/wavefront.py
+    # _select_light exactly: light k with probability q_k, NEE weight / q_k.
+    multi = lightlist is not None
+    if multi and glibc:
+        raise ValueError(
+            "light_sample_mode='glibc_overflow' reproduces the reference's "
+            "single-light int32-overflow quirk (C13a) and has no "
+            "multi-emitter analogue; use light_sample_mode='intended' for "
+            "scenes with a light list"
+        )
+    if multi:
+        ml = []
+        for L in lightlist:
+            eu_f = tuple(np.float32(v) for v in L["edge_u"])
+            ev_f = tuple(np.float32(v) for v in L["edge_v"])
+            # Strict float32 throughout: the jnp path computes area/normal
+            # on-device from the gathered f32 edges (sampling.
+            # light_area_normal), so the baked constants must round the
+            # same way for bit-parity.
+            cx_ = (
+                eu_f[1] * ev_f[2] - eu_f[2] * ev_f[1],
+                eu_f[2] * ev_f[0] - eu_f[0] * ev_f[2],
+                eu_f[0] * ev_f[1] - eu_f[1] * ev_f[0],
+            )
+            ar = np.sqrt(cx_[0] * cx_[0] + cx_[1] * cx_[1] + cx_[2] * cx_[2])
+            ml.append(dict(
+                c=tuple(np.float32(v) for v in L["corner"]),
+                eu=eu_f, ev=ev_f,
+                area=np.float32(ar),
+                n=tuple(np.float32(v / ar) for v in cx_),
+                id=L["obj_id"],
+            ))
+        light_ids_all = tuple(m["id"] for m in ml)
+        K_L = len(ml)
 
     spawn, origin = make_spawn(cam, cfg)
 
@@ -469,6 +580,11 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         else:
             rects_k, quads_k, spheres_k = rects, quads, spheres
             e_light_k = e_light
+        if multi:
+            _q_l, _cdf_l, _e_lights = _light_select_cdf(
+                ml, all_objs, cfg.light_select,
+                emi_ref if mat_refs else None,
+            )
         (px_ref, py_ref, pid_ref, sstart_ref, sstop_ref,
          lr_ref, lg_ref, lb_ref, traces_ref) = refs
         seed = seed_ref[0]
@@ -509,7 +625,9 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             depth = jnp.where(alive, depth + 1, depth)
 
             h = _trace_unrolled(
-                rects_k, quads_k, spheres_k, light_id, ox, oy, oz, dx, dy, dz,
+                rects_k, quads_k, spheres_k,
+                light_ids_all if multi else light_id,
+                ox, oy, oz, dx, dy, dz,
                 want_shading=True,
             )
             alive_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
@@ -584,47 +702,128 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 # direct term (see integrator/wavefront._bounce_core).
                 lu = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_U))
                 lv = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_V))
-                # nee_textbook ALWAYS samples the full light uniformly (its
-                # nee_weight assumes the uniform-over-area pdf, and the jnp
-                # path's textbook shadow ray uses sample_light_point
-                # unconditionally — integrator/wavefront.py _bounce_core);
-                # the glibc_overflow corner-patch mode (C13a) only applies
-                # to the reference-parity continuation estimators.
-                if glibc and not textbook:
-                    off_u = glibc_offset(lu)
-                    off_v = glibc_offset(lv)
-                    lpx = lc[0] + off_u * leu_hat[0] + off_v * lev_hat[0]
-                    lpy = lc[1] + off_u * leu_hat[1] + off_v * lev_hat[1]
-                    lpz = lc[2] + off_u * leu_hat[2] + off_v * lev_hat[2]
+                if multi:
+                    # Per-lane light selection (inverse CDF over q_k,
+                    # sampling.sample_light_index) then a chained K-way
+                    # select of that light's constants — the in-register
+                    # form of sampling.gather_light.
+                    usel = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_SEL))
+                    lidx = jnp.zeros_like(depth)
+                    for k in range(K_L - 1):
+                        lidx = lidx + jnp.where(
+                            usel >= _cdf_l[k], np.int32(1), np.int32(0)
+                        )
+
+                    def _sel_f(vals):
+                        acc = zero + vals[0]
+                        for k in range(1, K_L):
+                            acc = jnp.where(
+                                lidx == np.int32(k), vals[k], acc
+                            )
+                        return acc
+
+                    lcx = _sel_f([m["c"][0] for m in ml])
+                    lcy = _sel_f([m["c"][1] for m in ml])
+                    lcz = _sel_f([m["c"][2] for m in ml])
+                    leux = _sel_f([m["eu"][0] for m in ml])
+                    leuy = _sel_f([m["eu"][1] for m in ml])
+                    leuz = _sel_f([m["eu"][2] for m in ml])
+                    levx = _sel_f([m["ev"][0] for m in ml])
+                    levy = _sel_f([m["ev"][1] for m in ml])
+                    levz = _sel_f([m["ev"][2] for m in ml])
+                    ln_use = tuple(
+                        _sel_f([m["n"][c] for m in ml]) for c in range(3)
+                    )
+                    area_use = _sel_f([m["area"] for m in ml])
+                    q_sel = _sel_f(_q_l)
+                    sel_id = jnp.full_like(depth, np.int32(ml[0]["id"]))
+                    for k in range(1, K_L):
+                        sel_id = jnp.where(
+                            lidx == np.int32(k),
+                            np.int32(ml[k]["id"]), sel_id,
+                        )
+                    lpx = lcx + lu * leux + lv * levx
+                    lpy = lcy + lu * leuy + lv * levy
+                    lpz = lcz + lu * leuz + lv * levz
                 else:
-                    lpx = lc[0] + lu * leu[0] + lv * lev[0]
-                    lpy = lc[1] + lu * leu[1] + lv * lev[1]
-                    lpz = lc[2] + lu * leu[2] + lv * lev[2]
-                wx_, wy_, wz_ = lpx - hx, lpy - hy, lpz - hz
+                    # nee_textbook ALWAYS samples the full light uniformly
+                    # (its nee_weight assumes the uniform-over-area pdf, and
+                    # the jnp path's textbook shadow ray uses
+                    # sample_light_point unconditionally — integrator/
+                    # wavefront.py _bounce_core); the glibc_overflow
+                    # corner-patch mode (C13a) only applies to the
+                    # reference-parity continuation estimators.
+                    ln_use, area_use = ln, area
+                    if glibc and not textbook:
+                        off_u = glibc_offset(lu)
+                        off_v = glibc_offset(lv)
+                        lpx = lc[0] + off_u * leu_hat[0] + off_v * lev_hat[0]
+                        lpy = lc[1] + off_u * leu_hat[1] + off_v * lev_hat[1]
+                        lpz = lc[2] + off_u * leu_hat[2] + off_v * lev_hat[2]
+                    else:
+                        lpx = lc[0] + lu * leu[0] + lv * lev[0]
+                        lpy = lc[1] + lu * leu[1] + lv * lev[1]
+                        lpz = lc[2] + lu * leu[2] + lv * lev[2]
+                if multi:
+                    # Light-list probes fire from a SHADOW_EPS-lifted
+                    # origin (integrator/sampling.SHADOW_EPS: list samplers
+                    # target the true light plane, so near-coplanar origins
+                    # otherwise falsely self-occlude on f32 rounding); the
+                    # single-light path keeps the reference's exact probe
+                    # geometry. Mirrors _diff_scatter exactly.
+                    eps_sh = np.float32(SHADOW_EPS)
+                    pox = hx + eps_sh * nx
+                    poy = hy + eps_sh * ny
+                    poz = hz + eps_sh * nz
+                else:
+                    pox, poy, poz = hx, hy, hz
+                wx_, wy_, wz_ = lpx - pox, lpy - poy, lpz - poz
                 inv_wl = jax.lax.rsqrt(wx_ * wx_ + wy_ * wy_ + wz_ * wz_)
                 ldx, ldy, ldz = wx_ * inv_wl, wy_ * inv_wl, wz_ * inv_wl
                 probe = _trace_unrolled(
-                    rects_k, quads_k, spheres_k, light_id, hx, hy, hz,
-                    ldx, ldy, ldz, want_shading=False,
+                    rects_k, quads_k, spheres_k,
+                    light_ids_all if multi else light_id, pox, poy, poz,
+                    ldx, ldy, ldz, want_shading=False, want_obj=multi,
                 )
-                success = probe["hit"] & probe["is_light"]
+                if multi:
+                    # Success = the probe's nearest hit IS the lane's
+                    # sampled light (per-lane id compare; is_light can't
+                    # express per-lane targets).
+                    success = probe["hit"] & (probe["obj"] == sel_id)
+                else:
+                    success = probe["hit"] & probe["is_light"]
                 t_safe = jnp.where(success, probe["t"], 1.0)
-                cos_l = jnp.abs(ldx * ln[0] + ldy * ln[1] + ldz * ln[2])
+                cos_l = jnp.abs(
+                    ldx * ln_use[0] + ldy * ln_use[1] + ldz * ln_use[2]
+                )
                 cos_s = jnp.abs(ldx * nx + ldy * ny + ldz * nz)
                 w_nee = (
-                    jnp.abs(area * cos_l) / (t_safe * t_safe)
+                    jnp.abs(area_use * cos_l) / (t_safe * t_safe)
                 ) * (cos_s * np.float32(1.0 / math.pi))
+                if multi:
+                    # Unbiased for the SUM over the list: importance weight
+                    # 1/q_k (integrator/wavefront._diff_scatter).
+                    w_nee = w_nee / q_sel
                 if textbook:
                     # Direct term with the PRE-update throughput; cosine
                     # continuation; one shadow ray per live diffuse lane
-                    # (matches _bounce_core exactly).
+                    # (matches _bounce_core exactly). Multi-emitter: the
+                    # SAMPLED light's emission (chained select over the
+                    # list, like e_light = emission_all[light_obj_id]).
+                    if multi:
+                        e_l_use = tuple(
+                            _sel_f([_e_lights[k][c] for k in range(K_L)])
+                            for c in range(3)
+                        )
+                    else:
+                        e_l_use = e_light_k
                     is_diff = ~(h["is_spec"] | h["is_refr"])
                     gate = jnp.where(
                         alive & is_diff & success, w_nee, np.float32(0.0)
                     )
-                    Lr = Lr + gate * tr_ * h["alb"][0] * e_light_k[0]
-                    Lg = Lg + gate * tg * h["alb"][1] * e_light_k[1]
-                    Lb = Lb + gate * tb * h["alb"][2] * e_light_k[2]
+                    Lr = Lr + gate * tr_ * h["alb"][0] * e_l_use[0]
+                    Lg = Lg + gate * tg * h["alb"][1] * e_l_use[1]
+                    Lb = Lb + gate * tb * h["alb"][2] * e_l_use[2]
                     ndx, ndy, ndz = scx, scy, scz
                     wgt = one
                     probes = jnp.where(
@@ -636,6 +835,12 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     ndz = jnp.where(success, ldz, scz)
                     wgt = jnp.where(success, w_nee, 1.0)
                     probes = one
+                    if multi:
+                        # NEE-success lanes continue from the lifted probe
+                        # origin so the emission pickup retraces the probe
+                        # (_diff_scatter's nee_o). Spec/refr lanes are
+                        # excluded below (their scatter overrides this).
+                        cont_off = success
                 if est == "mixture":
                     um = uni(seed, pid, ctr + _u32c(rng.P_MIX_COIN))
                     take = um < mix_q
@@ -644,6 +849,8 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     ndz = jnp.where(take, ndz, scz)
                     wgt = jnp.where(take, wgt, 1.0)
                     probes = jnp.where(take, np.float32(1.0), np.float32(0.0))
+                    if multi:
+                        cont_off = cont_off & take
             else:
                 ndx, ndy, ndz = scx, scy, scz
                 if est == "uniform_corrected":
@@ -734,6 +941,13 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             d_sp = spawn(seed, px, py, pid_sp)
 
             live = alive_next
+            if multi and est in ("nee", "mixture"):
+                # Continuation origin override for light-list NEE-success
+                # diffuse lanes (lifted probe origin — see the NEE block).
+                off_m = cont_off & ~(h["is_spec"] | h["is_refr"])
+                hx = jnp.where(off_m, pox, hx)
+                hy = jnp.where(off_m, poy, hy)
+                hz = jnp.where(off_m, poz, hz)
             ox = jnp.where(respawn, origin[0], jnp.where(live, hx, ox))
             oy = jnp.where(respawn, origin[1], jnp.where(live, hy, oy))
             oz = jnp.where(respawn, origin[2], jnp.where(live, hz, oz))

@@ -119,7 +119,14 @@ def material_grads_to_scene(scene: Scene, galb, gemi):
 
 def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     """The adjoint kernel body (see module docstring)."""
-    rects, quads, spheres, light = _scene_consts(scene)
+    rects, quads, spheres, light, lightlist = _scene_consts(scene)
+    if lightlist is not None:
+        raise NotImplementedError(
+            "the adjoint megakernel replays the single-light NEE stream; "
+            "multi-emitter scenes (scene.lights) differentiate on the jnp "
+            "wavefront (use_pallas=False) — the forward megakernel DOES "
+            "support them (ops/megakernel.build_kernel)"
+        )
     n_obj = len(rects) + len(quads) + len(spheres)
     light_id = light["light_obj_id"]
     uni = _uniform_for(cfg.rng_backend)

@@ -29,6 +29,31 @@ def test_box_scene_matches_jnp(est):
     )
 
 
+@pytest.mark.parametrize(
+    "est,sel",
+    [("nee", "power"), ("nee", "uniform"), ("nee_textbook", "power"),
+     ("mixture", "uniform")],
+)
+def test_twolights_matches_jnp(est, sel):
+    """Multi-emitter light-list NEE in the kernel (per-lane inverse-CDF
+    selection + chained K-way constant select) vs the jnp wavefront's
+    _select_light/gather_light path. Both fire probes from the
+    SHADOW_EPS-lifted origin (sampling.SHADOW_EPS), which keeps the
+    success test away from the near-coplanar ceiling knife edge — trace
+    counts must agree EXACTLY; radiance to f32-rounding tolerance."""
+    scene = get_scene("cornell_twolights")
+    cam = make_camera(aspect=1.0)
+    cfg = RenderConfig(
+        width=24, height=24, spp=4, estimator=est, seed=3, light_select=sel
+    )
+    a, ta = render_regen(scene, cam, cfg, jnp.uint32(3))
+    b, tb = render_pallas(scene, cam, cfg, 3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_sphere_scene_statistical():
     scene = get_scene("cornell_spheres")
     cam = make_camera()

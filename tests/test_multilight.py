@@ -52,9 +52,13 @@ def _mean_img(scene, cam, est, seed, spp=96, sel="power"):
     return np.asarray(img)
 
 
-def test_single_light_list_degenerates_bitwise(cam):
-    """K=1 list == no list, bitwise: q=1 so the weight division is exact,
-    and the point-sampling draws are the same counters."""
+def test_single_light_list_degenerates(cam):
+    """K=1 list == no list at statistical level: q=1 so the weight division
+    is exact and the point-sampling draws are the same counters; the ONLY
+    deviation is the list path's SHADOW_EPS probe-origin lift
+    (sampling.SHADOW_EPS — the single-light path keeps the reference's
+    exact probe geometry), which perturbs a handful of borderline probes,
+    so equality is channel-mean-level rather than bitwise."""
     box = spt.get_scene("cornell_box")
     l = box.light
     box1 = box._replace(
@@ -67,12 +71,18 @@ def test_single_light_list_degenerates_bitwise(cam):
     )
     for est in ("nee", "nee_textbook", "mixture"):
         cfg = RenderConfig(
-            width=16, height=16, spp=8, estimator=est, seed=3, max_bounces=32
+            width=16, height=16, spp=64, estimator=est, seed=3, max_bounces=32
         )
         a, tr_a = render(box, cam, cfg)
         b, tr_b = render(box1, cam, cfg)
-        assert bool(jnp.all(a == b)), est
-        assert tr_a == tr_b
+        a, b = np.asarray(a), np.asarray(b)
+        # Measured <= 7.6e-5 per channel at this config (one lifted-probe
+        # borderline flip taints a whole 64-sample pixel sum, so the bound
+        # is channel-mean, not per-pixel).
+        diff = np.abs(a.mean((0, 1)) - b.mean((0, 1)))
+        assert diff.max() < 1e-3, (est, diff)
+        # Trace counts agree to 0.1% (lift rescues a few probes).
+        np.testing.assert_allclose(tr_a, tr_b, rtol=1e-3)
 
 
 def test_textbook_nee_unbiased_two_lights(twolights, cam):
@@ -131,11 +141,20 @@ def test_guards(twolights, cam):
     with pytest.raises(ValueError, match="glibc_overflow"):
         render(twolights, cam, cfg)
 
+    # The forward megakernel supports light lists (ops/megakernel
+    # build_kernel, tested in test_megakernel.py) but rejects the
+    # glibc_overflow mode on them, matching the jnp guard above.
     from small_pathtracer_tpu.ops.megakernel import build_kernel
 
+    with pytest.raises(ValueError, match="glibc_overflow"):
+        build_kernel(twolights, cam, cfg)
+
+    # The ADJOINT kernel still replays the single-light stream only.
+    from small_pathtracer_tpu.ops.megakernel_grad import build_grad_kernel
+
     cfg2 = RenderConfig(width=8, height=8, spp=2, estimator="nee")
-    with pytest.raises(NotImplementedError, match="ONE explicit light"):
-        build_kernel(twolights, cam, cfg2)
+    with pytest.raises(NotImplementedError, match="single-light"):
+        build_grad_kernel(twolights, cam, cfg2)
 
     from small_pathtracer_tpu.grad.soft import soft_render
 
