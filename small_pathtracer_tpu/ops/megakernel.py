@@ -195,6 +195,33 @@ def _scene_consts(scene: Scene):
     return rects, quads, spheres, light, lightlist
 
 
+def _light_list_consts(lightlist):
+    """Per-emitter kernel constants for a _scene_consts light list.
+
+    Strict float32 throughout: the jnp path computes area/normal on-device
+    from the gathered f32 edges (sampling.light_area_normal), so the baked
+    constants must round the same way for bit-parity. Shared by the forward
+    (build_kernel) and adjoint (megakernel_grad.build_grad_kernel) kernels."""
+    ml = []
+    for L in lightlist:
+        eu_f = tuple(np.float32(v) for v in L["edge_u"])
+        ev_f = tuple(np.float32(v) for v in L["edge_v"])
+        cx_ = (
+            eu_f[1] * ev_f[2] - eu_f[2] * ev_f[1],
+            eu_f[2] * ev_f[0] - eu_f[0] * ev_f[2],
+            eu_f[0] * ev_f[1] - eu_f[1] * ev_f[0],
+        )
+        ar = np.sqrt(cx_[0] * cx_[0] + cx_[1] * cx_[1] + cx_[2] * cx_[2])
+        ml.append(dict(
+            c=tuple(np.float32(v) for v in L["corner"]),
+            eu=eu_f, ev=ev_f,
+            area=np.float32(ar),
+            n=tuple(np.float32(v / ar) for v in cx_),
+            id=L["obj_id"],
+        ))
+    return ml
+
+
 def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
                     want_shading: bool, want_obj: bool = False):
     """Unrolled nearest-hit over all primitives.
@@ -513,27 +540,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             "scenes with a light list"
         )
     if multi:
-        ml = []
-        for L in lightlist:
-            eu_f = tuple(np.float32(v) for v in L["edge_u"])
-            ev_f = tuple(np.float32(v) for v in L["edge_v"])
-            # Strict float32 throughout: the jnp path computes area/normal
-            # on-device from the gathered f32 edges (sampling.
-            # light_area_normal), so the baked constants must round the
-            # same way for bit-parity.
-            cx_ = (
-                eu_f[1] * ev_f[2] - eu_f[2] * ev_f[1],
-                eu_f[2] * ev_f[0] - eu_f[0] * ev_f[2],
-                eu_f[0] * ev_f[1] - eu_f[1] * ev_f[0],
-            )
-            ar = np.sqrt(cx_[0] * cx_[0] + cx_[1] * cx_[1] + cx_[2] * cx_[2])
-            ml.append(dict(
-                c=tuple(np.float32(v) for v in L["corner"]),
-                eu=eu_f, ev=ev_f,
-                area=np.float32(ar),
-                n=tuple(np.float32(v / ar) for v in cx_),
-                id=L["obj_id"],
-            ))
+        ml = _light_list_consts(lightlist)
         light_ids_all = tuple(m["id"] for m in ml)
         K_L = len(ml)
 

@@ -39,7 +39,11 @@ silhouette and RR-decision terms).
 Estimators: all six (nee / cosine / uniform / uniform_corrected / mixture /
 nee_textbook — the textbook shadow-ray direct term contributes its own
 albedo and light-emission cotangents, and the double-count pickup
-suppression is replayed bit-exactly), all materials (DIFF/SPEC/REFR).
+suppression is replayed bit-exactly), all materials (DIFF/SPEC/REFR), and
+multi-emitter light lists (scene.lights): the per-lane selection draw is
+replayed, the NEE weight carries 1/q_k with q stop-gradient'ed exactly as
+sampling.light_select_probs specifies, and the textbook direct term routes
+its emission cotangent to the per-lane SAMPLED light's row.
 
 Known pathology (nee_textbook, any adjoint — jnp included): the gradient
 w.r.t. the LIGHT's own albedo is dominated by knife-edge 1/t^2 shadow-ray
@@ -65,10 +69,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..camera.pinhole import CameraParams
 from ..config import RenderConfig
 from ..core import rng
+from ..integrator.sampling import SHADOW_EPS
 from ..scene.types import Scene
 from .megakernel import (
     TILE,
     TILE_ROWS,
+    _light_list_consts,
+    _light_select_cdf,
     _runtime_materials,
     _scene_consts,
     _trace_unrolled,
@@ -120,19 +127,31 @@ def material_grads_to_scene(scene: Scene, galb, gemi):
 def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     """The adjoint kernel body (see module docstring)."""
     rects, quads, spheres, light, lightlist = _scene_consts(scene)
-    if lightlist is not None:
-        raise NotImplementedError(
-            "the adjoint megakernel replays the single-light NEE stream; "
-            "multi-emitter scenes (scene.lights) differentiate on the jnp "
-            "wavefront (use_pallas=False) — the forward megakernel DOES "
-            "support them (ops/megakernel.build_kernel)"
-        )
     n_obj = len(rects) + len(quads) + len(spheres)
+    all_objs = rects + quads + spheres
     light_id = light["light_obj_id"]
     uni = _uniform_for(cfg.rng_backend)
     est = cfg.estimator
     textbook = est == "nee_textbook"
     glibc = cfg.light_sample_mode == "glibc_overflow"
+    # Multi-emitter light list: same per-lane selection replay as the
+    # forward kernel. q is stop_gradient'ed in the jnp estimator
+    # (sampling.light_select_probs), so the adjoint treats the selection
+    # weights as constants — no cotangent flows through q, matching
+    # jax.grad through the lax.scan wavefront exactly (even in "power"
+    # mode, where q is computed at runtime from the emission table).
+    multi = lightlist is not None
+    if multi and glibc:
+        raise ValueError(
+            "light_sample_mode='glibc_overflow' reproduces the reference's "
+            "single-light int32-overflow quirk (C13a) and has no "
+            "multi-emitter analogue; use light_sample_mode='intended' for "
+            "scenes with a light list"
+        )
+    if multi:
+        ml = _light_list_consts(lightlist)
+        light_ids_all = tuple(m["id"] for m in ml)
+        K_L = len(ml)
     has_spec = any(o["refl"] == 1 for o in rects + quads + spheres)
     has_refr = any(o["refl"] == 2 for o in rects + quads + spheres)
 
@@ -171,6 +190,13 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
         rects_k = _runtime_materials(rects, alb_ref, emi_ref, 0)
         quads_k = _runtime_materials(quads, alb_ref, emi_ref, R)
         spheres_k = _runtime_materials(spheres, alb_ref, emi_ref, R + Q)
+        if multi:
+            # Selection q/cdf/e from the RUNTIME emission table, exactly as
+            # the forward mat_refs kernel computes them (values only — see
+            # the stop-gradient note in build_grad_kernel).
+            _q_l, _cdf_l, _e_lights = _light_select_cdf(
+                ml, all_objs, cfg.light_select, emi_ref
+            )
 
         seed = seed_ref[0]
         px = px_ref[...]
@@ -214,7 +240,8 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             depth = jnp.where(alive, depth + 1, depth)
 
             h = _trace_unrolled(
-                rects_k, quads_k, spheres_k, light_id, ox, oy, oz,
+                rects_k, quads_k, spheres_k,
+                light_ids_all if multi else light_id, ox, oy, oz,
                 dx, dy, dz, want_shading=True, want_obj=True,
             )
             alive_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
@@ -286,46 +313,114 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             if est in ("nee", "mixture", "nee_textbook"):
                 lu = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_U))
                 lv = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_V))
-                # textbook ALWAYS samples the full light (config.py docs).
-                if glibc and not textbook:
-                    off_u = glibc_offset(lu)
-                    off_v = glibc_offset(lv)
-                    lpx = lc[0] + off_u * leu_hat[0] + off_v * lev_hat[0]
-                    lpy = lc[1] + off_u * leu_hat[1] + off_v * lev_hat[1]
-                    lpz = lc[2] + off_u * leu_hat[2] + off_v * lev_hat[2]
+                if multi:
+                    # Bit-exact replay of the forward kernel's per-lane
+                    # light selection (ops/megakernel.build_kernel):
+                    # inverse-CDF draw + chained K-way select.
+                    usel = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_SEL))
+                    lidx = jnp.zeros_like(depth)
+                    for k in range(K_L - 1):
+                        lidx = lidx + jnp.where(
+                            usel >= _cdf_l[k], np.int32(1), np.int32(0)
+                        )
+
+                    def _sel_f(vals):
+                        acc = zero + vals[0]
+                        for k in range(1, K_L):
+                            acc = jnp.where(
+                                lidx == np.int32(k), vals[k], acc
+                            )
+                        return acc
+
+                    lcx = _sel_f([m["c"][0] for m in ml])
+                    lcy = _sel_f([m["c"][1] for m in ml])
+                    lcz = _sel_f([m["c"][2] for m in ml])
+                    leux = _sel_f([m["eu"][0] for m in ml])
+                    leuy = _sel_f([m["eu"][1] for m in ml])
+                    leuz = _sel_f([m["eu"][2] for m in ml])
+                    levx = _sel_f([m["ev"][0] for m in ml])
+                    levy = _sel_f([m["ev"][1] for m in ml])
+                    levz = _sel_f([m["ev"][2] for m in ml])
+                    ln_use = tuple(
+                        _sel_f([m["n"][c] for m in ml]) for c in range(3)
+                    )
+                    area_use = _sel_f([m["area"] for m in ml])
+                    q_sel = _sel_f(_q_l)
+                    sel_id = jnp.full_like(depth, np.int32(ml[0]["id"]))
+                    for k in range(1, K_L):
+                        sel_id = jnp.where(
+                            lidx == np.int32(k),
+                            np.int32(ml[k]["id"]), sel_id,
+                        )
+                    lpx = lcx + lu * leux + lv * levx
+                    lpy = lcy + lu * leuy + lv * levy
+                    lpz = lcz + lu * leuz + lv * levz
                 else:
-                    lpx = lc[0] + lu * leu[0] + lv * lev[0]
-                    lpy = lc[1] + lu * leu[1] + lv * lev[1]
-                    lpz = lc[2] + lu * leu[2] + lv * lev[2]
-                wx_, wy_, wz_ = lpx - hx, lpy - hy, lpz - hz
+                    # textbook ALWAYS samples the full light (config.py).
+                    ln_use, area_use = ln, area
+                    if glibc and not textbook:
+                        off_u = glibc_offset(lu)
+                        off_v = glibc_offset(lv)
+                        lpx = lc[0] + off_u * leu_hat[0] + off_v * lev_hat[0]
+                        lpy = lc[1] + off_u * leu_hat[1] + off_v * lev_hat[1]
+                        lpz = lc[2] + off_u * leu_hat[2] + off_v * lev_hat[2]
+                    else:
+                        lpx = lc[0] + lu * leu[0] + lv * lev[0]
+                        lpy = lc[1] + lu * leu[1] + lv * lev[1]
+                        lpz = lc[2] + lu * leu[2] + lv * lev[2]
+                if multi:
+                    # SHADOW_EPS-lifted probe origin (forward-kernel NEE
+                    # block rationale — list samplers target the true
+                    # light plane).
+                    eps_sh = np.float32(SHADOW_EPS)
+                    pox = hx + eps_sh * nx
+                    poy = hy + eps_sh * ny
+                    poz = hz + eps_sh * nz
+                else:
+                    pox, poy, poz = hx, hy, hz
+                wx_, wy_, wz_ = lpx - pox, lpy - poy, lpz - poz
                 inv_wl = jax.lax.rsqrt(wx_ * wx_ + wy_ * wy_ + wz_ * wz_)
                 ldx, ldy, ldz = wx_ * inv_wl, wy_ * inv_wl, wz_ * inv_wl
                 probe = _trace_unrolled(
-                    rects_k, quads_k, spheres_k, light_id, hx, hy, hz,
-                    ldx, ldy, ldz, want_shading=False,
+                    rects_k, quads_k, spheres_k,
+                    light_ids_all if multi else light_id, pox, poy, poz,
+                    ldx, ldy, ldz, want_shading=False, want_obj=multi,
                 )
-                success = probe["hit"] & probe["is_light"]
+                if multi:
+                    success = probe["hit"] & (probe["obj"] == sel_id)
+                else:
+                    success = probe["hit"] & probe["is_light"]
                 t_safe = jnp.where(success, probe["t"], 1.0)
-                cos_l = jnp.abs(ldx * ln[0] + ldy * ln[1] + ldz * ln[2])
+                cos_l = jnp.abs(
+                    ldx * ln_use[0] + ldy * ln_use[1] + ldz * ln_use[2]
+                )
                 cos_s = jnp.abs(ldx * nx + ldy * ny + ldz * nz)
                 w_nee = (
-                    jnp.abs(area * cos_l) / (t_safe * t_safe)
+                    jnp.abs(area_use * cos_l) / (t_safe * t_safe)
                 ) * (cos_s * np.float32(1.0 / math.pi))
+                if multi:
+                    w_nee = w_nee / q_sel
                 if textbook:
                     # Unbiased shadow-ray direct term with the PRE-update
                     # throughput; continuation is plain cosine (wgt = 1).
                     # Mirrors build_kernel's textbook block exactly.
                     is_diff_tb = ~(h["is_spec"] | h["is_refr"])
-                    e_light_k = tuple(
-                        emi_ref[light_id, c] for c in range(3)
-                    )
+                    if multi:
+                        e_l_use = tuple(
+                            _sel_f([_e_lights[k][c] for k in range(K_L)])
+                            for c in range(3)
+                        )
+                    else:
+                        e_l_use = tuple(
+                            emi_ref[light_id, c] for c in range(3)
+                        )
                     gate = jnp.where(
                         alive & is_diff_tb & success, w_nee,
                         np.float32(0.0),
                     )
-                    dir_r = gate * tr_ * h["alb"][0] * e_light_k[0]
-                    dir_g = gate * tg * h["alb"][1] * e_light_k[1]
-                    dir_b = gate * tb * h["alb"][2] * e_light_k[2]
+                    dir_r = gate * tr_ * h["alb"][0] * e_l_use[0]
+                    dir_g = gate * tg * h["alb"][1] * e_l_use[1]
+                    dir_b = gate * tb * h["alb"][2] * e_l_use[2]
                     ar_n = ar_n + dir_r
                     ag_n = ag_n + dir_g
                     ab_n = ab_n + dir_b
@@ -337,6 +432,10 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                     ndy = jnp.where(success, ldy, scy)
                     ndz = jnp.where(success, ldz, scz)
                     wgt = jnp.where(success, w_nee, 1.0)
+                    if multi:
+                        # NEE-success lanes continue from the lifted probe
+                        # origin (forward kernel's cont_off).
+                        cont_off = success
                 if est == "mixture":
                     um = uni(seed, pid, ctr + _u32c(rng.P_MIX_COIN))
                     take = um < mix_q
@@ -344,6 +443,8 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                     ndy = jnp.where(take, ndy, scy)
                     ndz = jnp.where(take, ndz, scz)
                     wgt = jnp.where(take, wgt, 1.0)
+                    if multi:
+                        cont_off = cont_off & take
             else:
                 ndx, ndy, ndz = scx, scy, scz
                 if est == "uniform_corrected":
@@ -461,10 +562,11 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             if textbook:
                 # Direct-term cotangents: b_dir = gate*T*c*e_light, so
                 # d/dc picks up gate*T*e_light on the hit object and
-                # d/de_light picks up gate*T*c on the LIGHT's emission row.
+                # d/de_light picks up gate*T*c on the (per-lane sampled)
+                # LIGHT's emission row.
                 val_alb_tot = [
                     val_alb_tot[chn]
-                    + g_ct[chn] * gate * T_ch[chn] * e_light_k[chn]
+                    + g_ct[chn] * gate * T_ch[chn] * e_l_use[chn]
                     for chn in range(3)
                 ]
             # Emission cotangent: the pickup this bounce used T_j (gated by
@@ -481,7 +583,21 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                     gacc[ia] = gacc[ia] + m * val_alb_tot[chn]
                     ie = n_obj * 3 + ia
                     gacc[ie] = gacc[ie] + m * val_emi[chn]
-            if textbook:
+            if textbook and multi:
+                # Route the direct-term emission cotangent to the per-lane
+                # SAMPLED light's row (gate is zero off-success, so the
+                # lidx mask only picks the routing).
+                for k in range(K_L):
+                    mk = jnp.where(
+                        lidx == np.int32(k), isB_f, np.float32(0.0)
+                    )
+                    for chn in range(3):
+                        ie_l = n_obj * 3 + light_ids_all[k] * 3 + chn
+                        gacc[ie_l] = gacc[ie_l] + (
+                            mk * g_ct[chn] * gate * T_ch[chn]
+                            * h["alb"][chn]
+                        )
+            elif textbook:
                 for chn in range(3):
                     ie_l = n_obj * 3 + light_id * 3 + chn
                     gacc[ie_l] = gacc[ie_l] + (
@@ -501,6 +617,14 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             d_sp = spawn(seed, px, py, pid_sel)
 
             live = alive_next
+            if multi and est in ("nee", "mixture"):
+                # Continuation origin override for light-list NEE-success
+                # diffuse lanes (lifted probe origin — forward kernel's
+                # off_m block).
+                off_m = cont_off & ~(h["is_spec"] | h["is_refr"])
+                hx = jnp.where(off_m, pox, hx)
+                hy = jnp.where(off_m, poy, hy)
+                hz = jnp.where(off_m, poz, hz)
             ox = jnp.where(reborn, origin[0], jnp.where(live, hx, ox))
             oy = jnp.where(reborn, origin[1], jnp.where(live, hy, oy))
             oz = jnp.where(reborn, origin[2], jnp.where(live, hz, oz))
@@ -573,12 +697,17 @@ _CACHE: dict = {}
 def _geom_key(scene: Scene, cam: CameraParams, cfg: RenderConfig,
               interpret: bool, tag: str):
     h = hashlib.sha256()
-    # Geometry + light only — materials are runtime inputs.
+    # Geometry + light(s) only — materials are runtime inputs. scene.lights
+    # leaves are all geometry (corner/edges/obj_id), so the whole list goes
+    # into the key (distinct light lists over identical geometry compile
+    # distinct kernels — selection CDF structure and probe lift differ).
+    h.update(b"L" if scene.lights is not None else b"-")
     for leaf in jax.tree.leaves((
         scene.rects.axis, scene.rects.k, scene.rects.lo, scene.rects.hi,
         scene.rects.refl, scene.quads.corner, scene.quads.edge_u,
         scene.quads.edge_v, scene.quads.refl, scene.spheres.center,
         scene.spheres.radius, scene.spheres.refl, scene.light, cam,
+        scene.lights,
     )):
         h.update(np.asarray(leaf).tobytes())
     return (tag, h.hexdigest(), cfg, interpret)

@@ -105,6 +105,66 @@ def test_vjp_matches_jnp_adjoint(est):
                                atol=5e-3 * scale_e, rtol=5e-3)
 
 
+@pytest.mark.parametrize("est,sel", [
+    ("nee", "power"), ("nee", "uniform"), ("mixture", "power"),
+    ("nee_textbook", "power"),
+])
+def test_vjp_matches_jnp_adjoint_multilight(est, sel):
+    """Multi-emitter (light list) scene: the adjoint replays the per-lane
+    selection draw and routes the textbook direct-term emission cotangent
+    to the SAMPLED light's row; parity vs jax.grad through the jnp
+    wavefront for both selection heuristics (q is stop-gradient'ed in
+    sampling.light_select_probs, so "power" has no quotient terms).
+
+    nee_textbook: BOTH listed lights' albedo rows are excluded — the same
+    knife-edge 1/t^2 shadow-ray artifact as the single-light case."""
+    import dataclasses
+
+    scene = get_scene("cornell_twolights")
+    cam = make_camera()
+    cfg = dataclasses.replace(CFG, estimator=est, light_select=sel)
+    target = render_linear(
+        scene._replace(
+            rects=scene.rects._replace(emission=scene.rects.emission * 1.3)
+        ),
+        cam, cfg, jnp.uint32(7), n_bounces=cfg.max_bounces,
+    )
+    l_jnp, ga_jnp, ge_jnp = _jnp_loss_and_grads(scene, cam, cfg, cfg.seed,
+                                                target)
+    l_k, ga_k, ge_k = loss_and_material_grads(
+        scene, cam, cfg, jnp.uint32(cfg.seed), target, interpret=True
+    )
+    assert abs(float(l_k) - l_jnp) < 1e-5 * max(1.0, abs(l_jnp))
+    ga_k = np.asarray(ga_k).copy()
+    ga_jnp = np.asarray(ga_jnp).copy()
+    if est == "nee_textbook":
+        for lid in np.asarray(scene.lights.obj_id):
+            ga_k[int(lid)] = 0.0
+            ga_jnp[int(lid)] = 0.0
+    scale_a = np.abs(ga_jnp).max()
+    scale_e = np.abs(ge_jnp).max()
+    np.testing.assert_allclose(ga_k, ga_jnp,
+                               atol=5e-3 * scale_a, rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(ge_k), ge_jnp,
+                               atol=5e-3 * scale_e, rtol=5e-3)
+
+
+def test_fwd_runtime_materials_matches_baked_multilight():
+    """mat_refs kernel == baked kernel bit-for-bit on a light-list scene
+    ("power" selection: the runtime-emission CDF must round identically
+    to the baked f32 constants)."""
+    import dataclasses
+
+    scene = get_scene("cornell_twolights")
+    cam = make_camera()
+    cfg = dataclasses.replace(CFG, estimator="nee", light_select="power")
+    a, ta = render_pallas(scene, cam, cfg, 3, interpret=True)
+    alb, emi = pack_materials(scene)
+    b, tb = render_pallas_mat(scene, cam, cfg, alb, emi, 3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+
+
 def test_vjp_matches_jnp_adjoint_spec_refr():
     """SPEC mirror + REFR glass scene: the albedo/emission adjoint flows
     through Fresnel-weighted throughput identically to jnp."""

@@ -149,12 +149,14 @@ def test_guards(twolights, cam):
     with pytest.raises(ValueError, match="glibc_overflow"):
         build_kernel(twolights, cam, cfg)
 
-    # The ADJOINT kernel still replays the single-light stream only.
+    # The ADJOINT kernel supports light lists too (parity in
+    # test_megakernel_grad.py) but rejects glibc_overflow like the rest.
     from small_pathtracer_tpu.ops.megakernel_grad import build_grad_kernel
 
+    with pytest.raises(ValueError, match="glibc_overflow"):
+        build_grad_kernel(twolights, cam, cfg)
+
     cfg2 = RenderConfig(width=8, height=8, spp=2, estimator="nee")
-    with pytest.raises(NotImplementedError, match="single-light"):
-        build_grad_kernel(twolights, cam, cfg2)
 
     from small_pathtracer_tpu.grad.soft import soft_render
 
