@@ -224,11 +224,6 @@ def cmd_fit(args) -> int:
         # gradients, grad/soft.py) on selected fields; SGD or any optax
         # optimizer. (Checked FIRST — this path needs no path-traced
         # target or mesh.)
-        if args.checkpoint:
-            raise SystemExit(
-                "--checkpoint is not supported with --soft-tau yet; "
-                "drop one of the flags"
-            )
         import jax.tree_util as jtu
 
         from ..grad.soft import soft_loss_and_grad, soft_render
@@ -250,17 +245,50 @@ def cmd_fit(args) -> int:
                 and name in fields
             )
 
+        # Training-state checkpoint (same machinery as the adjoint path):
+        # counter-RNG steps make a resume bit-identical to the
+        # uninterrupted run.
+        ck_path = args.checkpoint or None
+        ck_every = args.checkpoint_every
+        if ck_path:
+            from ..utils.train_checkpoint import (
+                load_train_state,
+                save_train_state,
+                train_tag,
+            )
+
+            tag = train_tag(
+                cfg,
+                f"fit-soft|{args.optimizer}|{args.lr}|{args.train}"
+                f"|{args.soft_tau}",
+                scene=scene, cam=cam, target=target,
+            )
+
+        def maybe_save(i, params, opt_state=None):
+            if ck_path and (
+                i == args.steps - 1
+                or (ck_every and (i + 1) % ck_every == 0)
+            ):
+                save_train_state(ck_path, i + 1, params, opt_state, tag=tag)
+
+        loss = float("nan")
+        start = 0
         if args.optimizer == "sgd":
             def upd(path, p, g):
                 return p - args.lr * g if trainable(path, p) else p
 
             s = scene
-            for i in range(args.steps):
+            if ck_path:
+                st = load_train_state(ck_path, s, tag=tag)
+                if st is not None:
+                    start, s, _ = st
+            for i in range(start, args.steps):
                 loss, g = soft_loss_and_grad(
                     s, cam, cfg, jnp.uint32(cfg.seed), target, args.soft_tau
                 )
                 s = jtu.tree_map_with_path(upd, s, g)
                 print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
+                maybe_save(i, s)
         else:
             import optax
 
@@ -277,7 +305,11 @@ def cmd_fit(args) -> int:
             )
             s = scene
             state = tx.init(s)
-            for i in range(args.steps):
+            if ck_path:
+                st = load_train_state(ck_path, s, state, tag=tag)
+                if st is not None:
+                    start, s, state = st
+            for i in range(start, args.steps):
                 loss, g = soft_loss_and_grad(
                     s, cam, cfg, jnp.uint32(cfg.seed), target, args.soft_tau
                 )
@@ -294,7 +326,9 @@ def cmd_fit(args) -> int:
                     ) else p, s, new_s,
                 )
                 print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
-        print(json.dumps({"final_loss": float(loss), "steps": args.steps}))
+                maybe_save(i, s, state)
+        print(json.dumps(_fit_result(loss, ran_steps=start < args.steps,
+                                     steps=args.steps)))
         return 0
 
     if cfg.use_pallas:

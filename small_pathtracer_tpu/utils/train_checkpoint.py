@@ -56,7 +56,11 @@ def save_train_state(path: str, step: int, params, opt_state=None,
     import orbax.checkpoint as ocp
 
     state = {
-        "step": np.int64(step),
+        # 0-d ndarray, NOT a bare np.int64 scalar: StandardCheckpointer's
+        # restore-target validation rejects numpy scalar types (and
+        # load_train_state would silently treat every checkpoint as
+        # corrupt, restarting from step 0).
+        "step": np.asarray(step, np.int64),
         "params": _pad_empty(params),
         "fingerprint": _fingerprint_array(tag),
     }
@@ -79,7 +83,7 @@ def load_train_state(path: str, params_like, opt_state_like=None,
     if not os.path.isdir(apath):
         return None
     target = {
-        "step": np.int64(0),
+        "step": np.asarray(0, np.int64),  # see save_train_state
         "params": _pad_empty(params_like),
         "fingerprint": _fingerprint_array(""),
     }

@@ -207,6 +207,12 @@ class TestTrainCheckpoint:
         assert resumed["final_loss"] == pytest.approx(
             full["final_loss"], rel=1e-5
         )
+        # Resume-equality alone cannot distinguish "resumed" from
+        # "silently restarted" (a deterministic fresh 4-step run ends at
+        # the same loss — the np.int64 orbax-target bug hid exactly this
+        # way): a checkpoint already at --steps must do NO work.
+        again = self._run(capsys, ["--steps", "4", "--checkpoint", ck])
+        assert again.get("already_complete") is True
 
     def test_stale_checkpoint_ignored(self, tmp_path, capsys):
         ck = str(tmp_path / "train_ck2")
@@ -239,6 +245,9 @@ class TestTrainCheckpoint:
         assert resumed["final_loss"] == pytest.approx(
             full["final_loss"], rel=1e-5
         )
+        # Anti-vacuity check (see test_resume_matches_uninterrupted).
+        again = run(["--steps", "3", "--checkpoint", ck])
+        assert again.get("already_complete") is True
 
 
 def test_fit_pallas_selftest(capsys):
@@ -264,3 +273,32 @@ def test_fit_soft_geometry(capsys):
     assert rc == 0
     d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(d["final_loss"])
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "adam"])
+def test_fit_soft_resume(tmp_path, capsys, optimizer):
+    """fit --soft-tau --checkpoint: interrupted-then-resumed soft-geometry
+    fit matches the uninterrupted run exactly (counter-RNG steps)."""
+    base = [
+        "fit", "--scene", "cornell_spheres", "--width", "24", "--height",
+        "16", "--spp", "2", "--lr", "500", "--train", "center",
+        "--soft-tau", "0.5", "--bounces", "4", "--optimizer", optimizer,
+        "--seed", "3",
+    ]
+
+    def run(extra):
+        rc = main(base + extra)
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    full = run(["--steps", "4"])
+    ck = str(tmp_path / "soft_ck")
+    run(["--steps", "2", "--checkpoint", ck, "--checkpoint-every", "1"])
+    resumed = run(["--steps", "4", "--checkpoint", ck,
+                   "--checkpoint-every", "1"])
+    assert resumed["final_loss"] == pytest.approx(
+        full["final_loss"], rel=1e-5
+    )
+    # A checkpoint already at --steps: no work left, reported as such.
+    again = run(["--steps", "4", "--checkpoint", ck])
+    assert again.get("already_complete") is True
