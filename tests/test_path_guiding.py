@@ -65,6 +65,87 @@ def test_guide_trains_toward_light(small_light_scene, cam):
             assert float(mu[v, 1]) > 0.5, np.asarray(mu[v])
 
 
+def test_guided_nee_matches_textbook_with_empty_guide(cam):
+    """With an EMPTY guide table the guided-NEE estimator must reduce to
+    the wavefront's nee_textbook exactly (the mixture weight is x/x == 1
+    wherever no lobe exists): same draws, same shadow rays, same pickup
+    suppression. Float-order tolerance only."""
+    from small_pathtracer_tpu.integrator.wavefront import (
+        _chunk_paths,
+        path_trace_fixed,
+    )
+
+    s = spt.get_scene("cornell_box")
+    cfg = spt.RenderConfig(width=32, height=24, spp=16,
+                           estimator="nee_textbook", seed=5)
+    empty = (jnp.zeros((N_VOXELS, 3)), jnp.zeros((N_VOXELS,), bool))
+    g = np.asarray(render_guided(s, cam, cfg, jnp.uint32(5), empty,
+                                 N_BOUNCES, 0.9, 16.0, estimator="nee"))
+    o, d, pid = _chunk_paths(cam, cfg, jnp.uint32(5), jnp.uint32(0), cfg.spp)
+    L, _ = path_trace_fixed(s, cfg, jnp.uint32(5), o, d, pid, N_BOUNCES)
+    w = np.asarray(
+        L.reshape(24 * 32, 16, 3).mean(axis=1).reshape(24, 32, 3)
+    )
+    assert np.abs(g - w).max() < 1e-4, np.abs(g - w).max()
+
+
+def test_guided_spec_refr_unbiased(cam):
+    """Mixed-material scene (mirror + glass spheres): the guide trains
+    through specular chains and the guided render's high-spp mean sits on
+    the plain-cosine ensemble mean."""
+    from small_pathtracer_tpu.grad.adjoint import render_linear
+
+    s = spt.get_scene("smallpt_original")
+
+    def cfgf(spp, seed):
+        return spt.RenderConfig(width=32, height=24, spp=spp,
+                                estimator="cosine", seed=seed)
+
+    m = train_guide(s, cam, cfgf(16, 3), N_BOUNCES, jnp.uint32(3))
+    guide = guide_lobes(m)
+    refs = [
+        np.asarray(render_linear(s, cam, cfgf(128, sd), jnp.uint32(sd),
+                                 N_BOUNCES))
+        for sd in (301, 302, 303, 304)
+    ]
+    ref_means = np.stack([r.mean(axis=(0, 1)) for r in refs])
+    tol = 4.0 * ref_means.std(axis=0, ddof=1) + 2e-3
+    gui = np.asarray(
+        render_guided(s, cam, cfgf(128, 305), jnp.uint32(305), guide,
+                      N_BOUNCES, 0.5, 8.0)
+    )
+    d = np.abs(gui.mean(axis=(0, 1)) - ref_means.mean(axis=0))
+    assert np.all(d < tol), (d, tol)
+
+
+def test_guided_nee_cuts_direct_variance(small_light_scene, cam):
+    """estimator='nee' (shadow-ray NEE + guided continuation) must crush
+    the small-light variance relative to guided continuation alone — the
+    direct term dominates this scene's energy."""
+    scene = small_light_scene
+
+    def cfgf(spp, seed):
+        return spt.RenderConfig(width=32, height=24, spp=spp, seed=seed)
+
+    m = train_guide(scene, cam, cfgf(16, 11), N_BOUNCES, jnp.uint32(11))
+    guide = guide_lobes(m)
+    ref = np.clip(np.asarray(
+        render_guided(scene, cam, cfgf(512, 400), jnp.uint32(400), guide,
+                      N_BOUNCES, 0.5, 8.0, estimator="nee")), 0, 1)
+    mse_cos, mse_nee = [], []
+    for sd in (31, 32, 33):
+        c = np.clip(np.asarray(
+            render_guided(scene, cam, cfgf(8, sd), jnp.uint32(sd), guide,
+                          N_BOUNCES, 0.9, 16.0)), 0, 1)
+        ne = np.clip(np.asarray(
+            render_guided(scene, cam, cfgf(8, sd), jnp.uint32(sd), guide,
+                          N_BOUNCES, 0.9, 16.0, estimator="nee")), 0, 1)
+        mse_cos.append(((c - ref) ** 2).mean())
+        mse_nee.append(((ne - ref) ** 2).mean())
+    ratio = float(np.mean(mse_nee) / np.mean(mse_cos))
+    assert ratio < 0.5, (ratio, mse_nee, mse_cos)
+
+
 def test_guided_unbiased_and_lower_variance(small_light_scene, cam):
     """Measured in the pilot: clamped-MSE ratio ~0.80 over 6 seeds at
     beta=0.9, k=16 (the unclamped metric is firefly-dominated on this
