@@ -503,16 +503,59 @@ def _light_select_cdf(ml, all_objs, mode, emi_ref=None):
     return q, cdf, e_lights
 
 
+def _gather_vmem_table(tab_ref, hi, lo, n_chunks: int):
+    """Per-lane gather from a VMEM table of n_chunks*128 scalars.
+
+    Mosaic's supported dynamic gather is along the LANE axis only
+    (take_along_axis(src, idx, axis=1), idx in [0,128)), so the table is
+    stored as (n_chunks, 128) rows and the chunk dimension is resolved by
+    an unrolled broadcast+select: entry i lives at row i>>7, lane i&127.
+    ~2 vector ops per chunk — for the 13-chunk guide table that is ~30
+    ops per plane per bounce, cheap next to the ~600-op bounce body."""
+    out = jnp.zeros_like(hi, dtype=jnp.float32)
+    for h in range(n_chunks):
+        row = jnp.broadcast_to(tab_ref[h:h + 1, :], hi.shape)
+        g = jnp.take_along_axis(row, lo, axis=1)
+        out = jnp.where(hi == np.int32(h), g, out)
+    return out
+
+
 def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
-                 mat_refs: bool = False):
+                 mat_refs: bool = False,
+                 guide_cfg: tuple[float, float] | None = None):
     """Returns the Pallas kernel body closed over scene/cam/cfg constants.
 
     mat_refs=True: the kernel takes two extra leading refs (alb_ref,
     emi_ref — (K, 3) SMEM material tables, global object order) after the
     seed and reads materials from them instead of baking them as
     immediates; the RNG/trace/shade structure is otherwise identical, so
-    renders are bit-identical to the baked kernel at equal materials."""
+    renders are bit-identical to the baked kernel at equal materials.
+
+    guide_cfg=(beta, k): voxel path guiding fused into the bounce loop
+    (experiment/path_guiding.py defines the estimator; this is its
+    chip-speed form). The kernel takes three extra VMEM refs (after the
+    material refs if any): (GUIDE_CHUNK_ROWS, 128) planes holding the
+    voxel lobe mu_x/mu_y/mu_z, each PRE-MASKED by the use flag (zero
+    vector = unguided voxel, so no separate use plane is needed). At each
+    diffuse vertex the continuation samples beta*power-cosine(k)-around-mu
+    + (1-beta)*cosine and reweights by the exact mixture pdf — unbiased
+    for any table. Only the cosine-continuation estimators compose
+    ("cosine", "nee_textbook"); C13-continuation estimators replace the
+    bounce with the light sample, leaving nothing to guide."""
     rects, quads, spheres, light, lightlist = _scene_consts(scene)
+    guided = guide_cfg is not None
+    if guided:
+        if cfg.estimator not in ("cosine", "nee_textbook"):
+            raise ValueError(
+                "guided megakernel composes with the cosine-continuation "
+                "estimators ('cosine', 'nee_textbook') only; "
+                f"got estimator={cfg.estimator!r}"
+            )
+        from ..experiment.path_guiding import _LO as G_LO, _NVOX as G_NVOX
+        g_beta = np.float32(guide_cfg[0])
+        g_k = np.float32(guide_cfg[1])
+        g_inv_k1 = np.float32(1.0 / (float(guide_cfg[1]) + 1.0))
+        g_norm = np.float32((float(guide_cfg[1]) + 1.0) / (2.0 * math.pi))
     has_spec = any(o["refl"] == 1 for o in rects + quads + spheres)
     has_refr = any(o["refl"] == 2 for o in rects + quads + spheres)
     light_id = light["light_obj_id"]
@@ -576,6 +619,9 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         return wrapped * np.float32(1.0 / 2147483647.0)
 
     def kernel(seed_ref, *refs):
+        if guided:
+            gmu_refs = refs[:3]
+            refs = refs[3:]
         if mat_refs:
             alb_ref, emi_ref = refs[0], refs[1]
             refs = refs[2:]
@@ -702,6 +748,78 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             szr = uz * (cr1 * sin_t) + vz * (sr1 * sin_t) + nz * wz
             inv_sl = jax.lax.rsqrt(sxr * sxr + syr * syr + szr * szr)
             scx, scy, scz = sxr * inv_sl, syr * inv_sl, szr * inv_sl
+
+            if guided:
+                # Voxel lookup at the hit point (experiment/path_guiding.py
+                # voxel_id semantics: reference 10-unit grid, clamped; the
+                # C15 miss point (0,0,0) lands in a corner voxel exactly as
+                # the jnp path's sh.x does).
+                gix = [None] * 3
+                for ax, hc in enumerate((hx, hy, hz)):
+                    q = jnp.floor(
+                        (hc - np.float32(G_LO[ax])) / np.float32(10.0)
+                    ).astype(jnp.int32)
+                    gix[ax] = jnp.clip(q, 0, np.int32(G_NVOX[ax] - 1))
+                vid = (
+                    gix[0] * np.int32(G_NVOX[1]) + gix[1]
+                ) * np.int32(G_NVOX[2]) + gix[2]
+                c_hi = vid >> np.int32(7)
+                c_lo = vid & np.int32(127)
+                n_chunks = -(-int(np.prod(G_NVOX)) // 128)
+                mux, muy, muz = (
+                    _gather_vmem_table(r_, c_hi, c_lo, n_chunks)
+                    for r_ in gmu_refs
+                )
+                # use flag folded into the table: zero vector = no lobe.
+                use_g = (mux * mux + muy * muy + muz * muz) > np.float32(0.5)
+                is_diff_g = ~(h["is_spec"] | h["is_refr"])
+                beta_eff = jnp.where(
+                    use_g & is_diff_g, g_beta, np.float32(0.0)
+                )
+                # Power-cosine lobe around mu (sample_power_cosine): same
+                # onb_from_w frame construction as the n-frame above.
+                pickm = jnp.abs(mux) > np.float32(0.1)
+                muxr = jnp.where(pickm, muz, 0.0)
+                muyr = jnp.where(pickm, 0.0, -muz)
+                muzr = jnp.where(pickm, -mux, muy)
+                # Zero mu (unguided voxel) would rsqrt(0)=inf; the lobe is
+                # never selected there (beta_eff == 0), keep it finite.
+                mul2 = muxr * muxr + muyr * muyr + muzr * muzr
+                inv_ml = jax.lax.rsqrt(jnp.where(use_g, mul2, 1.0))
+                mux_u, muy_u, muz_u = muxr * inv_ml, muyr * inv_ml, muzr * inv_ml
+                mvx = muy * muz_u - muz * muy_u
+                mvy = muz * mux_u - mux * muz_u
+                mvz = mux * muy_u - muy * mux_u
+                wzm = u2 ** g_inv_k1
+                sin_tm = jnp.sqrt(
+                    jnp.maximum(np.float32(1.0) - wzm * wzm, 0.0)
+                )
+                lbxr = mux_u * (cr1 * sin_tm) + mvx * (sr1 * sin_tm) + mux * wzm
+                lbyr = muy_u * (cr1 * sin_tm) + mvy * (sr1 * sin_tm) + muy * wzm
+                lbzr = muz_u * (cr1 * sin_tm) + mvz * (sr1 * sin_tm) + muz * wzm
+                lbl2 = lbxr * lbxr + lbyr * lbyr + lbzr * lbzr
+                inv_ll = jax.lax.rsqrt(jnp.where(use_g, lbl2, 1.0))
+                lbx, lby, lbz = lbxr * inv_ll, lbyr * inv_ll, lbzr * inv_ll
+                u_gcoin = uni(seed, pid, ctr + _u32c(rng.P_MIX_COIN))
+                take_l = u_gcoin < beta_eff
+                gdx = jnp.where(take_l, lbx, scx)
+                gdy = jnp.where(take_l, lby, scy)
+                gdz = jnp.where(take_l, lbz, scz)
+                cos_n_g = gdx * nx + gdy * ny + gdz * nz
+                cos_mu_g = gdx * mux + gdy * muy + gdz * muz
+                pdf_lobe = g_norm * jnp.maximum(cos_mu_g, 0.0) ** g_k
+                pdf_cos = jnp.maximum(cos_n_g, 0.0) * np.float32(1.0 / math.pi)
+                pdf_mix = (
+                    beta_eff * pdf_lobe
+                    + (np.float32(1.0) - beta_eff) * pdf_cos
+                )
+                ok_g = (pdf_mix > np.float32(1e-9)) & (cos_n_g > 0.0)
+                w_g = jnp.where(
+                    ok_g, pdf_cos / jnp.where(ok_g, pdf_mix, 1.0), 0.0
+                )
+                # Spec/refr lanes scatter unguided (their branches override
+                # direction and weight below and always carry).
+                ok_g = ok_g | ~is_diff_g
 
             if est in ("nee", "mixture", "nee_textbook"):
                 # Light-plane sample + visibility probe. nee/mixture: C13
@@ -831,8 +949,12 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     Lr = Lr + gate * tr_ * h["alb"][0] * e_l_use[0]
                     Lg = Lg + gate * tg * h["alb"][1] * e_l_use[1]
                     Lb = Lb + gate * tb * h["alb"][2] * e_l_use[2]
-                    ndx, ndy, ndz = scx, scy, scz
-                    wgt = one
+                    if guided:
+                        ndx, ndy, ndz = gdx, gdy, gdz
+                        wgt = w_g
+                    else:
+                        ndx, ndy, ndz = scx, scy, scz
+                        wgt = one
                     probes = jnp.where(
                         alive & is_diff, np.float32(1.0), np.float32(0.0)
                     )
@@ -859,12 +981,16 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     if multi:
                         cont_off = cont_off & take
             else:
-                ndx, ndy, ndz = scx, scy, scz
-                if est == "uniform_corrected":
+                if guided:
+                    ndx, ndy, ndz = gdx, gdy, gdz
+                    wgt = w_g
+                elif est == "uniform_corrected":
+                    ndx, ndy, ndz = scx, scy, scz
                     wgt = np.float32(2.0) * jnp.maximum(
                         ndx * nx + ndy * ny + ndz * nz, 0.0
                     )
                 else:
+                    ndx, ndy, ndz = scx, scy, scz
                     wgt = one
                 probes = zero
 
@@ -939,6 +1065,11 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             # Per-path max_bounces truncation (identical to the scan/regen
             # jnp schedules — see path_trace_regen).
             alive_next = alive_next & (depth < max_bounces)
+            if guided:
+                # Guided-mixture samples below the surface carry zero BRDF:
+                # the lane dies (weight 0) and regenerates — unbiased, see
+                # path_guiding._guided_diffuse.
+                alive_next = alive_next & ok_g
 
             # Regeneration: dead lanes with budget left respawn (C4 jitter).
             died = alive & ~alive_next
@@ -1110,6 +1241,135 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             seed.reshape(1),
             padto(px, 0.0), padto(py, 0.0), padto(pid_base, 0),
             # Padding lanes get s_start == s_stop == 0 => born dead.
+            padto(s_start, 0), padto(s_stop, 0),
+        )
+        L = jnp.stack(
+            [lr.reshape(-1)[:n_lanes], lg.reshape(-1)[:n_lanes],
+             lb.reshape(-1)[:n_lanes]],
+            axis=-1,
+        )
+        img = L.reshape(n_pix, g, 3).sum(axis=1).reshape(
+            cfg.height, cfg.width, 3
+        )
+        return img, traces[0]
+
+    return run
+
+
+def pack_guide_planes(guide):
+    """(mu (V,3), use (V,)) from path_guiding.guide_lobes -> three
+    (rows, 128) f32 VMEM planes (mu_x, mu_y, mu_z), entry i at
+    (i >> 7, i & 127), rows padded to a multiple of 8 sublanes. The use
+    flag is folded in by zeroing unguided voxels' lobes (the kernel tests
+    |mu|^2 > 0.5)."""
+    mu = np.asarray(guide[0], np.float32)
+    use = np.asarray(guide[1]).astype(np.float32)
+    mu = mu * use[:, None]
+    v = mu.shape[0]
+    n_chunks = -(-v // 128)
+    rows = -(-n_chunks // 8) * 8
+    planes = []
+    for c in range(3):
+        buf = np.zeros((rows * 128,), np.float32)
+        buf[:v] = mu[:, c]
+        planes.append(buf.reshape(rows, 128))
+    return planes
+
+
+def render_pallas_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
+                         seed, guide, beta: float = 0.5, k: float = 8.0,
+                         interpret: bool = False):
+    """Guided megakernel render (experiment/path_guiding.py semantics at
+    chip speed): the voxel lobe table rides in VMEM and every diffuse
+    bounce importance-samples the defensive mixture in-register.
+
+    guide = (mu (V,3), use (V,)) from path_guiding.guide_lobes — a RUNTIME
+    input (re-rendering with an updated table does NOT recompile); beta/k
+    are baked. cfg.estimator must be "cosine" or "nee_textbook".
+
+    Returns ((h, w, 3) radiance SUM over spp, traces (2,) [extend,
+    probe])."""
+    if not interpret and jax.devices()[0].platform != "tpu":
+        interpret = True
+    planes = pack_guide_planes(guide)
+    key = (
+        _geom_hash(scene, cam), cfg, cfg.spp, float(beta), float(k),
+        planes[0].shape, interpret, "guided",
+    )
+    fn = _CACHE.get(key)
+    if fn is None:
+        fn = _build_render_guided(
+            scene, cam, cfg, float(beta), float(k), planes[0].shape,
+            interpret,
+        )
+        _CACHE[key] = fn
+    return fn(
+        jnp.asarray(seed, jnp.uint32),
+        *(jnp.asarray(p) for p in planes),
+    )
+
+
+def _build_render_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
+                         beta: float, k: float, plane_shape, interpret: bool):
+    from ..integrator.wavefront import lane_groups
+
+    n_pix = cfg.width * cfg.height
+    n_s = cfg.spp
+    g = lane_groups(n_pix, n_s, 1 << 18, cfg.regen_groups)
+    per = n_s // g
+    n_lanes = n_pix * g
+    pad = (-n_lanes) % TILE
+    n_total = n_lanes + pad
+    n_tiles = n_total // TILE
+
+    kernel = build_kernel(scene, cam, cfg, guide_cfg=(beta, k))
+    block = pl.BlockSpec(
+        (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    gblock = pl.BlockSpec(
+        plane_shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    @jax.jit
+    def run(seed, gx, gy, gz):
+        pix = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), g)
+        px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
+        py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
+        pid_base = pix * jnp.uint32(cfg.spp)
+        s_start = jnp.tile(
+            jnp.arange(g, dtype=jnp.uint32) * jnp.uint32(per), n_pix
+        )
+        s_stop = s_start + jnp.uint32(per)
+
+        def padto(x, fill):
+            return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+                n_tiles * TILE_ROWS, 128
+            )
+
+        lr, lg, lb, traces = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+                gblock, gblock, gblock,
+                block, block, block, block, block,
+            ],
+            out_specs=[
+                block, block, block,
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            seed.reshape(1),
+            gx, gy, gz,
+            padto(px, 0.0), padto(py, 0.0), padto(pid_base, 0),
             padto(s_start, 0), padto(s_stop, 0),
         )
         L = jnp.stack(
