@@ -510,14 +510,44 @@ def _gather_vmem_table(tab_ref, hi, lo, n_chunks: int):
     (take_along_axis(src, idx, axis=1), idx in [0,128)), so the table is
     stored as (n_chunks, 128) rows and the chunk dimension is resolved by
     an unrolled broadcast+select: entry i lives at row i>>7, lane i&127.
-    ~2 vector ops per chunk — for the 13-chunk guide table that is ~30
-    ops per plane per bounce, cheap next to the ~600-op bounce body."""
-    out = jnp.zeros_like(hi, dtype=jnp.float32)
+    Measured ~0.5% of bounce-body time per gather on a v5e — the reason
+    the guide table is oct-PACKED into one int32 plane (13 gathers/bounce)
+    rather than three f32 planes (39: measured 3445 -> 2098 Mrays/s)."""
+    out = jnp.zeros_like(hi, dtype=tab_ref.dtype)
     for h in range(n_chunks):
         row = jnp.broadcast_to(tab_ref[h:h + 1, :], hi.shape)
         g = jnp.take_along_axis(row, lo, axis=1)
         out = jnp.where(hi == np.int32(h), g, out)
     return out
+
+
+# Unguided-voxel sentinel for the packed oct guide table: iu is clipped to
+# [-32767, 32767] so bit 31 of a real entry never patterns to int32 min.
+GUIDE_SENTINEL = np.int32(-(2 ** 31))
+
+
+def _oct_decode(packed):
+    """Packed oct entry -> (mux, muy, muz, use). jnp; shared by the kernel
+    body and dequantize_guide so both see bit-identical lobe vectors.
+
+    Layout: low 16 bits = iu, high 16 = iv (two's complement int16), each
+    mapping to [-1, 1] via /32767; (u, v) is the octahedral chart of the
+    unit sphere (z = 1-|u|-|v|, lower hemisphere folded). The sentinel
+    decodes like any entry (to a finite unit vector) and is masked by
+    `use` — callers gate all lobe math on it."""
+    iu = (packed << np.int32(16)) >> np.int32(16)
+    iv = packed >> np.int32(16)
+    q = np.float32(1.0 / 32767.0)
+    u = iu.astype(jnp.float32) * q
+    v = iv.astype(jnp.float32) * q
+    az = np.float32(1.0) - jnp.abs(u) - jnp.abs(v)
+    fold = az < np.float32(0.0)
+    su = jnp.where(u >= 0, np.float32(1.0), np.float32(-1.0))
+    sv = jnp.where(v >= 0, np.float32(1.0), np.float32(-1.0))
+    uf = jnp.where(fold, (np.float32(1.0) - jnp.abs(v)) * su, u)
+    vf = jnp.where(fold, (np.float32(1.0) - jnp.abs(u)) * sv, v)
+    inv = jax.lax.rsqrt(uf * uf + vf * vf + az * az)
+    return uf * inv, vf * inv, az * inv, packed != GUIDE_SENTINEL
 
 
 def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
@@ -533,15 +563,18 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
 
     guide_cfg=(beta, k): voxel path guiding fused into the bounce loop
     (experiment/path_guiding.py defines the estimator; this is its
-    chip-speed form). The kernel takes three extra VMEM refs (after the
-    material refs if any): (GUIDE_CHUNK_ROWS, 128) planes holding the
-    voxel lobe mu_x/mu_y/mu_z, each PRE-MASKED by the use flag (zero
-    vector = unguided voxel, so no separate use plane is needed). At each
-    diffuse vertex the continuation samples beta*power-cosine(k)-around-mu
-    + (1-beta)*cosine and reweights by the exact mixture pdf — unbiased
-    for any table. Only the cosine-continuation estimators compose
-    ("cosine", "nee_textbook"); C13-continuation estimators replace the
-    bounce with the light sample, leaving nothing to guide."""
+    chip-speed form). The kernel takes ONE extra VMEM ref (after the seed,
+    before the material refs if any): a (rows, 128) int32 plane holding
+    each voxel's lobe as a 2x16-bit octahedral code (pack_guide_planes;
+    GUIDE_SENTINEL = unguided voxel). One packed gather per bounce instead
+    of three f32 gathers — the gather is the dominant guiding cost (see
+    _gather_vmem_table). At each diffuse vertex the continuation samples
+    beta*power-cosine(k)-around-mu + (1-beta)*cosine and reweights by the
+    exact mixture pdf — unbiased for any table (the pdf uses the DECODED
+    mu, so quantization costs nothing in bias, only ~2e-5 rad of lobe
+    aim). Only the cosine-continuation estimators compose ("cosine",
+    "nee_textbook"); C13-continuation estimators replace the bounce with
+    the light sample, leaving nothing to guide."""
     rects, quads, spheres, light, lightlist = _scene_consts(scene)
     guided = guide_cfg is not None
     if guided:
@@ -620,8 +653,8 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
 
     def kernel(seed_ref, *refs):
         if guided:
-            gmu_refs = refs[:3]
-            refs = refs[3:]
+            gpk_ref = refs[0]
+            refs = refs[1:]
         if mat_refs:
             alb_ref, emi_ref = refs[0], refs[1]
             refs = refs[2:]
@@ -766,12 +799,8 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 c_hi = vid >> np.int32(7)
                 c_lo = vid & np.int32(127)
                 n_chunks = -(-int(np.prod(G_NVOX)) // 128)
-                mux, muy, muz = (
-                    _gather_vmem_table(r_, c_hi, c_lo, n_chunks)
-                    for r_ in gmu_refs
-                )
-                # use flag folded into the table: zero vector = no lobe.
-                use_g = (mux * mux + muy * muy + muz * muz) > np.float32(0.5)
+                gpacked = _gather_vmem_table(gpk_ref, c_hi, c_lo, n_chunks)
+                mux, muy, muz, use_g = _oct_decode(gpacked)
                 is_diff_g = ~(h["is_spec"] | h["is_refr"])
                 beta_eff = jnp.where(
                     use_g & is_diff_g, g_beta, np.float32(0.0)
@@ -782,8 +811,9 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 muxr = jnp.where(pickm, muz, 0.0)
                 muyr = jnp.where(pickm, 0.0, -muz)
                 muzr = jnp.where(pickm, -mux, muy)
-                # Zero mu (unguided voxel) would rsqrt(0)=inf; the lobe is
-                # never selected there (beta_eff == 0), keep it finite.
+                # Decoded mu is always a finite unit vector (the sentinel
+                # decodes to one too and is masked by beta_eff == 0); the
+                # guards only pin the frame where the lobe is unused.
                 mul2 = muxr * muxr + muyr * muyr + muzr * muzr
                 inv_ml = jax.lax.rsqrt(jnp.where(use_g, mul2, 1.0))
                 mux_u, muy_u, muz_u = muxr * inv_ml, muyr * inv_ml, muzr * inv_ml
@@ -1257,23 +1287,59 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
 
 
 def pack_guide_planes(guide):
-    """(mu (V,3), use (V,)) from path_guiding.guide_lobes -> three
-    (rows, 128) f32 VMEM planes (mu_x, mu_y, mu_z), entry i at
-    (i >> 7, i & 127), rows padded to a multiple of 8 sublanes. The use
-    flag is folded in by zeroing unguided voxels' lobes (the kernel tests
-    |mu|^2 > 0.5)."""
-    mu = np.asarray(guide[0], np.float32)
-    use = np.asarray(guide[1]).astype(np.float32)
-    mu = mu * use[:, None]
+    """(mu (V,3), use (V,)) from path_guiding.guide_lobes -> ONE
+    (rows, 128) int32 VMEM plane, entry i at (i >> 7, i & 127), rows
+    padded to a multiple of 8 sublanes with GUIDE_SENTINEL.
+
+    Each entry is the lobe direction's octahedral chart point quantized to
+    two int16 in [-32767, 32767] (low 16 = u, high 16 = v); unguided
+    voxels (and padding) hold GUIDE_SENTINEL, which no real entry can
+    pattern to. One int32 gather per bounce replaces three f32 gathers —
+    see _gather_vmem_table for why that dominates the guiding cost. The
+    quantization is ~2e-5 rad of lobe aim and introduces NO bias: the
+    kernel's mixture pdf is computed from the decoded mu (_oct_decode),
+    which dequantize_guide exposes for the jnp parity path."""
+    mu = np.asarray(guide[0], np.float64)
+    use = np.asarray(guide[1]).astype(bool)
     v = mu.shape[0]
+    n = np.linalg.norm(mu, axis=1)
+    n = np.where(n > 0, n, 1.0)
+    m = mu / n[:, None]
+    denom = np.abs(m).sum(axis=1)
+    denom = np.where(denom > 0, denom, 1.0)
+    u = m[:, 0] / denom
+    w = m[:, 1] / denom
+    lower = m[:, 2] < 0
+    sgn = lambda x: np.where(x >= 0, 1.0, -1.0)
+    uf = np.where(lower, (1.0 - np.abs(w)) * sgn(u), u)
+    wf = np.where(lower, (1.0 - np.abs(u)) * sgn(w), w)
+    iu = np.clip(np.rint(uf * 32767.0), -32767, 32767).astype(np.int64)
+    iv = np.clip(np.rint(wf * 32767.0), -32767, 32767).astype(np.int64)
+    packed = (iu & 0xFFFF) | ((iv & 0xFFFF) << 16)  # uint32 bit pattern
+    packed = np.where(packed >= 2 ** 31, packed - 2 ** 32, packed)
+    packed = np.where(use, packed, int(GUIDE_SENTINEL)).astype(np.int32)
     n_chunks = -(-v // 128)
     rows = -(-n_chunks // 8) * 8
-    planes = []
-    for c in range(3):
-        buf = np.zeros((rows * 128,), np.float32)
-        buf[:v] = mu[:, c]
-        planes.append(buf.reshape(rows, 128))
-    return planes
+    buf = np.full((rows * 128,), GUIDE_SENTINEL, np.int32)
+    buf[:v] = packed
+    return buf.reshape(rows, 128)
+
+
+@jax.jit
+def _dequantize_guide_plane(plane):
+    mux, muy, muz, use = _oct_decode(plane.reshape(-1))
+    return jnp.stack([mux, muy, muz], axis=-1), use
+
+
+def dequantize_guide(guide):
+    """The effective (mu (V,3) unit, use (V,)) table the guided kernel
+    sees after oct quantization — run the jnp renderer on THIS to compare
+    against render_pallas_guided at float precision (the decode is the
+    same _oct_decode expression the kernel executes)."""
+    v = np.asarray(guide[0]).shape[0]
+    plane = pack_guide_planes(guide)
+    mu, use = _dequantize_guide_plane(jnp.asarray(plane))
+    return mu[:v], use[:v]
 
 
 def render_pallas_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
@@ -1285,28 +1351,27 @@ def render_pallas_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
 
     guide = (mu (V,3), use (V,)) from path_guiding.guide_lobes — a RUNTIME
     input (re-rendering with an updated table does NOT recompile); beta/k
-    are baked. cfg.estimator must be "cosine" or "nee_textbook".
+    are baked. The table is oct-quantized on upload (pack_guide_planes) —
+    unbiased for any table, dequantize_guide gives the effective lobes.
+    cfg.estimator must be "cosine" or "nee_textbook".
 
     Returns ((h, w, 3) radiance SUM over spp, traces (2,) [extend,
     probe])."""
     if not interpret and jax.devices()[0].platform != "tpu":
         interpret = True
-    planes = pack_guide_planes(guide)
+    plane = pack_guide_planes(guide)
     key = (
         _geom_hash(scene, cam), cfg, cfg.spp, float(beta), float(k),
-        planes[0].shape, interpret, "guided",
+        plane.shape, interpret, "guided",
     )
     fn = _CACHE.get(key)
     if fn is None:
         fn = _build_render_guided(
-            scene, cam, cfg, float(beta), float(k), planes[0].shape,
+            scene, cam, cfg, float(beta), float(k), plane.shape,
             interpret,
         )
         _CACHE[key] = fn
-    return fn(
-        jnp.asarray(seed, jnp.uint32),
-        *(jnp.asarray(p) for p in planes),
-    )
+    return fn(jnp.asarray(seed, jnp.uint32), jnp.asarray(plane))
 
 
 def _build_render_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
@@ -1331,7 +1396,7 @@ def _build_render_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     )
 
     @jax.jit
-    def run(seed, gx, gy, gz):
+    def run(seed, gpk):
         pix = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), g)
         px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
         py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
@@ -1351,7 +1416,7 @@ def _build_render_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-                gblock, gblock, gblock,
+                gblock,
                 block, block, block, block, block,
             ],
             out_specs=[
@@ -1368,7 +1433,7 @@ def _build_render_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             interpret=interpret,
         )(
             seed.reshape(1),
-            gx, gy, gz,
+            gpk,
             padto(px, 0.0), padto(py, 0.0), padto(pid_base, 0),
             padto(s_start, 0), padto(s_stop, 0),
         )

@@ -1,12 +1,15 @@
 """Guided megakernel (ops/megakernel.py guide_cfg): the voxel path-guiding
 estimator (experiment/path_guiding.py) fused into the Pallas bounce loop,
-with the lobe table as a runtime VMEM input (lane-axis take_along_axis
-gather over 128-entry chunks).
+with the lobe table as a runtime VMEM input.
 
-Parity contract: interpret-mode kernel renders must match the jnp guided
-renderer to float order — same counter-RNG draws, same mixture pdf, same
-below-surface lane kills. Verified on the real chip too (mean agreement
-2e-6, round-2 session)."""
+The table rides as ONE packed int32 plane (2x16-bit octahedral lobe codes;
+pack_guide_planes) so each bounce does a single lane-axis chunked gather —
+measured 2098 -> ~2700 Mrays/s over the three-f32-plane layout. Parity
+contract: interpret-mode kernel renders must match the jnp guided renderer
+*run on the dequantized table* (dequantize_guide — the same _oct_decode the
+kernel executes) to float order; quantization is a ~2e-5 rad lobe-aim
+perturbation and introduces no bias (the mixture pdf uses decoded mu).
+Verified on the real chip at max|d| 1.9e-6 (round-2 session)."""
 
 import numpy as np
 import pytest
@@ -21,6 +24,8 @@ from small_pathtracer_tpu.experiment.path_guiding import (
     train_guide,
 )
 from small_pathtracer_tpu.ops.megakernel import (
+    GUIDE_SENTINEL,
+    dequantize_guide,
     pack_guide_planes,
     render_pallas_guided,
 )
@@ -40,18 +45,30 @@ def trained_guide(cam):
     return guide_lobes(train_guide(s, cam, cfg, N_BOUNCES, jnp.uint32(3)))
 
 
-def test_pack_guide_planes_layout(trained_guide):
+def test_pack_guide_planes_roundtrip(trained_guide):
     mu, use = trained_guide
-    planes = pack_guide_planes(trained_guide)
-    assert len(planes) == 3
-    rows = planes[0].shape[0]
-    assert planes[0].shape == (rows, 128) and rows % 8 == 0
+    plane = pack_guide_planes(trained_guide)
+    rows = plane.shape[0]
+    assert plane.shape == (rows, 128) and rows % 8 == 0
+    assert plane.dtype == np.int32
     assert rows * 128 >= N_VOXELS
-    # Entry i at (i >> 7, i & 127); unguided voxels zeroed.
-    mu_np = np.asarray(mu) * np.asarray(use, np.float32)[:, None]
-    for v in (0, 129, N_VOXELS - 1):
-        got = np.array([planes[c][v >> 7, v & 127] for c in range(3)])
-        assert np.array_equal(got, mu_np[v])
+    # Padding and unguided voxels hold the sentinel; guided entries don't.
+    flat = plane.reshape(-1)
+    assert (flat[N_VOXELS:] == GUIDE_SENTINEL).all()
+    use_np = np.asarray(use)
+    assert ((flat[:N_VOXELS] == GUIDE_SENTINEL) == ~use_np).all()
+    # Decode round-trip: unit lobes within the 2x16-bit oct quantization
+    # cone (~2e-5 rad) of the originals, use flag exact.
+    dq_mu, dq_use = dequantize_guide(trained_guide)
+    dq_mu, dq_use = np.asarray(dq_mu), np.asarray(dq_use)
+    assert np.array_equal(dq_use, use_np)
+    norms = np.linalg.norm(dq_mu, axis=1)
+    assert np.abs(norms - 1.0).max() < 1e-6
+    mu_np = np.asarray(mu, np.float64)
+    mu_n = mu_np / np.maximum(np.linalg.norm(mu_np, axis=1, keepdims=True),
+                              1e-30)
+    dots = (dq_mu * mu_n).sum(axis=1)[use_np]
+    assert dots.min() > 1.0 - 1e-7, dots.min()
 
 
 @pytest.mark.parametrize("estimator", ["cosine", "nee_textbook"])
@@ -60,8 +77,9 @@ def test_guided_kernel_matches_jnp(cam, trained_guide, estimator):
     cfg = spt.RenderConfig(width=32, height=24, spp=8, estimator=estimator,
                            seed=5, max_bounces=N_BOUNCES)
     jnp_est = "cosine" if estimator == "cosine" else "nee"
+    eff = dequantize_guide(trained_guide)
     ref = np.asarray(
-        render_guided(s, cam, cfg, jnp.uint32(5), trained_guide, N_BOUNCES,
+        render_guided(s, cam, cfg, jnp.uint32(5), eff, N_BOUNCES,
                       0.6, 8.0, estimator=jnp_est)
     )
     img, traces = render_pallas_guided(
@@ -73,8 +91,8 @@ def test_guided_kernel_matches_jnp(cam, trained_guide, estimator):
 
 
 def test_guided_kernel_empty_table_matches_unguided(cam):
-    """Zero lobe table => the guided kernel IS the plain cosine kernel
-    (weight x/x == 1), bit-for-bit."""
+    """All-sentinel table => the guided kernel IS the plain cosine kernel
+    (weight pdf_cos/pdf_cos == 1 exactly), bit-for-bit."""
     from small_pathtracer_tpu.ops.megakernel import render_pallas
 
     s = spt.get_scene("cornell_box")
@@ -98,7 +116,8 @@ def test_guided_kernel_spec_refr(cam):
         s, cam, spt.RenderConfig(width=32, height=24, spp=8, seed=3),
         N_BOUNCES, jnp.uint32(3)))
     ref = np.asarray(
-        render_guided(s, cam, cfg, jnp.uint32(9), tg, N_BOUNCES, 0.6, 8.0)
+        render_guided(s, cam, cfg, jnp.uint32(9), dequantize_guide(tg),
+                      N_BOUNCES, 0.6, 8.0)
     )
     img, _ = render_pallas_guided(
         s, cam, cfg, 9, tg, 0.6, 8.0, interpret=True
