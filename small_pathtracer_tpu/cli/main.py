@@ -45,6 +45,20 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="render-state checkpoint path (resume if it exists)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="save render state every N spp (0 = only at end)")
+    p.add_argument("--guided", action="store_true",
+                   help="voxel path guiding (experiment/path_guiding.py): "
+                        "train a lobe table with a short pre-pass, then "
+                        "importance-sample the guided mixture; estimator "
+                        "must be cosine or nee_textbook; with --pallas the "
+                        "table rides in VMEM through the fused kernel")
+    p.add_argument("--guide-beta", type=float, default=0.6,
+                   help="guided-mixture lobe probability in guided voxels")
+    p.add_argument("--guide-k", type=float, default=8.0,
+                   help="power-cosine lobe sharpness")
+    p.add_argument("--guide-train-spp", type=int, default=16,
+                   help="spp of the guide-training pre-pass (at 1/8 res)")
+    p.add_argument("--guide-bounces", type=int, default=8,
+                   help="bounce depth for guide training and guided render")
 
 
 def _fit_result(loss, ran_steps: bool, steps: int) -> dict:
@@ -100,6 +114,60 @@ def _build(args):
     return scene, cam, cfg
 
 
+def _render_guided_cli(args, scene, cam, cfg):
+    """render --guided: short training pre-pass -> lobe table -> guided
+    render (fused Pallas kernel under --pallas, jnp estimator otherwise).
+    The pre-pass trains at ~1/8 resolution — the 10-unit voxel grid
+    (experiment/path_guiding.py, smallpt.cpp:386-388) needs coverage, not
+    pixels. Returns (linear mean image, total traces proxy)."""
+    import jax.numpy as jnp
+
+    from .. import RenderConfig
+    from ..experiment.path_guiding import (
+        guide_lobes,
+        render_guided,
+        train_guide,
+    )
+
+    if args.checkpoint or args.mesh:
+        raise SystemExit(
+            "--guided does not compose with --checkpoint/--mesh yet; "
+            "drop those flags for guided renders"
+        )
+    if cfg.estimator not in ("cosine", "nee_textbook"):
+        raise SystemExit(
+            "--guided requires --estimator cosine or nee_textbook "
+            "(C13-continuation estimators replace the bounce with the "
+            "light sample, leaving nothing to guide)"
+        )
+    tcfg = RenderConfig(
+        width=max(args.width // 8, 16), height=max(args.height // 8, 16),
+        spp=args.guide_train_spp, seed=args.seed + 1,
+        rng_backend=cfg.rng_backend,
+    )
+    guide = guide_lobes(
+        train_guide(scene, cam, tcfg, args.guide_bounces,
+                    jnp.uint32(tcfg.seed))
+    )
+    n_guided = int(jnp.asarray(guide[1]).sum())
+    print(f"guide table trained: {n_guided} guided voxels", file=sys.stderr)
+    if cfg.use_pallas:
+        from ..ops.megakernel import render_pallas_guided
+
+        img, traces = render_pallas_guided(
+            scene, cam, cfg, cfg.seed, guide,
+            args.guide_beta, args.guide_k,
+        )
+        return img / cfg.spp, float(jnp.asarray(traces).sum())
+    est = "cosine" if cfg.estimator == "cosine" else "nee"
+    img = render_guided(
+        scene, cam, cfg, jnp.uint32(cfg.seed), guide, args.guide_bounces,
+        args.guide_beta, args.guide_k, estimator=est,
+    )
+    # The jnp estimator does not count traces; report ray-path volume.
+    return img, float(cfg.width * cfg.height * cfg.spp * args.guide_bounces)
+
+
 def cmd_render(args) -> int:
     import numpy as np
 
@@ -107,7 +175,9 @@ def cmd_render(args) -> int:
 
     scene, cam, cfg = _build(args)
     t0 = time.perf_counter()
-    if args.checkpoint:
+    if getattr(args, "guided", False):
+        img, traces = _render_guided_cli(args, scene, cam, cfg)
+    elif args.checkpoint:
         from ..utils.checkpoint import render_with_checkpoints
 
         mesh = _mesh_from_arg(args)

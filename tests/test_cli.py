@@ -22,6 +22,31 @@ def test_render_ppm(tmp_path, capsys):
     assert img.max() > 100  # light is visible
 
 
+@pytest.mark.parametrize("extra", [[], ["--pallas"]])
+def test_render_guided(tmp_path, extra):
+    """render --guided: train-then-render through the jnp estimator and
+    the fused kernel (interpret mode on CPU)."""
+    out = tmp_path / "img.ppm"
+    rc = main([
+        "render", "--width", "32", "--height", "24", "--spp", "4",
+        "--estimator", "cosine", "--guided", "--guide-train-spp", "4",
+        "--guide-bounces", "4", "-o", str(out), *extra,
+    ])
+    assert rc == 0
+    img = film.read_ppm(str(out))
+    assert img.shape == (24, 32, 3)
+    assert img.max() > 100
+
+
+def test_render_guided_rejects_nee(tmp_path):
+    with pytest.raises(SystemExit, match="cosine or nee_textbook"):
+        main([
+            "render", "--width", "32", "--height", "24", "--spp", "4",
+            "--estimator", "nee", "--guided",
+            "-o", str(tmp_path / "x.ppm"),
+        ])
+
+
 def test_render_distributed_mesh(tmp_path):
     out = tmp_path / "img.ppm"
     rc = main([
