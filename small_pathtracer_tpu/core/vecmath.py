@@ -61,3 +61,43 @@ def onb_from_w(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     u = norm(cross(a, w))
     v = cross(w, u)
     return u, v
+
+
+def sincos_2pi(u: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(sin, cos) of ``2*pi*u`` for uniform draws ``u`` in [0, 1).
+
+    Quarter-wave minimax polynomial instead of the transcendental pair:
+    every scatter-frame site burns one sincos per bounce, and on a v5e
+    this form measures +6% end-to-end in the Pallas megakernel (PERF.md,
+    2531 -> 2684 Mrays/s at 1024x768x512 NEE). The quadrant is exact
+    (u is a binade-bounded uniform draw, so ``u*4`` and the fold are
+    exact float ops); within a quadrant both values come from the same
+    degree-9 odd polynomial for sin(pi/2 f) (cos via the complementary
+    angle), max abs error 2.1e-7 vs float64 — f32-rounding-limited
+    (tests/test_core.py).
+
+    EVERY render path (jnp wavefront, Pallas megakernel, adjoint replay,
+    path guiding) must use this helper: the schedules' bit-for-bit
+    per-sample parity contract includes the scatter frame.
+    """
+    f32 = jnp.float32
+    x4 = u.astype(jnp.float32) * f32(4.0)
+    qd = jnp.floor(x4)
+    f = x4 - qd
+    g = f32(1.0) - f
+
+    def qsin(t):
+        t2 = t * t
+        return t * (f32(1.5707962973) + t2 * (f32(-0.6459634395)
+                    + t2 * (f32(0.0796887379) + t2 * (f32(-0.0046725480)
+                    + t2 * f32(0.0001509561)))))
+
+    s0 = qsin(f)            # sin(pi/2 * f)
+    c0 = qsin(g)            # cos(pi/2 * f) = sin(pi/2 * (1 - f))
+    qi = qd.astype(jnp.int32) & jnp.int32(3)
+    swap = (qi & jnp.int32(1)) == jnp.int32(1)
+    sb = jnp.where(swap, c0, s0)
+    cb = jnp.where(swap, s0, c0)
+    sin = jnp.where(qi < jnp.int32(2), sb, -sb)
+    cos = jnp.where((qi == jnp.int32(0)) | (qi == jnp.int32(3)), cb, -cb)
+    return sin, cos

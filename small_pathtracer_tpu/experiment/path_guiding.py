@@ -194,12 +194,12 @@ def sample_power_cosine(mu, u1, u2, k: float):
 
     theta: cos(theta) = u2^(1/(k+1)); pdf = (k+1)/(2 pi) * cos^k."""
     uax, vax = vm.onb_from_w(mu)
-    r1 = 2.0 * jnp.pi * u1
+    sr1, cr1 = vm.sincos_2pi(u1)
     wz = u2 ** (1.0 / (k + 1.0))
     sin_t = jnp.sqrt(jnp.maximum(1.0 - wz * wz, 0.0))
     d = (
-        uax * (jnp.cos(r1) * sin_t)[:, None]
-        + vax * (jnp.sin(r1) * sin_t)[:, None]
+        uax * (cr1 * sin_t)[:, None]
+        + vax * (sr1 * sin_t)[:, None]
         + mu * wz[:, None]
     )
     return vm.norm(d)

@@ -20,12 +20,12 @@ def sample_cosine(nl: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndar
     /root/reference/src/smallpt.cpp:337-348):
     r1 = 2*pi*u1, r2 = u2; dir = u*cos(r1)*sqrt(r2) + v*sin(r1)*sqrt(r2)
     + w*sqrt(1-r2), normalized."""
-    r1 = (2.0 * math.pi) * u1
+    sr1, cr1 = vm.sincos_2pi(u1)
     r2s = jnp.sqrt(u2)
     u, v = vm.onb_from_w(nl)
     d = (
-        u * (jnp.cos(r1) * r2s)[..., None]
-        + v * (jnp.sin(r1) * r2s)[..., None]
+        u * (cr1 * r2s)[..., None]
+        + v * (sr1 * r2s)[..., None]
         + nl * jnp.sqrt(1.0 - u2)[..., None]
     )
     return vm.norm(d)
@@ -35,12 +35,12 @@ def sample_uniform(nl: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.nda
     """Uniform hemisphere direction (contract C12, the commented variant at
     smallpt.cpp:352-360): cos(theta) = 1 - r2 (uniform in solid angle);
     dir = u*cos(r1)*sqrt(r2*(2-r2)) + v*sin(r1)*sqrt(r2*(2-r2)) + w*(1-r2)."""
-    r1 = (2.0 * math.pi) * u1
+    sr1, cr1 = vm.sincos_2pi(u1)
     sin_t = jnp.sqrt(u2 * (2.0 - u2))
     u, v = vm.onb_from_w(nl)
     d = (
-        u * (jnp.cos(r1) * sin_t)[..., None]
-        + v * (jnp.sin(r1) * sin_t)[..., None]
+        u * (cr1 * sin_t)[..., None]
+        + v * (sr1 * sin_t)[..., None]
         + nl * (1.0 - u2)[..., None]
     )
     return vm.norm(d)

@@ -69,6 +69,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..camera.pinhole import CameraParams
 from ..config import RenderConfig
 from ..core import rng
+from ..core import vecmath as vm
 from ..integrator.sampling import SHADOW_EPS
 from ..scene.types import Scene
 from .megakernel import (
@@ -296,8 +297,7 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             vx = ny * uz - nz * uy
             vy = nz * ux - nx * uz
             vz = nx * uy - ny * ux
-            r1 = np.float32(2.0 * math.pi) * u1
-            cr1, sr1 = jnp.cos(r1), jnp.sin(r1)
+            sr1, cr1 = vm.sincos_2pi(u1)  # must match megakernel.py bit-for-bit
             if est in ("uniform", "uniform_corrected"):
                 sin_t = jnp.sqrt(u2 * (np.float32(2.0) - u2))
                 wz = np.float32(1.0) - u2

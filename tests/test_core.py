@@ -162,3 +162,28 @@ class TestVecMath:
         np.testing.assert_allclose((u * v).sum(1), 0, atol=1e-5)
         np.testing.assert_allclose(np.linalg.norm(u, axis=1), 1, atol=1e-5)
         np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1, atol=1e-5)
+
+
+class TestSincos2Pi:
+    """vm.sincos_2pi: the shared polynomial scatter-frame trig (every
+    render path uses it; PERF.md 'polynomial sincos' — +6% kernel)."""
+
+    def test_accuracy_dense(self):
+        u = np.linspace(0, 1, 200001, endpoint=False).astype(np.float32)
+        s, c = (np.asarray(x) for x in vm.sincos_2pi(jnp.asarray(u)))
+        u64 = u.astype(np.float64)
+        assert np.abs(s - np.sin(2 * np.pi * u64)).max() < 3e-7
+        assert np.abs(c - np.cos(2 * np.pi * u64)).max() < 3e-7
+
+    def test_quadrant_edges(self):
+        # Quadrant boundaries: the fold puts each at a polynomial
+        # endpoint (exact 0; 1 to within the fit's 6e-8 endpoint error).
+        u = jnp.asarray([0.0, 0.25, 0.5, 0.75], jnp.float32)
+        s, c = (np.asarray(x) for x in vm.sincos_2pi(u))
+        np.testing.assert_allclose(s, [0.0, 1.0, 0.0, -1.0], atol=1e-7)
+        np.testing.assert_allclose(c, [1.0, 0.0, -1.0, 0.0], atol=1e-7)
+
+    def test_unit_magnitude(self, rng_np):
+        u = rng_np.random(100000).astype(np.float32)
+        s, c = (np.asarray(x) for x in vm.sincos_2pi(jnp.asarray(u)))
+        np.testing.assert_allclose(s * s + c * c, 1.0, atol=1e-6)
