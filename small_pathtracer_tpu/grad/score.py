@@ -18,9 +18,11 @@ variance reduction:
     L_surr = L + (L - baseline).stop_grad * (logp - logp.stop_grad)
 
 Geometry discontinuities (hit-id flips at silhouettes, NEE visibility) are
-NOT probability-driven and need edge/boundary sampling — documented future
-work; the RR term here is the piece that affects the BASELINE.json
-albedo-optimization configs.
+NOT probability-driven and need edge/boundary sampling: grad/edge.py now
+estimates the primary-silhouette boundary term for spheres (analytic limb
+sampling + jacfwd screen velocities); shadow/secondary boundaries remain
+with grad/soft.py's softened visibility. The RR term here is the piece
+that affects the BASELINE.json albedo-optimization configs.
 """
 
 from __future__ import annotations
