@@ -5,6 +5,18 @@ mesh; TPU-only tests skip themselves when no TPU is attached.
 """
 
 import os
+import resource
+
+# XLA's CPU backend compiles on the calling thread and recurses deeply on
+# large linearized-scan programs (the differentiated 32-bounce wavefront);
+# under the default 8 MB stack the compiler intermittently segfaulted
+# ~65% into the suite (observed 3x: faulthandler dump inside
+# backend_compile_and_load during test_nan_audit / test_parity). The hard
+# limit is unlimited in this image — raise the soft limit so the main
+# thread's stack can grow past the default.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _hard == resource.RLIM_INFINITY or _hard >= 1 << 29:
+    resource.setrlimit(resource.RLIMIT_STACK, (1 << 29, _hard))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")

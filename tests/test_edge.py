@@ -181,3 +181,77 @@ def test_project_film_roundtrip(cam):
     st = np.asarray(project_film(cam, X))
     np.testing.assert_allclose(st[:, 0], np.asarray(s), atol=1e-5)
     np.testing.assert_allclose(st[:, 1], np.asarray(t), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def direct_lighting_scene():
+    """Direct lighting only: white floor, black walls, black absorber
+    sphere 0 (the blocker), sphere 1 neutralized. Every theta-dependence
+    of the image is a visibility boundary: the blocker's screen
+    silhouette (edge_grad) + its cast shadow on the floor
+    (shadow_edge_grad). Pathwise AD is exactly zero."""
+    s0 = spt.get_scene("cornell_spheres")
+    alb = jnp.zeros_like(s0.rects.albedo).at[4].set(
+        jnp.asarray([0.75, 0.75, 0.75]))
+    return s0._replace(
+        rects=s0.rects._replace(albedo=alb),
+        spheres=s0.spheres._replace(
+            albedo=jnp.zeros((2, 3)),
+            emission=jnp.zeros((2, 3)),
+            radius=s0.spheres.radius.at[1].set(1e-3),
+        ),
+    )
+
+
+def test_shadow_edge_composition(cam, smooth_g, direct_lighting_scene):
+    """FD == pathwise(0) + primary edge + shadow edge on the
+    direct-lighting scene (module docstring scope claim)."""
+    from small_pathtracer_tpu.grad.edge import shadow_edge_grad
+
+    s = direct_lighting_scene
+    NB, SPP = 2, 128
+    cfg = spt.RenderConfig(width=W, height=H, spp=SPP,
+                           estimator="nee_textbook", seed=7)
+    g = jnp.asarray(np.repeat(smooth_g[:, :, None], 3, axis=2))
+
+    def loss_c(center):
+        s2 = s._replace(spheres=s.spheres._replace(
+            center=s.spheres.center.at[0].set(center)))
+        return jnp.sum(g * render_linear(s2, cam, cfg, jnp.uint32(7), NB))
+
+    c0 = jnp.asarray(s.spheres.center[0])
+    pw = np.asarray(jax.grad(loss_c)(c0))
+    np.testing.assert_allclose(pw, 0.0, atol=1e-5)
+
+    c0n = np.asarray(c0)
+    h = 0.5
+    fd = np.zeros(3)
+    for ax in range(3):
+        cp, cm = c0n.copy(), c0n.copy()
+        cp[ax] += h
+        cm[ax] -= h
+        fd[ax] = (
+            float(loss_c(jnp.asarray(cp))) - float(loss_c(jnp.asarray(cm)))
+        ) / (2 * h)
+
+    dc_e, dr_e = edge_grad(s, cam, cfg, g, 0, seed=1234, n_phi=2048,
+                           n_sub=2, n_bounces=NB, delta_px=0.5)
+    dc_s, dr_s = shadow_edge_grad(s, cam, cfg, g, 0, seed=77, n_phi=16,
+                                  delta=0.5)
+    total = np.asarray(dc_e) + np.asarray(dc_s)
+    assert np.abs(total - fd).max() < 0.2 * np.abs(fd).max(), (
+        total, fd, np.asarray(dc_e), np.asarray(dc_s))
+
+    def loss_r(r):
+        s2 = s._replace(spheres=s.spheres._replace(
+            radius=s.spheres.radius.at[0].set(r)))
+        return jnp.sum(g * render_linear(s2, cam, cfg, jnp.uint32(7), NB))
+
+    r0 = float(s.spheres.radius[0])
+    fdr = (
+        float(loss_r(jnp.asarray(r0 + 0.25)))
+        - float(loss_r(jnp.asarray(r0 - 0.25)))
+    ) / 0.5
+    total_r = float(dr_e) + float(dr_s)
+    assert abs(total_r - fdr) < 0.2 * abs(fdr), (
+        total_r, fdr, float(dr_e), float(dr_s))
