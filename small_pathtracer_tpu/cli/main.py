@@ -289,6 +289,70 @@ def cmd_fit(args) -> int:
     from ..parallel.mesh import make_mesh
 
     scene, cam, cfg = _build(args)
+    if args.edge_sphere >= 0:
+        # Edge-sampled geometry fitting: pathwise + silhouette +
+        # cast-shadow boundary gradients (grad/edge.py) on one sphere's
+        # center/radius. Unlike --soft-tau this differentiates the HARD
+        # render — no blur, exact boundary terms.
+        from ..grad.edge import geometry_loss_and_grad
+
+        fields = set(args.train.split(","))
+        bad = fields - {"center", "radius"}
+        if bad:
+            raise SystemExit(
+                f"--edge-sphere trains center,radius only (got {sorted(bad)})"
+            )
+        if args.optimizer != "sgd":
+            raise SystemExit("--edge-sphere supports --optimizer sgd")
+        si = args.edge_sphere
+        if scene.spheres.center.shape[0] <= si:
+            raise SystemExit(
+                f"scene has {scene.spheres.center.shape[0]} spheres; "
+                f"--edge-sphere {si} out of range"
+            )
+        if args.target:
+            target = jnp.asarray(
+                film.srgb_from_u8(film.read_ppm(args.target)), jnp.float32
+            )
+        else:
+            # Self-test: render the scene as the target, then displace the
+            # sphere and recover its pose.
+            from ..grad.adjoint import render_linear as _rl
+
+            target = _rl(scene, cam, cfg, jnp.uint32(cfg.seed + 1),
+                         args.bounces)
+            scene = scene._replace(spheres=scene.spheres._replace(
+                center=scene.spheres.center.at[si].add(
+                    jnp.asarray([4.0, 0.0, -3.0])),
+                radius=scene.spheres.radius.at[si].multiply(1.1),
+            ))
+        s = scene
+        loss = float("nan")
+        for i in range(args.steps):
+            loss, (d_c, d_r) = geometry_loss_and_grad(
+                s, cam, cfg, cfg.seed + 2 * i, target, si,
+                n_bounces=args.bounces, n_phi=args.edge_phi,
+            )
+            upd = {}
+            if "center" in fields:
+                upd["center"] = s.spheres.center.at[si].add(-args.lr * d_c)
+            if "radius" in fields:
+                r_new = float(s.spheres.radius[si]) - args.lr * float(d_r)
+                upd["radius"] = s.spheres.radius.at[si].set(
+                    max(r_new, 1e-3))
+            s = s._replace(spheres=s.spheres._replace(**upd))
+            c_now = [round(float(v), 3) for v in s.spheres.center[si]]
+            print(
+                f"step {i}: loss {float(loss):.6f} center {c_now} "
+                f"radius {float(s.spheres.radius[si]):.3f}",
+                file=sys.stderr,
+            )
+        out = _fit_result(loss, ran_steps=args.steps > 0, steps=args.steps)
+        out["center"] = [float(v) for v in s.spheres.center[si]]
+        out["radius"] = float(s.spheres.radius[si])
+        print(json.dumps(out))
+        return 0
+
     if args.soft_tau > 0:
         # Soft-visibility geometry fitting (silhouette + soft-shadow
         # gradients, grad/soft.py) on selected fields; SGD or any optax
@@ -559,6 +623,11 @@ def main(argv=None) -> int:
                        help="comma-separated scene fields to optimize")
     p_fit.add_argument("--optimizer", default="sgd",
                        choices=["sgd", "adam", "rmsprop"])
+    p_fit.add_argument("--edge-sphere", type=int, default=-1,
+                       help="fit sphere IDX's center/radius with exact "
+                            "edge-sampled boundary gradients (grad/edge.py)")
+    p_fit.add_argument("--edge-phi", type=int, default=512,
+                       help="silhouette samples per edge-gradient step")
     p_fit.add_argument("--soft-tau", type=float, default=0.0,
                        help="use the soft-visibility loss (grad/soft.py) "
                        "with this temperature — enables silhouette-aware "

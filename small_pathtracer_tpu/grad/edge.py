@@ -422,3 +422,78 @@ def shadow_edge_grad(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         scene, cam, cfg, g_img, int(sphere_idx), int(n_phi), seed,
         jnp.float32(delta),
     )
+
+
+@partial(jax.jit, static_argnums=(2, 5, 6))
+def _mse_pathwise(scene: Scene, cam: CameraParams, cfg: RenderConfig,
+                  seed, target, sphere_idx: int, n_bounces: int):
+    """MSE loss + pathwise (interior) gradient w.r.t. sphere
+    (center, radius), jit-cached across fit steps."""
+    from .adjoint import render_linear
+
+    center0 = scene.spheres.center[sphere_idx]
+    radius0 = scene.spheres.radius[sphere_idx]
+
+    def loss_fn(center, radius):
+        s2 = scene._replace(spheres=scene.spheres._replace(
+            center=scene.spheres.center.at[sphere_idx].set(center),
+            radius=scene.spheres.radius.at[sphere_idx].set(radius),
+        ))
+        img = render_linear(s2, cam, cfg, seed, n_bounces)
+        return jnp.mean((img - target) ** 2), img
+
+    (loss, img), (d_c, d_r) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(center0, radius0)
+    return loss, img, d_c, d_r
+
+
+def geometry_loss_and_grad(scene: Scene, cam: CameraParams,
+                           cfg: RenderConfig, seed, target,
+                           sphere_idx: int, n_bounces: int = 8,
+                           edge_seed=None, n_phi: int = 1024,
+                           n_sub: int = 2, delta_px: float = 0.25,
+                           shadow=None, shadow_n_phi: int = 32,
+                           shadow_delta: float = 0.25):
+    """Full MSE-loss gradient w.r.t. one sphere's (center, radius):
+    pathwise interior term (jax.grad through adjoint.render_linear) +
+    primary-silhouette boundary (edge_grad) + cast-shadow boundary
+    (shadow_edge_grad).
+
+    loss = mean((render_linear - target)^2), target linear (h, w, 3).
+    Returns (loss, (d_center (3,), d_radius scalar)).
+
+    shadow=None auto-enables the cast-shadow term exactly in the regime
+    shadow_edge_grad models (estimator 'nee_textbook', single light);
+    pass True/False to force. edge_seed defaults to seed+1 to decorrelate
+    the boundary estimators from the render's sample stream.
+    """
+    from .adjoint import render_linear
+
+    if edge_seed is None:
+        edge_seed = int(seed) + 1
+    if shadow is None:
+        shadow = cfg.estimator == "nee_textbook" and scene.lights is None
+
+    loss, img, d_c, d_r = _mse_pathwise(
+        scene, cam, cfg, jnp.uint32(seed), target, int(sphere_idx),
+        int(n_bounces),
+    )
+
+    # Loss cotangent for the boundary estimators: d loss / d image.
+    g_img = 2.0 * (img - target) / jnp.float32(img.size)
+
+    dc_e, dr_e = edge_grad(
+        scene, cam, cfg, g_img, sphere_idx, seed=edge_seed, n_phi=n_phi,
+        n_sub=n_sub, n_bounces=n_bounces, delta_px=delta_px,
+    )
+    d_c = d_c + dc_e
+    d_r = d_r + dr_e
+    if shadow:
+        dc_s, dr_s = shadow_edge_grad(
+            scene, cam, cfg, g_img, sphere_idx, seed=edge_seed,
+            n_phi=shadow_n_phi, delta=shadow_delta,
+        )
+        d_c = d_c + dc_s
+        d_r = d_r + dr_s
+    return loss, (d_c, d_r)

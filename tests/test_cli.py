@@ -289,6 +289,21 @@ def test_fit_pallas_selftest(capsys):
     assert np.isfinite(d["final_loss"])
 
 
+def test_fit_edge_geometry(capsys):
+    """fit --edge-sphere: hard-render geometry fitting via the
+    edge-sampled boundary gradients (pathwise + silhouette + shadow)."""
+    rc = main([
+        "fit", "--scene", "cornell_spheres", "--width", "24", "--height",
+        "16", "--spp", "4", "--steps", "2", "--lr", "100", "--train",
+        "center,radius", "--edge-sphere", "0", "--edge-phi", "64",
+        "--bounces", "2", "--estimator", "nee_textbook",
+    ])
+    assert rc == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(d["final_loss"])
+    assert np.isfinite(d["center"]).all() and np.isfinite(d["radius"])
+
+
 def test_fit_soft_geometry(capsys):
     rc = main([
         "fit", "--scene", "cornell_spheres", "--width", "24", "--height", "16",

@@ -255,3 +255,38 @@ def test_shadow_edge_composition(cam, smooth_g, direct_lighting_scene):
     total_r = float(dr_e) + float(dr_s)
     assert abs(total_r - fdr) < 0.2 * abs(fdr), (
         total_r, fdr, float(dr_e), float(dr_s))
+
+
+def test_geometry_fit_recovers_displacement(cam):
+    """SGD on geometry_loss_and_grad recovers a displaced sphere pose on
+    the standard cornell_spheres scene: the silhouette + shadow boundary
+    terms drive the pose, pathwise the shading."""
+    from small_pathtracer_tpu.grad.edge import geometry_loss_and_grad
+
+    s_true = spt.get_scene("cornell_spheres")
+    cfg = spt.RenderConfig(width=W, height=H, spp=8,
+                           estimator="nee_textbook", seed=3)
+    target = render_linear(s_true, cam, cfg, jnp.uint32(99), 3)
+
+    c_true = np.asarray(s_true.spheres.center[0])
+    r_true = float(s_true.spheres.radius[0])
+    s = s_true._replace(spheres=s_true.spheres._replace(
+        center=s_true.spheres.center.at[0].add(jnp.asarray([4.0, 0.0, -3.0])),
+        radius=s_true.spheres.radius.at[0].multiply(1.1),
+    ))
+    err0_c = np.linalg.norm(np.asarray(s.spheres.center[0]) - c_true)
+    err0_r = abs(float(s.spheres.radius[0]) - r_true)
+
+    lr = 1e3
+    for i in range(12):
+        _, (d_c, d_r) = geometry_loss_and_grad(
+            s, cam, cfg, 2 * i, target, 0, n_bounces=3, n_phi=256,
+        )
+        s = s._replace(spheres=s.spheres._replace(
+            center=s.spheres.center.at[0].add(-lr * d_c),
+            radius=s.spheres.radius.at[0].add(-lr * d_r),
+        ))
+    err_c = np.linalg.norm(np.asarray(s.spheres.center[0]) - c_true)
+    err_r = abs(float(s.spheres.radius[0]) - r_true)
+    assert err_c < 0.6 * err0_c, (err_c, err0_c, np.asarray(s.spheres.center[0]))
+    assert err_r < 0.6 * err0_r, (err_r, err0_r, float(s.spheres.radius[0]))
