@@ -223,25 +223,13 @@ def _light_list_consts(lightlist):
     return ml
 
 
-def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
-                    want_shading: bool, want_obj: bool = False):
-    """Unrolled nearest-hit over all primitives.
-
-    Returns dict with t, hit, is_light and (if want_shading) the winning
-    object's material/normal, all selected in-register during the scan
-    (C8/C9/C15 semantics; miss defaults = object 0's shading at t=MISS_T).
-    want_obj adds the winning global object id as an i32 plane (stale 0 on
-    miss, C15) — the adjoint kernel's scatter mask
-    (ops/megakernel_grad.py).
-
-    light_id: a single global object id, or a tuple of ids (multi-emitter
-    scenes) — is_light then marks a hit on ANY listed light (the textbook
-    double-count guard over a light list, integrator/wavefront.py
-    _bounce_core)."""
-    light_ids = (
-        (light_id,) if isinstance(light_id, (int, np.integer))
-        else tuple(light_id)
-    )
+def _iter_hits(rects, quads, spheres, ox, oy, oz, dx, dy, dz,
+               want_shading: bool):
+    """Yield (obj_id, t_i, valid, n_raw, ng_raw, obj) for every primitive —
+    the per-object intersection math shared by the nearest-hit scan
+    (_trace_unrolled) and the any-occluder shadow probe (_probe_unrolled),
+    kept in ONE place so both consume identical expression trees (the
+    bit-parity contract)."""
     o = (ox, oy, oz)
     d = (dx, dy, dz)
     # One reciprocal per axis shared by every rect (bit-parity with the jnp
@@ -250,52 +238,6 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
     inv = tuple(
         np.float32(1.0) / jnp.where(ok, c, 1.0) for ok, c in zip(d_ok, d)
     )
-
-    t_best = jnp.full_like(ox, MISS_T)
-    is_light = jnp.zeros_like(ox, dtype=jnp.bool_)
-    obj_best = jnp.zeros_like(ox, dtype=jnp.int32) if want_obj else None
-    if want_shading:
-        # C15 miss defaults: stale object id 0, shaded at (0,0,0). The
-        # default normal must be object 0's oriented normal (a zero normal
-        # would NaN the scatter frame on escaped rays).
-        o0 = rects[0] if rects else spheres[0]
-        alb = [jnp.full_like(ox, o0["albedo"][c]) for c in range(3)]
-        emi = [jnp.full_like(ox, o0["emission"][c]) for c in range(3)]
-        if rects:
-            a0 = rects[0]["axis"]
-            sign0 = jnp.where(d[a0] < 0.0, np.float32(1.0), np.float32(-1.0))
-            nrm = [sign0 if i == a0 else jnp.zeros_like(ox) for i in range(3)]
-            ngm = [
-                jnp.full_like(ox, 1.0) if i == a0 else jnp.zeros_like(ox)
-                for i in range(3)
-            ]
-        else:
-            nrm = [jnp.ones_like(ox), jnp.zeros_like(ox), jnp.zeros_like(ox)]
-            ngm = [jnp.ones_like(ox), jnp.zeros_like(ox), jnp.zeros_like(ox)]
-        is_spec = jnp.zeros_like(ox, dtype=jnp.bool_)
-        is_refr = jnp.zeros_like(ox, dtype=jnp.bool_)
-
-    def consider(obj_id, t_i, valid, n_raw, ng_raw, obj):
-        nonlocal t_best, is_light, alb, emi, nrm, ngm, is_spec, is_refr
-        nonlocal obj_best
-        win = valid & (t_i < t_best)
-        t_best = jnp.where(win, t_i, t_best)
-        if want_obj:
-            obj_best = jnp.where(win, np.int32(obj_id), obj_best)
-        # Logical update, not jnp.where-over-bools (Mosaic lowers bool
-        # selects through i8 and fails on the i8->i1 truncation).
-        if obj_id in light_ids:
-            is_light = is_light | win
-        else:
-            is_light = is_light & ~win
-        if want_shading:
-            for c in range(3):
-                alb[c] = jnp.where(win, obj["albedo"][c], alb[c])
-                emi[c] = jnp.where(win, obj["emission"][c], emi[c])
-                nrm[c] = jnp.where(win, n_raw[c], nrm[c])
-                ngm[c] = jnp.where(win, ng_raw[c], ngm[c])
-            is_spec = (is_spec | win) if obj["refl"] == 1 else (is_spec & ~win)
-            is_refr = (is_refr | win) if obj["refl"] == 2 else (is_refr & ~win)
 
     obj_id = 0
     for r in rects:
@@ -319,7 +261,7 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
             ]
         else:
             n_raw = ng_raw = None
-        consider(obj_id, t_i, valid, n_raw, ng_raw, r)
+        yield obj_id, t_i, valid, n_raw, ng_raw, r
         obj_id += 1
 
     for qd in quads:
@@ -370,7 +312,7 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
             n_raw = [g * sgnq for g in ng_raw]
         else:
             n_raw = ng_raw = None
-        consider(obj_id, t_i, valid, n_raw, ng_raw, qd)
+        yield obj_id, t_i, valid, n_raw, ng_raw, qd
         obj_id += 1
 
     for sph in spheres:
@@ -397,8 +339,109 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
             ng_raw = [gx * inv_len, gy * inv_len, gz * inv_len]
         else:
             n_raw = ng_raw = None
-        consider(obj_id, t_i, valid, n_raw, ng_raw, sph)
+        yield obj_id, t_i, valid, n_raw, ng_raw, sph
         obj_id += 1
+
+
+def _probe_unrolled(rects, quads, spheres, light_id: int,
+                    ox, oy, oz, dx, dy, dz):
+    """Any-occluder shadow probe: (t_light, success).
+
+    Bit-exact to ``h = _trace_unrolled(...); h["hit"] & h["is_light"]``
+    for a single STATIC light id, by unwinding the nearest-select chain:
+    the light wins the scan iff no earlier object has t <= t_light and no
+    later object has t < t_light (the running-min recursion reduces to
+    exactly these ordered-strictness compares). Each non-light object then
+    costs one compare + one AND/OR instead of the chain's two in-register
+    selects, and the winner's id/t bookkeeping disappears."""
+    hits = list(_iter_hits(rects, quads, spheres, ox, oy, oz, dx, dy, dz,
+                           want_shading=False))
+    t_l = valid_l = None
+    for obj_id, t_i, valid, _, _, _ in hits:
+        if obj_id == light_id:
+            t_l, valid_l = t_i, valid
+    occ = None
+    for obj_id, t_i, valid, _, _, _ in hits:
+        if obj_id == light_id:
+            continue
+        closer = (t_i <= t_l) if obj_id < light_id else (t_i < t_l)
+        blk = valid & closer
+        occ = blk if occ is None else (occ | blk)
+    success = valid_l if occ is None else (valid_l & ~occ)
+    return t_l, success
+
+
+def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
+                    want_shading: bool, want_obj: bool = False):
+    """Unrolled nearest-hit over all primitives.
+
+    Returns dict with t, hit, is_light and (if want_shading) the winning
+    object's material/normal, all selected in-register during the scan
+    (C8/C9/C15 semantics; miss defaults = object 0's shading at t=MISS_T).
+    want_obj adds the winning global object id as an i32 plane (stale 0 on
+    miss, C15) — the adjoint kernel's scatter mask
+    (ops/megakernel_grad.py).
+
+    light_id: a single global object id, or a tuple of ids (multi-emitter
+    scenes) — is_light then marks a hit on ANY listed light (the textbook
+    double-count guard over a light list, integrator/wavefront.py
+    _bounce_core)."""
+    light_ids = (
+        (light_id,) if isinstance(light_id, (int, np.integer))
+        else tuple(light_id)
+    )
+    d = (dx, dy, dz)
+
+    t_best = jnp.full_like(ox, MISS_T)
+    is_light = jnp.zeros_like(ox, dtype=jnp.bool_)
+    obj_best = jnp.zeros_like(ox, dtype=jnp.int32) if want_obj else None
+    if want_shading:
+        # C15 miss defaults: stale object id 0, shaded at (0,0,0). The
+        # default normal must be object 0's oriented normal (a zero normal
+        # would NaN the scatter frame on escaped rays).
+        o0 = rects[0] if rects else spheres[0]
+        alb = [jnp.full_like(ox, o0["albedo"][c]) for c in range(3)]
+        emi = [jnp.full_like(ox, o0["emission"][c]) for c in range(3)]
+        if rects:
+            a0 = rects[0]["axis"]
+            sign0 = jnp.where(d[a0] < 0.0, np.float32(1.0), np.float32(-1.0))
+            nrm = [sign0 if i == a0 else jnp.zeros_like(ox) for i in range(3)]
+            ngm = [
+                jnp.full_like(ox, 1.0) if i == a0 else jnp.zeros_like(ox)
+                for i in range(3)
+            ]
+        else:
+            nrm = [jnp.ones_like(ox), jnp.zeros_like(ox), jnp.zeros_like(ox)]
+            ngm = [jnp.ones_like(ox), jnp.zeros_like(ox), jnp.zeros_like(ox)]
+        is_spec = jnp.zeros_like(ox, dtype=jnp.bool_)
+        is_refr = jnp.zeros_like(ox, dtype=jnp.bool_)
+
+    def consider(obj_id, t_i, valid, n_raw, ng_raw, obj):
+        nonlocal t_best, is_light, alb, emi, nrm, ngm, is_spec, is_refr
+        nonlocal obj_best
+        win = valid & (t_i < t_best)
+        t_best = jnp.where(win, t_i, t_best)
+        if want_obj:
+            obj_best = jnp.where(win, np.int32(obj_id), obj_best)
+        # Logical update, not jnp.where-over-bools (Mosaic lowers bool
+        # selects through i8 and fails on the i8->i1 truncation).
+        if obj_id in light_ids:
+            is_light = is_light | win
+        else:
+            is_light = is_light & ~win
+        if want_shading:
+            for c in range(3):
+                alb[c] = jnp.where(win, obj["albedo"][c], alb[c])
+                emi[c] = jnp.where(win, obj["emission"][c], emi[c])
+                nrm[c] = jnp.where(win, n_raw[c], nrm[c])
+                ngm[c] = jnp.where(win, ng_raw[c], ngm[c])
+            is_spec = (is_spec | win) if obj["refl"] == 1 else (is_spec & ~win)
+            is_refr = (is_refr | win) if obj["refl"] == 2 else (is_refr & ~win)
+
+    for obj_id, t_i, valid, n_raw, ng_raw, obj in _iter_hits(
+        rects, quads, spheres, ox, oy, oz, dx, dy, dz, want_shading
+    ):
+        consider(obj_id, t_i, valid, n_raw, ng_raw, obj)
 
     out = dict(t=t_best, hit=t_best < np.float32(MISS_T), is_light=is_light)
     if want_obj:
@@ -938,19 +981,27 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 wx_, wy_, wz_ = lpx - pox, lpy - poy, lpz - poz
                 inv_wl = jax.lax.rsqrt(wx_ * wx_ + wy_ * wy_ + wz_ * wz_)
                 ldx, ldy, ldz = wx_ * inv_wl, wy_ * inv_wl, wz_ * inv_wl
-                probe = _trace_unrolled(
-                    rects_k, quads_k, spheres_k,
-                    light_ids_all if multi else light_id, pox, poy, poz,
-                    ldx, ldy, ldz, want_shading=False, want_obj=multi,
-                )
                 if multi:
                     # Success = the probe's nearest hit IS the lane's
                     # sampled light (per-lane id compare; is_light can't
-                    # express per-lane targets).
+                    # express per-lane targets, and the any-occluder
+                    # probe's ordered-strictness compares would need a
+                    # per-lane select — keep the nearest-hit chain).
+                    probe = _trace_unrolled(
+                        rects_k, quads_k, spheres_k, light_ids_all,
+                        pox, poy, poz, ldx, ldy, ldz,
+                        want_shading=False, want_obj=True,
+                    )
                     success = probe["hit"] & (probe["obj"] == sel_id)
+                    t_probe = probe["t"]
                 else:
-                    success = probe["hit"] & probe["is_light"]
-                t_safe = jnp.where(success, probe["t"], 1.0)
+                    # Single static light: any-occluder probe (bit-exact
+                    # to the chain, fewer in-register selects).
+                    t_probe, success = _probe_unrolled(
+                        rects_k, quads_k, spheres_k, light_id,
+                        pox, poy, poz, ldx, ldy, ldz,
+                    )
+                t_safe = jnp.where(success, t_probe, 1.0)
                 cos_l = jnp.abs(
                     ldx * ln_use[0] + ldy * ln_use[1] + ldz * ln_use[2]
                 )

@@ -78,6 +78,7 @@ from .megakernel import (
     _light_list_consts,
     _light_select_cdf,
     _runtime_materials,
+    _probe_unrolled,
     _scene_consts,
     _trace_unrolled,
     _u32c,
@@ -381,16 +382,22 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 wx_, wy_, wz_ = lpx - pox, lpy - poy, lpz - poz
                 inv_wl = jax.lax.rsqrt(wx_ * wx_ + wy_ * wy_ + wz_ * wz_)
                 ldx, ldy, ldz = wx_ * inv_wl, wy_ * inv_wl, wz_ * inv_wl
-                probe = _trace_unrolled(
-                    rects_k, quads_k, spheres_k,
-                    light_ids_all if multi else light_id, pox, poy, poz,
-                    ldx, ldy, ldz, want_shading=False, want_obj=multi,
-                )
                 if multi:
+                    probe = _trace_unrolled(
+                        rects_k, quads_k, spheres_k, light_ids_all,
+                        pox, poy, poz, ldx, ldy, ldz,
+                        want_shading=False, want_obj=True,
+                    )
                     success = probe["hit"] & (probe["obj"] == sel_id)
+                    t_probe = probe["t"]
                 else:
-                    success = probe["hit"] & probe["is_light"]
-                t_safe = jnp.where(success, probe["t"], 1.0)
+                    # Any-occluder probe — bit-exact to the forward
+                    # kernel's (megakernel.py NEE block).
+                    t_probe, success = _probe_unrolled(
+                        rects_k, quads_k, spheres_k, light_id,
+                        pox, poy, poz, ldx, ldy, ldz,
+                    )
+                t_safe = jnp.where(success, t_probe, 1.0)
                 cos_l = jnp.abs(
                     ldx * ln_use[0] + ldy * ln_use[1] + ldz * ln_use[2]
                 )
