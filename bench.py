@@ -23,11 +23,18 @@ constrained environment still reports a number. Timing includes a
 device->host value fetch (block_until_ready is unreliable under the
 tunnel).
 
+Every stage (pallas attempts, regen fallback, CPU last resort) runs in a
+time-boxed subprocess: the axon tunnel can wedge so hard that even
+jax.devices() blocks forever (observed twice), and an unattended driver
+invocation must still get its one JSON line in bounded time. The CPU
+last resort runs a small regen config on the host backend — a tiny
+honest number beats a hung process with no artifact.
+
 Env knobs: SPT_BENCH_PALLAS_BUDGET (seconds per pallas attempt, default
 660), SPT_BENCH_PALLAS_ATTEMPTS (default 3), SPT_BENCH_TOTAL_BUDGET
-(overall pallas budget across attempts, default 1680), SPT_BENCH_IMPL /
---impl (force one implementation), SPT_BENCH_W/H/SPP (config override),
-SPT_BENCH_CPU (run on host CPU).
+(overall pallas budget across attempts, default 1680), SPT_BENCH_REGEN_BUDGET
+(default 900), SPT_BENCH_IMPL / --impl (force one implementation),
+SPT_BENCH_W/H/SPP (config override), SPT_BENCH_CPU (run on host CPU).
 """
 
 from __future__ import annotations
@@ -42,6 +49,7 @@ BASELINE_MRAYS = 2.5  # C++ reference, single core (BASELINE.md)
 PALLAS_BUDGET_S = float(os.environ.get("SPT_BENCH_PALLAS_BUDGET", 660))
 PALLAS_ATTEMPTS = int(os.environ.get("SPT_BENCH_PALLAS_ATTEMPTS", 3))
 TOTAL_BUDGET_S = float(os.environ.get("SPT_BENCH_TOTAL_BUDGET", 1680))
+REGEN_BUDGET_S = float(os.environ.get("SPT_BENCH_REGEN_BUDGET", 900))
 
 
 def run_bench(impl: str) -> dict:
@@ -117,9 +125,11 @@ def run_bench(impl: str) -> dict:
         best_dt = dt if best_dt is None else min(best_dt, dt)
 
     mrays = traces / best_dt / 1e6
+    backend = ", host-cpu" if os.environ.get("SPT_BENCH_CPU") else ""
     return {
         "metric": (
-            f"Mrays/s (Cornell box {width}x{height}x{spp}spp, NEE, {impl})"
+            f"Mrays/s (Cornell box {width}x{height}x{spp}spp, NEE, "
+            f"{impl}{backend})"
         ),
         "value": round(mrays, 2),
         "unit": "Mrays/s",
@@ -136,27 +146,23 @@ def main() -> int:
         print(json.dumps(run_bench(impl)))
         return 0
 
-    # Orchestrate: pallas in time-boxed child attempts, regen fallback.
-    # Attempt N's Mosaic compile usually hits the terminal-side module
-    # cache populated by attempt N-1 (even one that timed out), so retries
-    # convert "flaky >10 min compile" into "~4 s cache hit".
-    t_start = time.perf_counter()
-    for attempt in range(PALLAS_ATTEMPTS):
-        elapsed = time.perf_counter() - t_start
-        left = TOTAL_BUDGET_S - elapsed
-        if left < 60:
-            break
-        budget = min(PALLAS_BUDGET_S, left)
-        print(
-            f"[bench] pallas attempt {attempt + 1}/{PALLAS_ATTEMPTS} "
-            f"(budget {budget:.0f}s)",
-            file=sys.stderr, flush=True,
-        )
+    # Orchestrate: pallas in time-boxed child attempts, regen fallback,
+    # CPU last resort. Attempt N's Mosaic compile usually hits the
+    # terminal-side module cache populated by attempt N-1 (even one that
+    # timed out), so retries convert "flaky >10 min compile" into "~4 s
+    # cache hit".
+    def try_child(impl_name: str, budget: float, tag: str,
+                  extra_env: dict | None = None) -> str | None:
+        print(f"[bench] {tag} (budget {budget:.0f}s)", file=sys.stderr,
+              flush=True)
+        env = dict(os.environ)
+        if extra_env:
+            env.update(extra_env)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--impl", "pallas"],
-                timeout=budget, capture_output=True, text=True,
+                 "--impl", impl_name],
+                timeout=budget, capture_output=True, text=True, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             if out.stderr:
@@ -165,23 +171,52 @@ def main() -> int:
                 for line in reversed(out.stdout.strip().splitlines()):
                     try:
                         json.loads(line)
-                        print(line)
-                        return 0
+                        return line
                     except json.JSONDecodeError:
                         continue
             print(
-                f"[bench] pallas attempt {attempt + 1} exited "
-                f"rc={out.returncode} without a JSON line",
+                f"[bench] {tag} exited rc={out.returncode} without a "
+                f"JSON line",
                 file=sys.stderr, flush=True,
             )
         except subprocess.TimeoutExpired:
-            print(
-                f"[bench] pallas attempt {attempt + 1} timed out after "
-                f"{budget:.0f}s",
-                file=sys.stderr, flush=True,
-            )
-    print(json.dumps(run_bench("regen")))
-    return 0
+            print(f"[bench] {tag} timed out after {budget:.0f}s",
+                  file=sys.stderr, flush=True)
+        return None
+
+    t_start = time.perf_counter()
+    for attempt in range(PALLAS_ATTEMPTS):
+        elapsed = time.perf_counter() - t_start
+        left = TOTAL_BUDGET_S - elapsed
+        if left < 60:
+            break
+        line = try_child(
+            "pallas", min(PALLAS_BUDGET_S, left),
+            f"pallas attempt {attempt + 1}/{PALLAS_ATTEMPTS}",
+        )
+        if line:
+            print(line)
+            return 0
+    line = try_child("regen", REGEN_BUDGET_S, "regen fallback")
+    if line:
+        print(line)
+        return 0
+    # Device unreachable (tunnel wedge hangs even jax.devices()): a small
+    # host-CPU render still proves the framework end-to-end and keeps the
+    # one-JSON-line contract in bounded time.
+    line = try_child(
+        "regen", max(REGEN_BUDGET_S, 1200.0), "CPU last resort",
+        {"SPT_BENCH_CPU": "1", "SPT_BENCH_W": "256", "SPT_BENCH_H": "256",
+         "SPT_BENCH_SPP": "16"},
+    )
+    if line:
+        print(line)
+        return 0
+    print(json.dumps({
+        "metric": "Mrays/s (bench failed: device unreachable)",
+        "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+    }))
+    return 1
 
 
 if __name__ == "__main__":
