@@ -48,11 +48,25 @@ Two boundary estimators live here:
   jump estimated by two shadow probes (other occluders and the light
   rectangle's own theta-independent edge fall out automatically).
 
-Remaining out of scope: silhouettes seen from SECONDARY vertices and
-shadows of secondary lighting — grad/soft.py's softened visibility stays
-the (approximate) tool when those dominate. On a direct-lighting scene
-(pathwise + edge_grad + shadow_edge_grad) reproduces the full FD
-gradient (tests/test_edge.py composition test).
+- indirect_edge_grad — the SECONDARY-vertex silhouette term for
+  BSDF-transport estimators (cosine / uniform / uniform_corrected): from
+  each primary diffuse vertex x the sphere's limb is a curve on the unit
+  sphere of bounce directions omega(phi; theta) = normalize(q(phi) - x);
+  the hemisphere integrand f = alb * w(omega) * L(x, omega) jumps across
+  it (w = cos/pi for cosine-pdf estimators, 1/(2*pi) for the as-committed
+  uniform C12), and the same jacfwd-velocity + straddling recipe applies
+  with L_in/L_out path-traced through straddling DIRECTIONS at common
+  path ids.
+
+Remaining out of scope: silhouettes seen from depth>=2 vertices (the
+indirect term stops at the first diffuse vertex; deeper terms decay with
+the albedo product), and the NEE estimators' indirect term (their
+BSDF-sampled continuation suppresses emitter hits differently —
+grad/soft.py's softened visibility stays the approximate tool there).
+On a direct-lighting scene (pathwise + edge_grad + shadow_edge_grad)
+reproduces the full FD gradient, and on an emissive-sphere scene under
+the cosine estimator (pathwise=0 + edge_grad + indirect_edge_grad) does
+(tests/test_edge.py composition tests).
 
 Validated (tests/test_edge.py): (1) the screen machinery against a
 brute-force FD of the analytic coverage integral (1-3%); (2) the full
@@ -421,6 +435,146 @@ def shadow_edge_grad(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     return _shadow_edge_impl(
         scene, cam, cfg, g_img, int(sphere_idx), int(n_phi), seed,
         jnp.float32(delta),
+    )
+
+
+def _omega_of(theta, phi, x):
+    """Bounce DIRECTION to the blocker's limb point seen from shading
+    point x: the silhouette curve on the unit sphere of directions."""
+    q = _limb_point(x, theta[:3], theta[3], phi)
+    return vm.norm((q - x)[None])[0]
+
+
+@partial(jax.jit, static_argnums=(2, 4, 5, 6))
+def _indirect_edge_impl(scene: Scene, cam: CameraParams, cfg: RenderConfig,
+                        g_img, sphere_idx: int, n_phi: int,
+                        n_bounces: int, seed, delta):
+    from ..core import rng
+    from ..geometry.intersect import shade_info, trace
+    from ..integrator.sampling import SHADOW_EPS
+    from ..scene.types import DIFF
+
+    w, h = cfg.width, cfg.height
+    center = scene.spheres.center[sphere_idx]
+    radius = scene.spheres.radius[sphere_idx]
+    theta = jnp.concatenate([center, radius[None]])
+
+    # One JITTERED primary hit per (pixel, phi) lane — the pixel integral
+    # over the footprint, same estimator layout as _shadow_edge_impl.
+    lane = jnp.arange(w * h * n_phi, dtype=jnp.uint32)
+    pix = lane // jnp.uint32(n_phi)
+    pxi = (pix % jnp.uint32(w)).astype(jnp.int32)
+    pyi = (pix // jnp.uint32(w)).astype(jnp.int32)
+    from ..camera.pinhole import primary_rays
+    uniform = rng.make_uniform_fn("mix")
+    ux = uniform(jnp.uint32(seed), lane, jnp.uint32(1))
+    uy = uniform(jnp.uint32(seed), lane, jnp.uint32(2))
+    o_r, d_r = primary_rays(cam, w, h, pxi, pyi, ux, uy)
+    hit = trace(scene, o_r, d_r)
+    sh = shade_info(scene, o_r, d_r, hit)
+    xf = sh.x                                                   # (N*K, 3)
+    dvec = xf - center[None]
+    outside = jnp.linalg.norm(dvec, axis=-1) > radius * 1.001
+    n_rects = scene.rects.albedo.shape[0]
+    n_quads = scene.quads.albedo.shape[0]
+    blocker_oid = jnp.int32(n_rects + n_quads + sphere_idx)
+    valid_x = (
+        hit.hit & (sh.refl == DIFF) & (hit.obj_id != blocker_oid) & outside
+    )
+
+    # Stratified limb angles with a per-pixel counter-RNG rotation.
+    u_rot = uniform(jnp.uint32(seed), pix, jnp.uint32(0))
+    js = (lane % jnp.uint32(n_phi)).astype(jnp.float32)
+    pf = (js + u_rot) * jnp.float32(2.0 * jnp.pi / n_phi)       # (N*K,)
+
+    omega = jax.vmap(lambda p_, x_: _omega_of(theta, p_, x_))(pf, xf)
+    Jw = jax.vmap(lambda p_, x_: jax.jacfwd(_omega_of)(theta, p_, x_))(
+        pf, xf
+    )                                                           # (N*K, 3, 4)
+    tw = jax.vmap(
+        lambda p_, x_: jax.jacfwd(_omega_of, argnums=1)(theta, p_, x_)
+    )(pf, xf)                                                   # (N*K, 3)
+    dl = jnp.linalg.norm(tw, axis=-1)
+    t_hat = tw / jnp.maximum(dl, 1e-12)[:, None]
+
+    # In-tangent-plane outward normal: |omega|=1 makes d(omega) tangent
+    # automatically; the sphere's direction region is centered on
+    # d_c = normalize(center - x), so outward = -(tangent-plane projection
+    # of d_c), orthogonalized against the curve tangent.
+    d_c = vm.norm(center[None] - xf)
+    proj = d_c - jnp.sum(d_c * omega, axis=-1, keepdims=True) * omega
+    proj = proj - jnp.sum(proj * t_hat, axis=-1, keepdims=True) * t_hat
+    n_hat = -proj / jnp.maximum(
+        jnp.linalg.norm(proj, axis=-1, keepdims=True), 1e-12
+    )
+
+    # Straddling directions: delta WORLD units at the limb distance
+    # (matches shadow_edge_grad's world-unit straddle; must clear the f32
+    # grazing band on the in-side).
+    q = jax.vmap(lambda p_, x_: _limb_point(x_, theta[:3], theta[3], p_))(
+        pf, xf
+    )
+    dist_l = jnp.maximum(jnp.linalg.norm(q - xf, axis=-1), 1e-6)
+    d_ang = (delta / dist_l)[:, None]
+    d_out = vm.norm(omega + d_ang * n_hat)
+    d_in = vm.norm(omega - d_ang * n_hat)
+
+    # L_in / L_out: full-estimator radiance from the lifted vertex along
+    # the straddling directions, common path ids => occluded arcs cancel.
+    # (Depth caveat: the continuation restarts its RR depth counter at 1
+    # where the true estimator would be at 2 — a divergence only past
+    # depth 5, geometrically suppressed by the albedo product.)
+    po = xf + SHADOW_EPS * sh.n
+    L_in, _ = path_trace_fixed(
+        scene, cfg, jnp.uint32(seed), po, d_in, lane, n_bounces
+    )
+    L_out, _ = path_trace_fixed(
+        scene, cfg, jnp.uint32(seed), po, d_out, lane, n_bounces
+    )
+
+    # Hemisphere integrand weight at the curve (estimator-exact):
+    # cosine / uniform_corrected sample+weight to alb*(cos/pi)*L;
+    # the as-committed uniform (C12) to alb*L/(2*pi).
+    cos_s = jnp.maximum(jnp.sum(omega * sh.n, axis=-1), 0.0)
+    if cfg.estimator == "uniform":
+        w_ang = jnp.full_like(cos_s, 1.0 / (2.0 * jnp.pi))
+    else:
+        w_ang = cos_s / jnp.float32(jnp.pi)
+    f_jump = sh.albedo * (w_ang[:, None] * (L_in - L_out))      # (N*K, 3)
+
+    g = jnp.asarray(g_img, jnp.float32).reshape(w * h, 3)
+    gf = g[pix.astype(jnp.int32)]
+    gdot = jnp.sum(gf * f_jump, axis=-1)
+
+    mask = valid_x.astype(jnp.float32)
+    v_n = jnp.einsum("kij,ki->kj", Jw, n_hat)                   # (N*K, 4)
+    contrib = (mask * gdot * dl)[:, None] * v_n
+    d_theta = contrib.sum(axis=0) * (2.0 * jnp.pi / n_phi)
+    return d_theta[:3], d_theta[3]
+
+
+def indirect_edge_grad(scene: Scene, cam: CameraParams, cfg: RenderConfig,
+                       g_img, sphere_idx: int, seed=0, n_phi: int = 8,
+                       n_bounces: int = 4, delta: float = 0.5):
+    """Secondary-vertex silhouette boundary term of d(loss)/d(sphere
+    center, radius): the blocker's limb as seen from each PRIMARY diffuse
+    vertex, crossing the bounce-direction integral of BSDF-transport
+    estimators (cosine / uniform / uniform_corrected).
+
+    g_img: d loss / d image (h, w, 3). delta: straddle distance in WORLD
+    units at the limb (same convention as shadow_edge_grad). One curve
+    sample costs two fixed-length path traces; all pixels batched. NEE
+    estimators are rejected — their BSDF continuation suppresses emitter
+    hits differently (module docstring scope)."""
+    if cfg.estimator not in ("cosine", "uniform", "uniform_corrected"):
+        raise ValueError(
+            "indirect_edge_grad models BSDF-transport estimators "
+            "(cosine/uniform/uniform_corrected); got "
+            f"{cfg.estimator!r}"
+        )
+    return _indirect_edge_impl(
+        scene, cam, cfg, g_img, int(sphere_idx), int(n_phi),
+        int(n_bounces), seed, jnp.float32(delta),
     )
 
 
