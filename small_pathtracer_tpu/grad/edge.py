@@ -608,19 +608,23 @@ def geometry_loss_and_grad(scene: Scene, cam: CameraParams,
                            edge_seed=None, n_phi: int = 1024,
                            n_sub: int = 2, delta_px: float = 0.25,
                            shadow=None, shadow_n_phi: int = 32,
-                           shadow_delta: float = 0.25):
+                           shadow_delta: float = 0.25,
+                           indirect=None, indirect_n_phi: int = 8):
     """Full MSE-loss gradient w.r.t. one sphere's (center, radius):
     pathwise interior term (jax.grad through adjoint.render_linear) +
-    primary-silhouette boundary (edge_grad) + cast-shadow boundary
-    (shadow_edge_grad).
+    primary-silhouette boundary (edge_grad) + the estimator's secondary
+    boundary — cast-shadow (shadow_edge_grad) for textbook NEE, or the
+    secondary-vertex silhouette (indirect_edge_grad) for BSDF-transport
+    estimators.
 
     loss = mean((render_linear - target)^2), target linear (h, w, 3).
     Returns (loss, (d_center (3,), d_radius scalar)).
 
-    shadow=None auto-enables the cast-shadow term exactly in the regime
-    shadow_edge_grad models (estimator 'nee_textbook', single light);
-    pass True/False to force. edge_seed defaults to seed+1 to decorrelate
-    the boundary estimators from the render's sample stream.
+    shadow=None / indirect=None auto-enable each term exactly in the
+    regime it models (shadow: estimator 'nee_textbook' + single light;
+    indirect: estimator cosine/uniform/uniform_corrected); pass
+    True/False to force. edge_seed defaults to seed+1 to decorrelate the
+    boundary estimators from the render's sample stream.
     """
     from .adjoint import render_linear
 
@@ -628,6 +632,10 @@ def geometry_loss_and_grad(scene: Scene, cam: CameraParams,
         edge_seed = int(seed) + 1
     if shadow is None:
         shadow = cfg.estimator == "nee_textbook" and scene.lights is None
+    if indirect is None:
+        indirect = cfg.estimator in (
+            "cosine", "uniform", "uniform_corrected"
+        )
 
     loss, img, d_c, d_r = _mse_pathwise(
         scene, cam, cfg, jnp.uint32(seed), target, int(sphere_idx),
@@ -650,4 +658,11 @@ def geometry_loss_and_grad(scene: Scene, cam: CameraParams,
         )
         d_c = d_c + dc_s
         d_r = d_r + dr_s
+    if indirect:
+        dc_i, dr_i = indirect_edge_grad(
+            scene, cam, cfg, g_img, sphere_idx, seed=edge_seed,
+            n_phi=indirect_n_phi, n_bounces=n_bounces,
+        )
+        d_c = d_c + dc_i
+        d_r = d_r + dr_i
     return loss, (d_c, d_r)

@@ -361,6 +361,36 @@ def test_indirect_edge_grad_matches_analytic(cam, smooth_g,
     assert np.abs(est - an).max() < 0.08 * np.abs(an).max(), (est, an)
 
 
+def test_geometry_fit_cosine_composition(cam, indirect_scene):
+    """geometry_loss_and_grad auto-enables the indirect term for the
+    cosine estimator: SGD recovers a displaced emissive sphere on the
+    full (unmasked) MSE where primary silhouette + secondary glow both
+    drive the pose."""
+    from small_pathtracer_tpu.grad.edge import geometry_loss_and_grad
+
+    s_true = indirect_scene
+    cfg = spt.RenderConfig(width=W, height=H, spp=8, estimator="cosine",
+                           seed=3)
+    target = render_linear(s_true, cam, cfg, jnp.uint32(99), 2)
+    c_true = np.asarray(s_true.spheres.center[0])
+
+    s = s_true._replace(spheres=s_true.spheres._replace(
+        center=s_true.spheres.center.at[0].add(
+            jnp.asarray([4.0, 0.0, -3.0]))))
+    err0 = np.linalg.norm(np.asarray(s.spheres.center[0]) - c_true)
+
+    lr = 2e2
+    for i in range(10):
+        _, (d_c, d_r) = geometry_loss_and_grad(
+            s, cam, cfg, 2 * i, target, 0, n_bounces=2, n_phi=256,
+        )
+        step = np.clip(-lr * np.asarray(d_c), -2.0, 2.0)
+        s = s._replace(spheres=s.spheres._replace(
+            center=s.spheres.center.at[0].add(jnp.asarray(step))))
+    err = np.linalg.norm(np.asarray(s.spheres.center[0]) - c_true)
+    assert err < 0.5 * err0, (err, err0, np.asarray(s.spheres.center[0]))
+
+
 def test_geometry_fit_recovers_displacement(cam):
     """SGD on geometry_loss_and_grad recovers a displaced sphere pose on
     the standard cornell_spheres scene: the silhouette + shadow boundary
