@@ -266,16 +266,26 @@ def _shadow_curve_point(theta, phi, x, corner, n_l):
     return y
 
 
-@partial(jax.jit, static_argnums=(2, 4, 5))
+@partial(jax.jit, static_argnums=(2, 4, 5, 8))
 def _shadow_edge_impl(scene: Scene, cam: CameraParams, cfg: RenderConfig,
-                      g_img, sphere_idx: int, n_phi: int, seed, delta):
+                      g_img, sphere_idx: int, n_phi: int, seed, delta,
+                      light_idx: int = -1):
     from ..core import rng
     from ..geometry.intersect import shade_info, trace
-    from ..integrator.sampling import SHADOW_EPS, light_area_normal
+    from ..integrator.sampling import (
+        SHADOW_EPS, gather_light, light_area_normal,
+    )
     from ..scene.types import DIFF, object_arrays
 
     w, h = cfg.width, cfg.height
-    light = scene.light
+    # light_idx < 0: the single scene.light; >= 0: one member of the
+    # multi-emitter list (the caller sums the per-light curve integrals —
+    # the list estimator is unbiased for the SUM of per-light direct
+    # terms, so its boundary term is the sum of per-light boundaries).
+    if light_idx < 0:
+        light = scene.light
+    else:
+        light = gather_light(scene.lights, jnp.int32(light_idx))
     area, n_l = light_area_normal(light)
     corner = jnp.asarray(light.corner, jnp.float32)
     eu = jnp.asarray(light.edge_u, jnp.float32)
@@ -423,19 +433,27 @@ def shadow_edge_grad(scene: Scene, cam: CameraParams, cfg: RenderConfig,
 
     g_img: d loss / d image (h, w, 3). delta: straddle distance on the
     light plane in WORLD units (the probes must clear the blocker's f32
-    grazing band; 0.5 on the 100-unit box). Single-light scenes
-    (scene.light); one curve sample costs two shadow probes, all pixels
-    batched. Add to pathwise + edge_grad for the full gradient of
-    direct-lighting scenes (module docstring scope)."""
-    if scene.lights is not None:
-        raise ValueError(
-            "shadow_edge_grad supports single-light scenes (scene.light); "
-            "multi-emitter scenes need per-light curves"
+    grazing band; 0.5 on the 100-unit box). One curve sample costs two
+    shadow probes, all pixels batched. Multi-emitter scenes
+    (scene.lights) sum one curve integral per listed light — the list
+    estimator is unbiased for the sum of per-light direct terms, so the
+    boundary term sums too. Add to pathwise + edge_grad for the full
+    gradient of direct-lighting scenes (module docstring scope)."""
+    if scene.lights is None:
+        return _shadow_edge_impl(
+            scene, cam, cfg, g_img, int(sphere_idx), int(n_phi), seed,
+            jnp.float32(delta), -1,
         )
-    return _shadow_edge_impl(
-        scene, cam, cfg, g_img, int(sphere_idx), int(n_phi), seed,
-        jnp.float32(delta),
-    )
+    d_c = jnp.zeros(3, jnp.float32)
+    d_r = jnp.float32(0.0)
+    for k in range(scene.lights.corner.shape[0]):
+        dc_k, dr_k = _shadow_edge_impl(
+            scene, cam, cfg, g_img, int(sphere_idx), int(n_phi), seed,
+            jnp.float32(delta), k,
+        )
+        d_c = d_c + dc_k
+        d_r = d_r + dr_k
+    return d_c, d_r
 
 
 def _omega_of(theta, phi, x):
@@ -621,8 +639,9 @@ def geometry_loss_and_grad(scene: Scene, cam: CameraParams,
     Returns (loss, (d_center (3,), d_radius scalar)).
 
     shadow=None / indirect=None auto-enable each term exactly in the
-    regime it models (shadow: estimator 'nee_textbook' + single light;
-    indirect: estimator cosine/uniform/uniform_corrected); pass
+    regime it models (shadow: estimator 'nee_textbook', single- or
+    multi-emitter; indirect: estimator cosine/uniform/uniform_corrected);
+    pass
     True/False to force. edge_seed defaults to seed+1 to decorrelate the
     boundary estimators from the render's sample stream.
     """
@@ -631,7 +650,7 @@ def geometry_loss_and_grad(scene: Scene, cam: CameraParams,
     if edge_seed is None:
         edge_seed = int(seed) + 1
     if shadow is None:
-        shadow = cfg.estimator == "nee_textbook" and scene.lights is None
+        shadow = cfg.estimator == "nee_textbook"
     if indirect is None:
         indirect = cfg.estimator in (
             "cosine", "uniform", "uniform_corrected"

@@ -257,6 +257,41 @@ def test_shadow_edge_composition(cam, smooth_g, direct_lighting_scene):
         total_r, fdr, float(dr_e), float(dr_s))
 
 
+def test_shadow_edge_multilight_partition(cam, smooth_g,
+                                          direct_lighting_scene):
+    """Multi-emitter shadow term: splitting the single light rect into a
+    two-member LightList (same physical emitter) must reproduce the
+    single-light curve integral — the per-light on_light masks partition
+    the curve, everything else is lane-identical."""
+    from small_pathtracer_tpu.grad.edge import shadow_edge_grad
+    from small_pathtracer_tpu.scene.types import LightList
+
+    s = direct_lighting_scene
+    cfg = spt.RenderConfig(width=W, height=H, spp=8,
+                           estimator="nee_textbook", seed=7)
+    g = jnp.asarray(np.repeat(smooth_g[:, :, None], 3, axis=2))
+
+    dc1, dr1 = shadow_edge_grad(s, cam, cfg, g, 0, seed=77, n_phi=16,
+                                delta=0.5)
+
+    c = jnp.asarray(s.light.corner, jnp.float32)
+    eu = jnp.asarray(s.light.edge_u, jnp.float32)
+    ev = jnp.asarray(s.light.edge_v, jnp.float32)
+    oid = jnp.asarray(s.light.light_obj_id, jnp.int32)
+    s2 = s._replace(lights=LightList(
+        corner=jnp.stack([c, c + 0.5 * eu]),
+        edge_u=jnp.stack([0.5 * eu, 0.5 * eu]),
+        edge_v=jnp.stack([ev, ev]),
+        obj_id=jnp.stack([oid, oid]),
+    ))
+    dc2, dr2 = shadow_edge_grad(s2, cam, cfg, g, 0, seed=77, n_phi=16,
+                                delta=0.5)
+    np.testing.assert_allclose(np.asarray(dc2), np.asarray(dc1),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(float(dr2), float(dr1),
+                               rtol=1e-3, atol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def indirect_scene():
     """Emissive sphere 0 LIFTED off the floor (cy=30, so cy - R > 0)
