@@ -1,0 +1,113 @@
+"""Exact camera-translation boundary gradients (grad/camera_edge.py).
+
+Composition claim: pathwise AD (through render_linear with origin and
+lower_left shifted together — a pure camera translation) + the
+scene-edge boundary term reproduces the render FD that pathwise alone is
+pinned ~300x too small for (tests/test_grad.py
+test_camera_translation_grad_is_interior_only).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import small_pathtracer_tpu as spt
+from small_pathtracer_tpu.grad.adjoint import render_linear
+from small_pathtracer_tpu.grad.camera_edge import (
+    camera_edge_grad,
+    scene_edge_segments,
+)
+
+W, H = 64, 48
+
+
+@pytest.fixture(scope="module")
+def cam():
+    return spt.make_camera(aspect=W / H)
+
+
+@pytest.fixture(scope="module")
+def smooth_g():
+    yy, xx = np.mgrid[0:H, 0:W]
+    g = (np.sin(xx / 7.0) + np.cos(yy / 5.0) + 0.3).astype(np.float32)
+    return jnp.asarray(np.repeat(g[:, :, None], 3, axis=2))
+
+
+def _shift_cam(cam, t):
+    return cam._replace(
+        origin=jnp.asarray(cam.origin, jnp.float32) + t,
+        lower_left=jnp.asarray(cam.lower_left, jnp.float32) + t,
+    )
+
+
+def test_segments_deduped():
+    """The Cornell box: 7 room rects (4 edges each) + 2 boxes of 5 faces.
+    Shared creases must appear once: measured 54 unique segments (28
+    room+light after dedup of the 8 wall-floor/ceiling junction pairs
+    shared between coincident-bound walls, 13 per box)."""
+    s = spt.get_scene("cornell_box")
+    A, B = scene_edge_segments(s)
+    assert A.shape == B.shape and A.shape[1] == 3
+    keys = set()
+    for a, b in zip(A, B):
+        ka, kb = tuple(np.round(a, 4)), tuple(np.round(b, 4))
+        key = (ka, kb) if ka <= kb else (kb, ka)
+        assert key not in keys
+        keys.add(key)
+    # 17 rects x 4 = 68 raw edges; dedup must remove some shared creases.
+    assert A.shape[0] < 68
+
+
+@pytest.mark.parametrize("preset", ["cornell_box", "cornell_spheres"])
+def test_camera_translation_composition(cam, smooth_g, preset):
+    """pathwise + camera_edge_grad ~ render FD of a pure camera
+    translation, per-axis, on the box (rect edges only) and sphere
+    (limb path) scenes."""
+    s = spt.get_scene(preset)
+    NB = 3
+    cfg = spt.RenderConfig(width=W, height=H, spp=64, estimator="nee",
+                           seed=7)
+    g = smooth_g
+
+    def loss(t, seed):
+        return jnp.sum(
+            g * render_linear(s, _shift_cam(cam, t), cfg,
+                              jnp.uint32(seed), NB)
+        )
+
+    t0 = jnp.zeros(3, jnp.float32)
+    pw = np.asarray(jax.grad(loss)(t0, 7))
+
+    # FD methodology matters here: the same-seed difference is driven by
+    # the few paths whose discrete structure flips inside +-eps, so small
+    # eps drowns in MC noise (measured per-seed x-FD swinging -70..+112
+    # at eps=2e-2 where the true value is ~+34). eps=8e-2 x 4 seeds gives
+    # per-axis sem ~5% of the dominant component.
+    eps = 8e-2
+    fd = np.zeros(3)
+    for ax in range(3):
+        acc = 0.0
+        seeds = (7, 11, 23, 31)
+        for seed in seeds:
+            tp = jnp.zeros(3, jnp.float32).at[ax].set(eps)
+            acc += (
+                float(loss(tp, seed)) - float(loss(-tp, seed))
+            ) / (2 * eps)
+        fd[ax] = acc / len(seeds)
+
+    d_edge = np.asarray(
+        camera_edge_grad(s, cam, cfg, g, seed=1234, n_u=256, n_phi=2048,
+                         n_sub=2, n_bounces=NB, delta_px=0.25)
+    )
+    total = pw + d_edge
+    # Pathwise alone must NOT explain the FD; the composition must
+    # (measured agreement ~9% of max|FD| on the sphere scene: FD sem +
+    # the tangent spheres' contact-shadow curves, which are radiance
+    # discontinuities interior to the floor and not in the geometric
+    # edge set — module docstring scope).
+    assert np.abs(pw - fd).max() > 3.0 * np.abs(total - fd).max(), (
+        pw, d_edge, fd)
+    assert np.abs(total - fd).max() < 0.15 * np.abs(fd).max(), (
+        total, d_edge, pw, fd)
