@@ -289,6 +289,75 @@ def cmd_fit(args) -> int:
     from ..parallel.mesh import make_mesh
 
     scene, cam, cfg = _build(args)
+    if args.camera_edge:
+        # Camera-pose fitting on the HARD render: pathwise (interior) +
+        # exact scene-edge boundary gradients (grad/camera_edge.py).
+        # Normalized-step descent — the gradient direction is reliable
+        # but its scale spans decades across poses (edge term ~ jump *
+        # screen speed), so step length = min(lr, 3e5*|d|) decaying 0.9x.
+        from ..grad.camera_edge import camera_edge_grad
+
+        if args.optimizer != "sgd":
+            raise SystemExit("--camera-edge supports --optimizer sgd")
+        if args.target:
+            target = jnp.asarray(
+                film.srgb_from_u8(film.read_ppm(args.target)), jnp.float32
+            )
+            t = jnp.zeros(3, jnp.float32)
+        else:
+            # Self-test: render the target at the configured camera, then
+            # displace (kept inside the box: -z is INTO the scene) and
+            # recover the pose.
+            target = render_linear(scene, cam, cfg,
+                                   jnp.uint32(cfg.seed + 1), args.bounces)
+            t = jnp.asarray([3.0, -2.0, -4.0], jnp.float32)
+
+        def shifted(base, tv):
+            return base._replace(
+                origin=jnp.asarray(base.origin, jnp.float32) + tv,
+                lower_left=jnp.asarray(base.lower_left, jnp.float32) + tv,
+            )
+
+        import jax as _jax
+
+        loss = float("nan")
+        step_len = args.lr
+        for i in range(args.steps):
+            cam_i = shifted(cam, t)
+
+            def loss_fn(dt):
+                img = render_linear(scene, shifted(cam_i, dt), cfg,
+                                    jnp.uint32(cfg.seed + 2 * i),
+                                    args.bounces)
+                return jnp.mean((img - target) ** 2), img
+
+            (loss, img), pw = _jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(jnp.zeros(3, jnp.float32))
+            g_img = 2.0 * (img - target) / jnp.float32(img.size)
+            d_edge = camera_edge_grad(
+                scene, cam_i, cfg, g_img, seed=cfg.seed + 1000 + i,
+                n_u=64, n_phi=args.edge_phi, n_sub=2,
+                n_bounces=args.bounces, delta_px=0.25,
+            )
+            d = np.asarray(pw) + np.asarray(d_edge)
+            nd = float(np.linalg.norm(d))
+            step = -d / max(nd, 1e-12) * min(step_len, 3e5 * nd)
+            t = t + jnp.asarray(step, jnp.float32)
+            step_len *= 0.9
+            print(
+                f"step {i}: loss {float(loss):.6f} "
+                f"t {[round(float(v), 3) for v in t]}",
+                file=sys.stderr,
+            )
+        out = _fit_result(loss, ran_steps=args.steps > 0, steps=args.steps)
+        out["camera_translation"] = [float(v) for v in t]
+        out["origin"] = [
+            float(v) for v in (jnp.asarray(cam.origin, jnp.float32) + t)
+        ]
+        print(json.dumps(out))
+        return 0
+
     if args.edge_sphere >= 0:
         # Edge-sampled geometry fitting: pathwise + silhouette +
         # cast-shadow boundary gradients (grad/edge.py) on one sphere's
@@ -594,6 +663,14 @@ def main(argv=None) -> int:
         prog="small_pathtracer_tpu",
         description="TPU-native differentiable path tracer",
     )
+    ap.add_argument(
+        "--platform", default="auto", choices=["auto", "cpu", "tpu"],
+        help="force the JAX backend before any compute. 'cpu' is the "
+        "reliable escape hatch on hosts whose sitecustomize "
+        "force-registers a remote accelerator plugin (env "
+        "JAX_PLATFORMS=cpu is overridden there; a wedged device tunnel "
+        "then hangs every CLI call). 'auto' keeps JAX's default.",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p_render = sub.add_parser("render", help="render an image")
@@ -626,6 +703,12 @@ def main(argv=None) -> int:
     p_fit.add_argument("--edge-sphere", type=int, default=-1,
                        help="fit sphere IDX's center/radius with exact "
                             "edge-sampled boundary gradients (grad/edge.py)")
+    p_fit.add_argument("--camera-edge", action="store_true",
+                       help="fit the camera translation with exact "
+                            "scene-edge boundary gradients "
+                            "(grad/camera_edge.py); normalized-step "
+                            "descent, --lr is the initial step length "
+                            "in world units")
     p_fit.add_argument("--edge-phi", type=int, default=512,
                        help="silhouette samples per edge-gradient step")
     p_fit.add_argument("--soft-tau", type=float, default=0.0,
@@ -642,4 +725,8 @@ def main(argv=None) -> int:
     p_serve.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)

@@ -87,7 +87,7 @@ def _require_single_light(scene: Scene, what: str) -> None:
         raise NotImplementedError(
             f"{what} with estimator='nee' supports single-light scenes "
             "only (the guiding demo has no light-list selection); use the "
-            "wavefront/megernel renderers for multi-emitter scenes"
+            "wavefront/megakernel renderers for multi-emitter scenes"
         )
 
 

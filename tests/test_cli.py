@@ -304,6 +304,24 @@ def test_fit_edge_geometry(capsys):
     assert np.isfinite(d["center"]).all() and np.isfinite(d["radius"])
 
 
+def test_fit_camera_edge(capsys):
+    """fit --camera-edge: camera-pose fitting via the exact scene-edge
+    boundary gradients (self-test: displaced camera moves back)."""
+    rc = main([
+        "fit", "--scene", "cornell_box", "--width", "24", "--height",
+        "16", "--spp", "4", "--steps", "2", "--lr", "1.0",
+        "--camera-edge", "--edge-phi", "64", "--bounces", "2",
+    ])
+    assert rc == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(d["final_loss"])
+    t = np.asarray(d["camera_translation"])
+    assert np.all(np.isfinite(t))
+    # Two normalized steps from the 5.4-unit self-test displacement must
+    # shrink the offset.
+    assert np.linalg.norm(t) < np.linalg.norm([3.0, -2.0, -4.0])
+
+
 def test_fit_soft_geometry(capsys):
     rc = main([
         "fit", "--scene", "cornell_spheres", "--width", "24", "--height", "16",
