@@ -11,12 +11,14 @@ import resource
 # large linearized-scan programs (the differentiated 32-bounce wavefront);
 # under the default 8 MB stack the compiler intermittently segfaulted
 # ~65% into the suite (observed 3x: faulthandler dump inside
-# backend_compile_and_load during test_nan_audit / test_parity). The hard
-# limit is unlimited in this image — raise the soft limit so the main
-# thread's stack can grow past the default.
+# backend_compile_and_load during test_nan_audit / test_parity; round 2:
+# twice more in the megakernel guided/grad compiles WITH a 512 MB soft
+# limit). The hard limit is unlimited in this image — lift the soft limit
+# all the way so the main thread's stack can grow as far as the compiler
+# recurses (the box has 125 GB; an unbounded main-thread stack is safe).
 _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-if _hard == resource.RLIM_INFINITY or _hard >= 1 << 29:
-    resource.setrlimit(resource.RLIMIT_STACK, (1 << 29, _hard))
+if _soft != _hard:
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -32,6 +34,18 @@ import jax  # noqa: E402
 # the unit/distributed suite on the 8-device virtual CPU mesh (fast, local)
 # instead of round-tripping every op through the TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite's heaviest compiles (pallas
+# interpret-mode kernels, scan-transpose adjoints) are exactly where the
+# intermittent XLA CPU segfault strikes — caching them means a re-run
+# skips the risky compile entirely (and the suite gets much faster).
+# The cache lives outside the repo tree and survives across runs.
+_cache_dir = os.environ.get(
+    "SPT_TEST_COMPILE_CACHE", "/tmp/spt_jax_test_cache"
+)
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
