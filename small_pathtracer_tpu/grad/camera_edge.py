@@ -29,14 +29,21 @@ the straddle-pair estimate captures whatever jump actually exists
 crossing the edge). The (L_- - L_+)(V . n̂) product is invariant under
 n̂ -> -n̂, so curve orientation needs no bookkeeping either.
 
-Scope: d(loss)/d(camera translation) (3,). Rotations change the film
-basis and need a different velocity chain — out of scope here (the
-composition test pins translation, the reference's camera is fixed:
-/root/reference/src/smallpt.cpp:65,521).
+Scope: d(loss)/d(camera translation) (3,) via ``camera_edge_grad`` and
+d(loss)/d(camera rotation) (3, axis-angle about the origin) via
+``camera_rotation_edge_grad``. Rotation reuses the same machinery
+through an equivalence: rotating the camera basis by R(w) leaves the
+inverse-projection rows r_i -> R r_i, so film coords become
+dot(R^T (X-origin), r_i)/dot(R^T (X-origin), r_0) — i.e. rotating the
+camera by +w is projecting world points rotated by R^T about the
+origin, to first order X -> X - w x (X - origin). The discontinuity
+curves themselves are rotation-invariant (the sphere limb depends on
+the origin only), so only the velocity chain differs. (The reference's
+camera is fixed: /root/reference/src/smallpt.cpp:65,521.)
 
 Validated (tests/test_camera_edge.py): pathwise + this term reproduces
-the render FD of camera translation on the box scene where pathwise
-alone is pinned ~300x too small.
+the render FD of camera translation (and rotation) on the box scene
+where pathwise alone is pinned ~300x too small.
 """
 
 from __future__ import annotations
@@ -192,10 +199,40 @@ def _accumulate(cam, cfg, scene, g, S, J, tau, y0, measure, seed, lane0,
     return (gdot * measure)[:, None] * v_n
 
 
-@partial(jax.jit, static_argnums=(2, 4, 5, 6, 7))
+def rotate_camera(cam: CameraParams, omega) -> CameraParams:
+    """CameraParams rotated by the axis-angle vector omega (radians)
+    about the camera origin: origin fixed; the film basis A=ll-o, H, V
+    all rotate by R(omega) (exact Rodrigues, series-safe at 0 so
+    jax.grad through it is exact). Used for the interior (pathwise)
+    term and for FD probes of the rotation gradient."""
+    w = jnp.asarray(omega, jnp.float32)
+    t2 = jnp.dot(w, w)
+    small = t2 < 1e-12
+    t2s = jnp.where(small, 1.0, t2)
+    th = jnp.sqrt(t2s)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(th) / th)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(th)) / t2s)
+    K = jnp.array([
+        [0.0, -w[2], w[1]],
+        [w[2], 0.0, -w[0]],
+        [-w[1], w[0], 0.0],
+    ], jnp.float32)
+    R = jnp.eye(3, dtype=jnp.float32) + a * K + b * (K @ K)
+    o = jnp.asarray(cam.origin, jnp.float32)
+    A = jnp.asarray(cam.lower_left, jnp.float32) - o
+    return cam._replace(
+        origin=o,
+        lower_left=o + R @ A,
+        horizontal=R @ jnp.asarray(cam.horizontal, jnp.float32),
+        vertical=R @ jnp.asarray(cam.vertical, jnp.float32),
+    )
+
+
+@partial(jax.jit, static_argnums=(2, 4, 5, 6, 7, 12))
 def _camera_edge_impl(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                       g_img, n_u: int, n_phi: int, n_sub: int,
-                      n_bounces: int, seed, delta_px, segA, segB):
+                      n_bounces: int, seed, delta_px, segA, segB,
+                      mode: str = "translate"):
     from ..core import rng
 
     w, h = cfg.width, cfg.height
@@ -203,6 +240,18 @@ def _camera_edge_impl(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     origin = jnp.asarray(cam.origin, jnp.float32)
     uniform = rng.make_uniform_fn("mix")
     t0 = jnp.zeros(3, jnp.float32)
+
+    def film_of(t, X):
+        """Film coords of world point X under the camera perturbation t:
+        translation shifts the origin; rotation by +t is equivalent to
+        projecting X - t x (X - origin) with the unrotated camera
+        (module docstring), exact to first order at t=0 — all that
+        jacfwd at t0=0 reads."""
+        if mode == "rotate":
+            return _film_shifted(
+                rows, origin, t0, X - jnp.cross(t, X - origin)
+            )
+        return _film_shifted(rows, origin, t, X)
 
     # --- rect/quad border segments -------------------------------------
     M = segA.shape[0]
@@ -215,11 +264,11 @@ def _camera_edge_impl(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     Dw = (segB - segA)[seg_i]
 
     def film_seg(t, A_, D_, u_):
-        st, _ = _film_shifted(rows, origin, t, A_ + u_ * D_)
+        st, _ = film_of(t, A_ + u_ * D_)
         return st
 
     S, y0 = jax.vmap(
-        lambda A_, D_, u_: _film_shifted(rows, origin, t0, A_ + u_ * D_)
+        lambda A_, D_, u_: film_of(t0, A_ + u_ * D_)
     )(Aw, Dw, u)
     J = jax.vmap(
         lambda A_, D_, u_: jax.jacfwd(film_seg)(t0, A_, D_, u_)
@@ -250,14 +299,18 @@ def _camera_edge_impl(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         )
 
         def film_limb(t, phi_):
-            q = _limb_point(origin + t, center, radius, phi_)
-            st, _ = _film_shifted(rows, origin, t, q)
+            # Translation moves the limb itself (it is origin-relative);
+            # rotation about the origin leaves the limb curve fixed and
+            # only sweeps its projection.
+            o_eye = origin + t if mode == "translate" else origin
+            q = _limb_point(o_eye, center, radius, phi_)
+            st, _ = film_of(t, q)
             return st
 
         S_l = jax.vmap(lambda p_: film_limb(t0, p_))(phis)
         y0_l = jax.vmap(
-            lambda p_: _film_shifted(
-                rows, origin, t0, _limb_point(origin, center, radius, p_)
+            lambda p_: film_of(
+                t0, _limb_point(origin, center, radius, p_)
             )[1]
         )(phis)
         J_l = jax.vmap(lambda p_: jax.jacfwd(film_limb)(t0, p_))(phis)
@@ -291,5 +344,24 @@ def camera_edge_grad(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     return _camera_edge_impl(
         scene, cam, cfg, g_img, int(n_u), int(n_phi), int(n_sub),
         int(n_bounces), seed, jnp.float32(delta_px),
-        jnp.asarray(segA), jnp.asarray(segB),
+        jnp.asarray(segA), jnp.asarray(segB), "translate",
+    )
+
+
+def camera_rotation_edge_grad(scene: Scene, cam: CameraParams,
+                              cfg: RenderConfig, g_img, seed=0,
+                              n_u: int = 128, n_phi: int = 1024,
+                              n_sub: int = 2, n_bounces: int = 8,
+                              delta_px: float = 0.25):
+    """Boundary term of d(loss)/d(camera rotation) (3,), axis-angle in
+    radians about the camera origin (the convention of rotate_camera).
+    Add to the pathwise gradient of render_linear through
+    rotate_camera(cam, omega) at omega=0 for the full rotation
+    gradient. Same estimator as camera_edge_grad with the rotation
+    velocity chain (module docstring)."""
+    segA, segB = scene_edge_segments(scene)
+    return _camera_edge_impl(
+        scene, cam, cfg, g_img, int(n_u), int(n_phi), int(n_sub),
+        int(n_bounces), seed, jnp.float32(delta_px),
+        jnp.asarray(segA), jnp.asarray(segB), "rotate",
     )

@@ -17,6 +17,8 @@ import small_pathtracer_tpu as spt
 from small_pathtracer_tpu.grad.adjoint import render_linear
 from small_pathtracer_tpu.grad.camera_edge import (
     camera_edge_grad,
+    camera_rotation_edge_grad,
+    rotate_camera,
     scene_edge_segments,
 )
 
@@ -107,6 +109,84 @@ def test_camera_translation_composition(cam, smooth_g, preset):
     # the tangent spheres' contact-shadow curves, which are radiance
     # discontinuities interior to the floor and not in the geometric
     # edge set — module docstring scope).
+    assert np.abs(pw - fd).max() > 3.0 * np.abs(total - fd).max(), (
+        pw, d_edge, fd)
+    assert np.abs(total - fd).max() < 0.15 * np.abs(fd).max(), (
+        total, d_edge, pw, fd)
+
+
+def test_rotate_camera_is_rigid(cam):
+    """rotate_camera preserves the film-basis lengths and angles, keeps
+    the origin fixed, and its jax.grad at 0 matches the first-order
+    skew map the boundary estimator linearizes around."""
+    w = jnp.asarray([0.2, -0.1, 0.3], jnp.float32)
+    r = rotate_camera(cam, w)
+    for name in ("horizontal", "vertical"):
+        v0 = np.asarray(getattr(cam, name), np.float64)
+        v1 = np.asarray(getattr(r, name), np.float64)
+        assert abs(np.linalg.norm(v1) - np.linalg.norm(v0)) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(r.origin), np.asarray(cam.origin), atol=1e-6
+    )
+    A0 = np.asarray(cam.lower_left) - np.asarray(cam.origin)
+    A1 = np.asarray(r.lower_left) - np.asarray(r.origin)
+    assert abs(np.linalg.norm(A1) - np.linalg.norm(A0)) < 1e-3
+
+    # d/dw (R(w) @ v) at w=0 is the skew map -v x dw == dw x v.
+    v = jnp.asarray([1.0, 2.0, 3.0], jnp.float32)
+    J = jax.jacfwd(
+        lambda ww: rotate_camera(cam._replace(horizontal=v), ww).horizontal
+    )(jnp.zeros(3, jnp.float32))
+    expect = np.array([
+        np.cross(e, np.asarray(v)) for e in np.eye(3)
+    ]).T
+    np.testing.assert_allclose(np.asarray(J), expect, atol=1e-5)
+
+
+@pytest.mark.parametrize("preset", ["cornell_box", "cornell_spheres"])
+def test_camera_rotation_composition(cam, smooth_g, preset):
+    """pathwise (through rotate_camera) + camera_rotation_edge_grad ~
+    render FD of a camera rotation about the origin, per axis-angle
+    component. Measured (64x48x64spp, 4 FD seeds at eps=2e-3 rad):
+    box fd ~ (-27241, -2481, -1107) vs total (-26421, -3177, -1324),
+    pathwise alone (-680, -116, -81) — 40x too small on the dominant
+    (yaw) axis; spheres err/max|fd| 1.6%."""
+    s = spt.get_scene(preset)
+    NB = 3
+    cfg = spt.RenderConfig(width=W, height=H, spp=64, estimator="nee",
+                           seed=7)
+    g = smooth_g
+
+    def loss(w_, seed):
+        return jnp.sum(
+            g * render_linear(s, rotate_camera(cam, w_), cfg,
+                              jnp.uint32(seed), NB)
+        )
+
+    w0 = jnp.zeros(3, jnp.float32)
+    pw = np.asarray(jax.grad(loss)(w0, 7))
+
+    # eps in radians: 2e-3 rad sweeps edges ~0.2 px at this focal length,
+    # the same straddle scale the translation test uses at eps=8e-2
+    # world units (see its methodology note); 4 seeds average the
+    # per-seed discrete-flip noise.
+    eps = 2e-3
+    fd = np.zeros(3)
+    for ax in range(3):
+        acc = 0.0
+        for seed in (7, 11, 23, 31):
+            tp = jnp.zeros(3, jnp.float32).at[ax].set(eps)
+            acc += (
+                float(loss(tp, seed)) - float(loss(-tp, seed))
+            ) / (2 * eps)
+        fd[ax] = acc / 4
+
+    d_edge = np.asarray(
+        camera_rotation_edge_grad(s, cam, cfg, g, seed=1234, n_u=256,
+                                  n_phi=2048, n_sub=2, n_bounces=NB,
+                                  delta_px=0.25)
+    )
+    total = pw + d_edge
     assert np.abs(pw - fd).max() > 3.0 * np.abs(total - fd).max(), (
         pw, d_edge, fd)
     assert np.abs(total - fd).max() < 0.15 * np.abs(fd).max(), (
