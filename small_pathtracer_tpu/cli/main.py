@@ -295,10 +295,16 @@ def cmd_fit(args) -> int:
         # Normalized-step descent — the gradient direction is reliable
         # but its scale spans decades across poses (edge term ~ jump *
         # screen speed), so step length = min(lr, 3e5*|d|) decaying 0.9x.
-        from ..grad.camera_edge import camera_edge_grad
+        from ..grad.camera_edge import (
+            camera_edge_grad,
+            camera_rotation_edge_grad,
+            rotate_camera,
+        )
 
         if args.optimizer != "sgd":
             raise SystemExit("--camera-edge supports --optimizer sgd")
+        fit_rot = args.camera_rotation
+        w_rot = jnp.zeros(3, jnp.float32)
         if args.target:
             target = jnp.asarray(
                 film.srgb_from_u8(film.read_ppm(args.target)), jnp.float32
@@ -311,6 +317,8 @@ def cmd_fit(args) -> int:
             target = render_linear(scene, cam, cfg,
                                    jnp.uint32(cfg.seed + 1), args.bounces)
             t = jnp.asarray([3.0, -2.0, -4.0], jnp.float32)
+            if fit_rot:
+                w_rot = jnp.asarray([0.06, -0.04, 0.03], jnp.float32)
 
         def shifted(base, tv):
             return base._replace(
@@ -320,41 +328,77 @@ def cmd_fit(args) -> int:
 
         import jax as _jax
 
+        # The camera state itself is the optimization variable (rotations
+        # compose, so a global axis-angle coordinate would drift); t and
+        # w_rot accumulate the per-step increments for reporting.
+        cam_cur = shifted(rotate_camera(cam, w_rot) if fit_rot else cam, t)
+        zero3 = jnp.zeros(3, jnp.float32)
         loss = float("nan")
         step_len = args.lr
+        # 1 rad of rotation sweeps the image like ~(camera-to-scene
+        # distance) units of lateral translation, so the rotation step
+        # length lives ~300x below the translation one by default.
+        step_len_rot = (
+            args.lr_rot if args.lr_rot is not None else args.lr / 300.0
+        )
         for i in range(args.steps):
-            cam_i = shifted(cam, t)
+            cam_i = cam_cur
 
-            def loss_fn(dt):
-                img = render_linear(scene, shifted(cam_i, dt), cfg,
+            def loss_fn(dt, dw):
+                c = rotate_camera(cam_i, dw) if fit_rot else cam_i
+                img = render_linear(scene, shifted(c, dt), cfg,
                                     jnp.uint32(cfg.seed + 2 * i),
                                     args.bounces)
                 return jnp.mean((img - target) ** 2), img
 
             (loss, img), pw = _jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(jnp.zeros(3, jnp.float32))
+                loss_fn, has_aux=True, argnums=(0, 1) if fit_rot else 0
+            )(zero3, zero3)
             g_img = 2.0 * (img - target) / jnp.float32(img.size)
+            pw_t = pw[0] if fit_rot else pw
             d_edge = camera_edge_grad(
                 scene, cam_i, cfg, g_img, seed=cfg.seed + 1000 + i,
                 n_u=64, n_phi=args.edge_phi, n_sub=2,
                 n_bounces=args.bounces, delta_px=0.25,
             )
-            d = np.asarray(pw) + np.asarray(d_edge)
+            d = np.asarray(pw_t) + np.asarray(d_edge)
             nd = float(np.linalg.norm(d))
             step = -d / max(nd, 1e-12) * min(step_len, 3e5 * nd)
             t = t + jnp.asarray(step, jnp.float32)
+            cam_cur = shifted(cam_cur, jnp.asarray(step, jnp.float32))
+            if fit_rot:
+                d_rot = np.asarray(pw[1]) + np.asarray(
+                    camera_rotation_edge_grad(
+                        scene, cam_i, cfg, g_img,
+                        seed=cfg.seed + 5000 + i, n_u=64,
+                        n_phi=args.edge_phi, n_sub=2,
+                        n_bounces=args.bounces, delta_px=0.25,
+                    )
+                )
+                ndr = float(np.linalg.norm(d_rot))
+                step_r = -d_rot / max(ndr, 1e-12) * min(
+                    step_len_rot, 3e5 * ndr
+                )
+                w_rot = w_rot + jnp.asarray(step_r, jnp.float32)
+                cam_cur = rotate_camera(
+                    cam_cur, jnp.asarray(step_r, jnp.float32)
+                )
+                step_len_rot *= 0.9
             step_len *= 0.9
-            print(
+            msg = (
                 f"step {i}: loss {float(loss):.6f} "
-                f"t {[round(float(v), 3) for v in t]}",
-                file=sys.stderr,
+                f"t {[round(float(v), 3) for v in t]}"
             )
+            if fit_rot:
+                msg += f" w {[round(float(v), 4) for v in w_rot]}"
+            print(msg, file=sys.stderr)
         out = _fit_result(loss, ran_steps=args.steps > 0, steps=args.steps)
         out["camera_translation"] = [float(v) for v in t]
-        out["origin"] = [
-            float(v) for v in (jnp.asarray(cam.origin, jnp.float32) + t)
-        ]
+        out["origin"] = [float(v) for v in cam_cur.origin]
+        if fit_rot:
+            # Sum of per-step axis-angle increments — exact pose is
+            # cam_cur; this is the (small-angle) rotation summary.
+            out["camera_rotation"] = [float(v) for v in w_rot]
         print(json.dumps(out))
         return 0
 
@@ -709,6 +753,13 @@ def main(argv=None) -> int:
                             "(grad/camera_edge.py); normalized-step "
                             "descent, --lr is the initial step length "
                             "in world units")
+    p_fit.add_argument("--camera-rotation", action="store_true",
+                       help="with --camera-edge: also fit the camera "
+                            "rotation (axis-angle about the origin) via "
+                            "camera_rotation_edge_grad")
+    p_fit.add_argument("--lr-rot", type=float, default=None,
+                       help="initial rotation step length in radians "
+                            "(default --lr/300)")
     p_fit.add_argument("--edge-phi", type=int, default=512,
                        help="silhouette samples per edge-gradient step")
     p_fit.add_argument("--soft-tau", type=float, default=0.0,

@@ -322,6 +322,32 @@ def test_fit_camera_edge(capsys):
     assert np.linalg.norm(t) < np.linalg.norm([3.0, -2.0, -4.0])
 
 
+def test_fit_camera_edge_rotation(capsys):
+    """fit --camera-edge --camera-rotation: joint translation+rotation
+    pose fitting (self-test displaces by (3,-2,-4) units and
+    (0.06,-0.04,0.03) rad). Asserts the descent improves the photometric
+    objective and both pose blocks stay finite (measured at 32x24x4spp:
+    loss 1.59 -> 0.73 in 3 steps, |t| 5.39 -> 4.83)."""
+    rc = main([
+        "fit", "--scene", "cornell_box", "--width", "32", "--height",
+        "24", "--spp", "4", "--steps", "3", "--lr", "1.5",
+        "--camera-edge", "--camera-rotation", "--edge-phi", "64",
+        "--bounces", "2",
+    ])
+    assert rc == 0
+    cap = capsys.readouterr()
+    d = json.loads(cap.out.strip().splitlines()[-1])
+    loss0 = float(cap.err.split("loss ")[1].split()[0])
+    assert np.isfinite(d["final_loss"])
+    assert d["final_loss"] < loss0
+    t = np.asarray(d["camera_translation"])
+    w = np.asarray(d["camera_rotation"])
+    assert np.all(np.isfinite(t)) and np.all(np.isfinite(w))
+    assert np.linalg.norm(t) < np.linalg.norm([3.0, -2.0, -4.0])
+    # The rotation block must not run away (it starts at |w|=0.078).
+    assert np.linalg.norm(w) < 0.12
+
+
 def test_fit_soft_geometry(capsys):
     rc = main([
         "fit", "--scene", "cornell_spheres", "--width", "24", "--height", "16",
