@@ -463,13 +463,15 @@ def _omega_of(theta, phi, x):
     return vm.norm((q - x)[None])[0]
 
 
-@partial(jax.jit, static_argnums=(2, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 4, 5, 6, 9))
 def _indirect_edge_impl(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                         g_img, sphere_idx: int, n_phi: int,
-                        n_bounces: int, seed, delta):
+                        n_bounces: int, seed, delta, depths=(1,)):
     from ..core import rng
     from ..geometry.intersect import shade_info, trace
-    from ..integrator.sampling import SHADOW_EPS
+    from ..integrator.sampling import (
+        SHADOW_EPS, sample_cosine, sample_uniform,
+    )
     from ..scene.types import DIFF
 
     w, h = cfg.width, cfg.height
@@ -490,109 +492,170 @@ def _indirect_edge_impl(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     o_r, d_r = primary_rays(cam, w, h, pxi, pyi, ux, uy)
     hit = trace(scene, o_r, d_r)
     sh = shade_info(scene, o_r, d_r, hit)
-    xf = sh.x                                                   # (N*K, 3)
-    dvec = xf - center[None]
-    outside = jnp.linalg.norm(dvec, axis=-1) > radius * 1.001
+
     n_rects = scene.rects.albedo.shape[0]
     n_quads = scene.quads.albedo.shape[0]
     blocker_oid = jnp.int32(n_rects + n_quads + sphere_idx)
-    valid_x = (
-        hit.hit & (sh.refl == DIFF) & (hit.obj_id != blocker_oid) & outside
-    )
-
-    # Stratified limb angles with a per-pixel counter-RNG rotation.
-    u_rot = uniform(jnp.uint32(seed), pix, jnp.uint32(0))
-    js = (lane % jnp.uint32(n_phi)).astype(jnp.float32)
-    pf = (js + u_rot) * jnp.float32(2.0 * jnp.pi / n_phi)       # (N*K,)
-
-    omega = jax.vmap(lambda p_, x_: _omega_of(theta, p_, x_))(pf, xf)
-    Jw = jax.vmap(lambda p_, x_: jax.jacfwd(_omega_of)(theta, p_, x_))(
-        pf, xf
-    )                                                           # (N*K, 3, 4)
-    tw = jax.vmap(
-        lambda p_, x_: jax.jacfwd(_omega_of, argnums=1)(theta, p_, x_)
-    )(pf, xf)                                                   # (N*K, 3)
-    dl = jnp.linalg.norm(tw, axis=-1)
-    t_hat = tw / jnp.maximum(dl, 1e-12)[:, None]
-
-    # In-tangent-plane outward normal: |omega|=1 makes d(omega) tangent
-    # automatically; the sphere's direction region is centered on
-    # d_c = normalize(center - x), so outward = -(tangent-plane projection
-    # of d_c), orthogonalized against the curve tangent.
-    d_c = vm.norm(center[None] - xf)
-    proj = d_c - jnp.sum(d_c * omega, axis=-1, keepdims=True) * omega
-    proj = proj - jnp.sum(proj * t_hat, axis=-1, keepdims=True) * t_hat
-    n_hat = -proj / jnp.maximum(
-        jnp.linalg.norm(proj, axis=-1, keepdims=True), 1e-12
-    )
-
-    # Straddling directions: delta WORLD units at the limb distance
-    # (matches shadow_edge_grad's world-unit straddle; must clear the f32
-    # grazing band on the in-side).
-    q = jax.vmap(lambda p_, x_: _limb_point(x_, theta[:3], theta[3], p_))(
-        pf, xf
-    )
-    dist_l = jnp.maximum(jnp.linalg.norm(q - xf, axis=-1), 1e-6)
-    d_ang = (delta / dist_l)[:, None]
-    d_out = vm.norm(omega + d_ang * n_hat)
-    d_in = vm.norm(omega - d_ang * n_hat)
-
-    # L_in / L_out: full-estimator radiance from the lifted vertex along
-    # the straddling directions, common path ids => occluded arcs cancel.
-    # (Depth caveat: the continuation restarts its RR depth counter at 1
-    # where the true estimator would be at 2 — a divergence only past
-    # depth 5, geometrically suppressed by the albedo product.)
-    po = xf + SHADOW_EPS * sh.n
-    L_in, _ = path_trace_fixed(
-        scene, cfg, jnp.uint32(seed), po, d_in, lane, n_bounces
-    )
-    L_out, _ = path_trace_fixed(
-        scene, cfg, jnp.uint32(seed), po, d_out, lane, n_bounces
-    )
-
-    # Hemisphere integrand weight at the curve (estimator-exact):
-    # cosine / uniform_corrected sample+weight to alb*(cos/pi)*L;
-    # the as-committed uniform (C12) to alb*L/(2*pi).
-    cos_s = jnp.maximum(jnp.sum(omega * sh.n, axis=-1), 0.0)
-    if cfg.estimator == "uniform":
-        w_ang = jnp.full_like(cos_s, 1.0 / (2.0 * jnp.pi))
-    else:
-        w_ang = cos_s / jnp.float32(jnp.pi)
-    f_jump = sh.albedo * (w_ang[:, None] * (L_in - L_out))      # (N*K, 3)
-
     g = jnp.asarray(g_img, jnp.float32).reshape(w * h, 3)
     gf = g[pix.astype(jnp.int32)]
-    gdot = jnp.sum(gf * f_jump, axis=-1)
+    js = (lane % jnp.uint32(n_phi)).astype(jnp.float32)
 
-    mask = valid_x.astype(jnp.float32)
-    v_n = jnp.einsum("kij,ki->kj", Jw, n_hat)                   # (N*K, 4)
-    contrib = (mask * gdot * dl)[:, None] * v_n
-    d_theta = contrib.sum(axis=0) * (2.0 * jnp.pi / n_phi)
+    def curve_term(xf, n_l, albedo, T, depth):
+        """Boundary integral of the bounce-direction estimator at the
+        vertices xf (oriented normal n_l, local albedo), weighted by the
+        prefix path throughput T. Returns (N*K, 4) cotangent rows."""
+        # Stratified limb angles, per-(pixel, depth) counter-RNG rotation
+        # (stream 0 at depth 1 — the original single-depth stream).
+        u_rot = uniform(
+            jnp.uint32(seed), pix,
+            jnp.uint32(0 if depth == 1 else 32 + depth),
+        )
+        pf = (js + u_rot) * jnp.float32(2.0 * jnp.pi / n_phi)   # (N*K,)
+
+        omega = jax.vmap(lambda p_, x_: _omega_of(theta, p_, x_))(pf, xf)
+        Jw = jax.vmap(
+            lambda p_, x_: jax.jacfwd(_omega_of)(theta, p_, x_)
+        )(pf, xf)                                               # (N*K, 3, 4)
+        tw = jax.vmap(
+            lambda p_, x_: jax.jacfwd(_omega_of, argnums=1)(theta, p_, x_)
+        )(pf, xf)                                               # (N*K, 3)
+        dl = jnp.linalg.norm(tw, axis=-1)
+        t_hat = tw / jnp.maximum(dl, 1e-12)[:, None]
+
+        # In-tangent-plane outward normal: |omega|=1 makes d(omega)
+        # tangent automatically; the sphere's direction region is
+        # centered on d_c = normalize(center - x), so outward =
+        # -(tangent-plane projection of d_c), orthogonalized against the
+        # curve tangent.
+        d_c = vm.norm(center[None] - xf)
+        proj = d_c - jnp.sum(d_c * omega, axis=-1, keepdims=True) * omega
+        proj = proj - jnp.sum(
+            proj * t_hat, axis=-1, keepdims=True
+        ) * t_hat
+        n_hat = -proj / jnp.maximum(
+            jnp.linalg.norm(proj, axis=-1, keepdims=True), 1e-12
+        )
+
+        # Straddling directions: delta WORLD units at the limb distance
+        # (matches shadow_edge_grad's world-unit straddle; must clear the
+        # f32 grazing band on the in-side).
+        q = jax.vmap(
+            lambda p_, x_: _limb_point(x_, theta[:3], theta[3], p_)
+        )(pf, xf)
+        dist_l = jnp.maximum(jnp.linalg.norm(q - xf, axis=-1), 1e-6)
+        d_ang = (delta / dist_l)[:, None]
+        d_out = vm.norm(omega + d_ang * n_hat)
+        d_in = vm.norm(omega - d_ang * n_hat)
+
+        # L_in / L_out: full-estimator radiance from the lifted vertex
+        # along the straddling directions, common path ids => occluded
+        # arcs cancel. (Depth caveat: the continuation restarts its RR
+        # depth counter at 1 where the true estimator would be deeper —
+        # a divergence only past depth 5, geometrically suppressed by the
+        # albedo product.)
+        po = xf + SHADOW_EPS * n_l
+        lane_d = lane + jnp.uint32((depth - 1) * w * h * n_phi)
+        L_in, _ = path_trace_fixed(
+            scene, cfg, jnp.uint32(seed), po, d_in, lane_d, n_bounces
+        )
+        L_out, _ = path_trace_fixed(
+            scene, cfg, jnp.uint32(seed), po, d_out, lane_d, n_bounces
+        )
+
+        # Hemisphere integrand weight at the curve (estimator-exact):
+        # cosine / uniform_corrected sample+weight to alb*(cos/pi)*L;
+        # the as-committed uniform (C12) to alb*L/(2*pi).
+        cos_s = jnp.maximum(jnp.sum(omega * n_l, axis=-1), 0.0)
+        if cfg.estimator == "uniform":
+            w_ang = jnp.full_like(cos_s, 1.0 / (2.0 * jnp.pi))
+        else:
+            w_ang = cos_s / jnp.float32(jnp.pi)
+        f_jump = (T * albedo) * (w_ang[:, None] * (L_in - L_out))
+        gdot = jnp.sum(gf * f_jump, axis=-1)
+        v_n = jnp.einsum("kij,ki->kj", Jw, n_hat)               # (N*K, 4)
+        return (gdot * dl)[:, None] * v_n
+
+    # Walk the prefix path depth by depth (static unroll). T carries the
+    # estimator-exact prefix weight: each sampled DIFF bounce contributes
+    # alb (cosine / as-committed uniform — the pdf cancels the transport
+    # kernel) or alb*2*cos (uniform_corrected: cos/pi integrand over a
+    # 1/(2*pi) pdf); non-DIFF or missed prefixes zero out.
+    d_theta = jnp.zeros(4, jnp.float32)
+    T = jnp.ones((lane.shape[0], 3), jnp.float32)
+    for depth in range(1, max(depths) + 1):
+        if depth > 1:
+            nl = sh.n
+            u1 = uniform(jnp.uint32(seed), lane, jnp.uint32(2 * depth + 14))
+            u2 = uniform(jnp.uint32(seed), lane, jnp.uint32(2 * depth + 15))
+            if cfg.estimator == "cosine":
+                nd = sample_cosine(nl, u1, u2)
+                wgt = sh.albedo
+            else:
+                nd = sample_uniform(nl, u1, u2)
+                if cfg.estimator == "uniform":
+                    wgt = sh.albedo
+                else:  # uniform_corrected
+                    cos_b = jnp.maximum(jnp.sum(nd * nl, axis=-1), 0.0)
+                    wgt = sh.albedo * (2.0 * cos_b)[:, None]
+            alive = (hit.hit & (sh.refl == DIFF)).astype(jnp.float32)
+            T = T * wgt * alive[:, None]
+            po = sh.x + SHADOW_EPS * nl
+            o_r, d_r = po, nd
+            hit = trace(scene, o_r, d_r)
+            sh = shade_info(scene, o_r, d_r, hit)
+        if depth not in depths:
+            continue
+        xf = sh.x                                               # (N*K, 3)
+        dvec = xf - center[None]
+        outside = jnp.linalg.norm(dvec, axis=-1) > radius * 1.001
+        valid_x = (
+            hit.hit & (sh.refl == DIFF) & (hit.obj_id != blocker_oid)
+            & outside
+        )
+        contrib = curve_term(
+            xf, sh.n, sh.albedo, T * valid_x[:, None].astype(jnp.float32),
+            depth,
+        )
+        d_theta = d_theta + contrib.sum(axis=0) * (2.0 * jnp.pi / n_phi)
     return d_theta[:3], d_theta[3]
 
 
 def indirect_edge_grad(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                        g_img, sphere_idx: int, seed=0, n_phi: int = 8,
-                       n_bounces: int = 4, delta: float = 0.5):
-    """Secondary-vertex silhouette boundary term of d(loss)/d(sphere
-    center, radius): the blocker's limb as seen from each PRIMARY diffuse
-    vertex, crossing the bounce-direction integral of BSDF-transport
-    estimators (cosine / uniform / uniform_corrected).
+                       n_bounces: int = 4, delta: float = 0.5,
+                       depths=(1,)):
+    """Deep-vertex silhouette boundary term of d(loss)/d(sphere center,
+    radius): the blocker's limb as seen from each path vertex at the
+    requested depths (1 = the primary hit), crossing the bounce-direction
+    integral of BSDF-transport estimators (cosine / uniform /
+    uniform_corrected). Vertices past depth 1 are reached by sampling the
+    estimator's own DIFF bounce chain with the counter RNG; the prefix
+    weight is estimator-exact (alb per bounce for cosine / as-committed
+    uniform, alb*2*cos for uniform_corrected), so each depth's term is an
+    unbiased estimate of that depth's boundary integral — no Russian
+    roulette is needed in the prefix because the EXPECTED render the loss
+    differentiates is RR-free.
 
     g_img: d loss / d image (h, w, 3). delta: straddle distance in WORLD
     units at the limb (same convention as shadow_edge_grad). One curve
-    sample costs two fixed-length path traces; all pixels batched. NEE
-    estimators are rejected — their BSDF continuation suppresses emitter
-    hits differently (module docstring scope)."""
+    sample costs two fixed-length path traces per requested depth; all
+    pixels batched. depths: tuple of vertex depths to include, e.g.
+    (1, 2) adds the one-bounce-indirect silhouette term. NEE estimators
+    are rejected — their BSDF continuation suppresses emitter hits
+    differently (module docstring scope). Non-DIFF prefix vertices
+    terminate the chain (SPEC/REFR continuation is out of scope)."""
     if cfg.estimator not in ("cosine", "uniform", "uniform_corrected"):
         raise ValueError(
             "indirect_edge_grad models BSDF-transport estimators "
             "(cosine/uniform/uniform_corrected); got "
             f"{cfg.estimator!r}"
         )
+    depths = tuple(sorted(set(int(d) for d in depths)))
+    if not depths or depths[0] < 1:
+        raise ValueError(f"depths must be >= 1, got {depths}")
     return _indirect_edge_impl(
         scene, cam, cfg, g_img, int(sphere_idx), int(n_phi),
-        int(n_bounces), seed, jnp.float32(delta),
+        int(n_bounces), seed, jnp.float32(delta), depths,
     )
 
 
@@ -627,7 +690,8 @@ def geometry_loss_and_grad(scene: Scene, cam: CameraParams,
                            n_sub: int = 2, delta_px: float = 0.25,
                            shadow=None, shadow_n_phi: int = 32,
                            shadow_delta: float = 0.25,
-                           indirect=None, indirect_n_phi: int = 8):
+                           indirect=None, indirect_n_phi: int = 8,
+                           indirect_depths=(1,)):
     """Full MSE-loss gradient w.r.t. one sphere's (center, radius):
     pathwise interior term (jax.grad through adjoint.render_linear) +
     primary-silhouette boundary (edge_grad) + the estimator's secondary
@@ -642,8 +706,11 @@ def geometry_loss_and_grad(scene: Scene, cam: CameraParams,
     regime it models (shadow: estimator 'nee_textbook', single- or
     multi-emitter; indirect: estimator cosine/uniform/uniform_corrected);
     pass
-    True/False to force. edge_seed defaults to seed+1 to decorrelate the
-    boundary estimators from the render's sample stream.
+    True/False to force. indirect_depths extends the indirect term to
+    deeper path vertices (e.g. (1, 2) adds the one-bounce-indirect
+    silhouette — see indirect_edge_grad). edge_seed defaults to seed+1
+    to decorrelate the boundary estimators from the render's sample
+    stream.
     """
     from .adjoint import render_linear
 
@@ -681,6 +748,7 @@ def geometry_loss_and_grad(scene: Scene, cam: CameraParams,
         dc_i, dr_i = indirect_edge_grad(
             scene, cam, cfg, g_img, sphere_idx, seed=edge_seed,
             n_phi=indirect_n_phi, n_bounces=n_bounces,
+            depths=indirect_depths,
         )
         d_c = d_c + dc_i
         d_r = d_r + dr_i
