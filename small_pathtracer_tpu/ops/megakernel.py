@@ -64,6 +64,13 @@ TILE_ROWS = int(_os.environ.get("SPT_TILE_ROWS", 64))
 TILE = TILE_ROWS * 128
 
 
+def _fold_enabled() -> bool:
+    """NEE continuation fold on/off (A/B knob; output is bit-identical
+    either way — see build_kernel). Read per build and part of the render
+    cache keys, so flipping it mid-process rebuilds rather than aliasing."""
+    return _os.environ.get("SPT_NO_NEE_FOLD") != "1"
+
+
 def _u32c(x: int) -> np.uint32:
     return np.uint32(x & 0xFFFFFFFF)
 
@@ -664,6 +671,32 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         light_ids_all = tuple(m["id"] for m in ml)
         K_L = len(ml)
 
+    # NEE continuation fold (the PERF.md "probe/extend factorization"
+    # headroom item). For the C13 continuation estimators, a SUCCESSFUL
+    # probe proves the continuation ray's nearest hit is the sampled light
+    # (same origin, same direction, same pure intersection expressions as
+    # the next extend trace), and a zero-albedo light kills the path
+    # deterministically at that hit (p_max == 0 => RR never survives,
+    # smallpt.cpp:447-454) right after picking up e_light. That whole next
+    # bounce is therefore resolved analytically at the success bounce:
+    # accumulate tr_n * e_light, count the extend trace the unfolded loop
+    # would perform, die/respawn one iteration early. Image, per-sample
+    # radiance, and both trace counters are BIT-IDENTICAL to the unfolded
+    # loop (test_megakernel.py::test_nee_fold_bit_identical); only the
+    # while-loop iteration count drops (~1.5x at the north-star config).
+    # Requires baked materials (mat_refs carries runtime albedo, so the
+    # zero-albedo proof is unavailable at trace time).
+    fold = (
+        est in ("nee", "mixture")
+        and not mat_refs
+        and bool(all_objs)
+        and all(
+            max(all_objs[i]["albedo"]) == 0.0
+            for i in (light_ids_all if multi else (light_id,))
+        )
+        and _fold_enabled()
+    )
+
     spawn, origin = make_spawn(cam, cfg)
 
     lc = tuple(np.float32(v) for v in light["corner"])
@@ -1155,6 +1188,34 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 # path_guiding._guided_diffuse.
                 alive_next = alive_next & ok_g
 
+            if fold:
+                # NEE continuation fold (see build_kernel): the next bounce
+                # of a successful-probe diffuse lane is fully determined —
+                # nearest hit = the sampled light at t_probe, emission
+                # pickup = tr_n * e_light, deterministic RR death (zero
+                # albedo). Resolve it now, bit-identically: the pickup
+                # reproduces the next iteration's
+                # `emit_f * tr_ * h["emi"]` float-for-float (emit_f == 1,
+                # tr_ == tr_n, h["emi"] == the light's baked emission), the
+                # extend counter counts the folded trace, and the per-lane
+                # Lr add sequence is unchanged (elementwise accumulators).
+                sc = alive_next & success & ~(h["is_spec"] | h["is_refr"])
+                if est == "mixture":
+                    sc = sc & take
+                scf = jnp.where(sc, np.float32(1.0), np.float32(0.0))
+                if multi:
+                    e_fold = tuple(
+                        _sel_f([_e_lights[k][c] for k in range(K_L)])
+                        for c in range(3)
+                    )
+                else:
+                    e_fold = e_light_k
+                Lr = Lr + scf * tr_n * e_fold[0]
+                Lg = Lg + scf * tg_n * e_fold[1]
+                Lb = Lb + scf * tb_n * e_fold[2]
+                nex = nex + jnp.sum(scf)
+                alive_next = alive_next & ~sc
+
             # Regeneration: dead lanes with budget left respawn (C4 jitter).
             died = alive & ~alive_next
             s_next = s + jnp.where(died, np.uint32(1), np.uint32(0))
@@ -1257,7 +1318,7 @@ def render_pallas_span(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     if not interpret and jax.devices()[0].platform != "tpu":
         interpret = True
 
-    key = (_geom_hash(scene, cam), cfg, int(n_s), interpret)
+    key = (_geom_hash(scene, cam), cfg, int(n_s), interpret, _fold_enabled())
     fn = _CACHE.get(key)
     if fn is None:
         fn = _build_render(scene, cam, cfg, int(n_s), interpret)
@@ -1521,7 +1582,8 @@ def render_pallas_sharded(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     if not interpret and jax.devices()[0].platform != "tpu":
         interpret = True
     n_s = cfg.spp if n_s is None else int(n_s)
-    key = (_geom_hash(scene, cam), cfg, mesh, n_s, interpret, "sharded")
+    key = (_geom_hash(scene, cam), cfg, mesh, n_s, interpret, "sharded",
+           _fold_enabled())
     fn = _CACHE.get(key)
     if fn is None:
         fn = _build_render_sharded(scene, cam, cfg, mesh, n_s, interpret)

@@ -224,3 +224,28 @@ def test_nee_textbook_kernel_matches_jnp():
     b, tb = render_pallas(scene, cam, cfg, 3, interpret=True)
     np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "preset,est,lsm",
+    [("cornell_box", "nee", "intended"),
+     ("cornell_box", "nee", "glibc_overflow"),
+     ("cornell_box", "mixture", "intended"),
+     ("cornell_twolights", "nee", "intended"),
+     ("cornell_spheres", "nee", "intended")],
+)
+def test_nee_fold_bit_identical(preset, est, lsm, monkeypatch):
+    """The NEE continuation fold (ops/megakernel.build_kernel: a successful
+    probe + zero-albedo light resolve the next bounce analytically) is a
+    pure scheduling optimization: image AND both trace counters must be
+    bit-identical with the fold disabled (~1.25x fewer loop iterations at
+    the north-star config on a v5e, PERF.md)."""
+    scene = get_scene(preset)
+    cam = make_camera(aspect=32 / 24)
+    cfg = RenderConfig(width=32, height=24, spp=4, estimator=est, seed=5,
+                       light_sample_mode=lsm)
+    a, ta = render_pallas(scene, cam, cfg, 5, interpret=True)
+    monkeypatch.setenv("SPT_NO_NEE_FOLD", "1")
+    b, tb = render_pallas(scene, cam, cfg, 5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
