@@ -45,6 +45,14 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="render-state checkpoint path (resume if it exists)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="save render state every N spp (0 = only at end)")
+    p.add_argument("--preview", default="",
+                   help="progressive preview: write the tonemapped running "
+                        "mean here (atomically, PPM/PNG by extension) after "
+                        "every --preview-every spp chunk — the intermediate "
+                        "dumps the reference lacks (SURVEY.md section 5)")
+    p.add_argument("--preview-every", type=int, default=0,
+                   help="preview/chunk interval in spp (default: "
+                        "--checkpoint-every, else spp/8)")
     p.add_argument("--guided", action="store_true",
                    help="voxel path guiding (experiment/path_guiding.py): "
                         "train a lobe table with a short pre-pass, then "
@@ -176,14 +184,20 @@ def cmd_render(args) -> int:
     scene, cam, cfg = _build(args)
     t0 = time.perf_counter()
     if getattr(args, "guided", False):
+        if args.preview:
+            raise SystemExit("--preview does not compose with --guided")
         img, traces = _render_guided_cli(args, scene, cam, cfg)
-    elif args.checkpoint:
+    elif args.checkpoint or args.preview:
         from ..utils.checkpoint import render_with_checkpoints
 
         mesh = _mesh_from_arg(args)
+        every = args.checkpoint_every
+        if args.preview:
+            every = (args.preview_every or args.checkpoint_every
+                     or max(1, cfg.spp // 8))
         img, traces = render_with_checkpoints(
-            scene, cam, cfg, args.checkpoint, args.checkpoint_every,
-            mesh=mesh,
+            scene, cam, cfg, args.checkpoint, every,
+            mesh=mesh, preview_path=args.preview,
         )
     elif args.mesh:
         mesh = _mesh_from_arg(args)

@@ -95,7 +95,8 @@ def _render_span(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
 
 def render_with_checkpoints(scene: Scene, cam: CameraParams,
                             cfg: RenderConfig, ckpt_path: str,
-                            every_spp: int = 0, mesh=None):
+                            every_spp: int = 0, mesh=None,
+                            preview_path: str = ""):
     """Chunked render that saves resumable state every ``every_spp`` samples
     (0 = only at completion) and resumes from ``ckpt_path`` if present.
 
@@ -107,9 +108,16 @@ def render_with_checkpoints(scene: Scene, cam: CameraParams,
     (seed, path_id, counter), a resumed render equals an uninterrupted one
     up to float accumulation order on every path.
 
+    With ``preview_path`` set, the tonemapped running mean (acc / spp_done —
+    an unbiased estimate of the final image at every chunk) is written there
+    after each span: the "intermediate dumps every K spp" observability the
+    reference lacks (SURVEY.md section 5, Metrics row; the reference holds
+    the image in memory until the one final write, smallpt.cpp:548-551).
+    ``ckpt_path`` may be "" for a progressive render with no resume state.
+
     Returns (finalized (h, w, 3) image, total traces)."""
     fp = _fingerprint(scene, cam, cfg)
-    st = load_state(ckpt_path, fp)
+    st = load_state(ckpt_path, fp) if ckpt_path else None
     if st is not None:
         acc, spp_done, traces = st
     else:
@@ -160,7 +168,38 @@ def render_with_checkpoints(scene: Scene, cam: CameraParams,
         acc = acc + np.asarray(L).reshape(-1, 3)
         traces += float(tr.sum())
         spp_done += n_s
-        save_state(ckpt_path, acc, spp_done, traces, fp)
+        if ckpt_path:
+            save_state(ckpt_path, acc, spp_done, traces, fp)
+        if preview_path and (jax.process_index() == 0):
+            _write_preview(preview_path, acc, spp_done, cfg)
 
     img = (acc / cfg.spp).reshape(cfg.height, cfg.width, 3)
     return film.finalize(jnp.asarray(img)), traces
+
+
+def _write_preview(path: str, acc: np.ndarray, spp_done: int,
+                   cfg: RenderConfig) -> None:
+    """Atomic write of the tonemapped running-mean image (PPM or, via
+    core.imageio, PNG). Partial means are unbiased — each preview is the
+    final image at spp_done samples, so previews visibly converge."""
+    img = jnp.asarray(
+        (acc / float(spp_done)).reshape(cfg.height, cfg.width, 3)
+    )
+    u8 = np.asarray(film.tonemap_u8(film.finalize(img)))
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    # Atomic replace: a watcher polling the preview never sees a torn file.
+    ext = os.path.splitext(path)[1]
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=ext + ".tmp")
+    os.close(fd)
+    try:
+        if ext == ".ppm":
+            film.write_ppm(tmp, u8)
+        else:
+            from PIL import Image
+
+            Image.fromarray(u8).save(tmp, format=ext.lstrip(".").upper())
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise

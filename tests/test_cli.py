@@ -22,6 +22,37 @@ def test_render_ppm(tmp_path, capsys):
     assert img.max() > 100  # light is visible
 
 
+def test_render_progressive_preview(tmp_path):
+    """render --preview: the chunked loop dumps the tonemapped running mean
+    after every chunk (atomic replace), with or without a checkpoint, and
+    the final image equals the plain render of the same config up to float
+    accumulation order (spans sum the same per-sample radiances)."""
+    out = tmp_path / "img.ppm"
+    prev = tmp_path / "preview.ppm"
+    rc = main([
+        "render", "--width", "24", "--height", "16", "--spp", "8",
+        "--preview", str(prev), "--preview-every", "2",
+        "-o", str(out),
+    ])
+    assert rc == 0
+    # The last preview is the full-spp running mean == the final image.
+    final = film.read_ppm(str(out))
+    preview = film.read_ppm(str(prev))
+    assert preview.shape == (16, 24, 3)
+    np.testing.assert_array_equal(preview, final)
+    assert not list(tmp_path.glob("*.tmp"))  # atomic writes cleaned up
+
+    # Same pixels as the unchunked render (float add order differs).
+    direct = tmp_path / "direct.ppm"
+    rc = main([
+        "render", "--width", "24", "--height", "16", "--spp", "8",
+        "-o", str(direct),
+    ])
+    assert rc == 0
+    d = film.read_ppm(str(direct)).astype(np.int32)
+    np.testing.assert_allclose(final.astype(np.int32), d, atol=1)
+
+
 @pytest.mark.parametrize("extra", [[], ["--pallas"]])
 def test_render_guided(tmp_path, extra):
     """render --guided: train-then-render through the jnp estimator and
