@@ -65,6 +65,34 @@ def make_camera(
     )
 
 
+def filter_jitter(jit_u, jit_v, pixel_filter: str = "box"):
+    """Map uniform jitter draws in [0,1) to the pixel-filter sample offset
+    plugged into contract C4's ``(px - 0.5 + offset)`` formula.
+
+    "box": identity — the reference's uniform box filter (smallpt.cpp:
+    533-534, contract C4).
+    "tent": the 2-pixel-wide triangle reconstruction filter of ORIGINAL
+    smallpt (the reference's ancestor, README.md:3-4; smallpt's
+    ``dx = r1<1 ? sqrt(r1)-1 : 1-sqrt(2-r1)``), centered on the pixel
+    center — offset = 0.5 + tent(xi) with tent in (-1, 1). We apply it to
+    the whole pixel rather than smallpt's 2x2 subpixel grid (no subpixel
+    stratification here; samples are i.i.d. per pixel).
+
+    Pure elementwise jnp — shared verbatim by the jnp wavefront and the
+    Pallas megakernel spawn so schedules stay bit-identical per sample.
+    """
+    if pixel_filter == "box":
+        return jit_u, jit_v
+
+    def tent(xi):
+        r = 2.0 * xi
+        return jnp.where(
+            r < 1.0, jnp.sqrt(r) - 1.0, 1.0 - jnp.sqrt(jnp.maximum(2.0 - r, 0.0))
+        )
+
+    return 0.5 + tent(jit_u), 0.5 + tent(jit_v)
+
+
 def primary_rays(
     cam: CameraParams,
     width: int,
@@ -73,15 +101,29 @@ def primary_rays(
     py: jnp.ndarray,
     jit_u: jnp.ndarray,
     jit_v: jnp.ndarray,
+    pixel_filter: str = "box",
+    aperture: float = 0.0,
+    focus_dist: float = 0.0,
+    lens_u: jnp.ndarray | None = None,
+    lens_v: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Generate normalized primary rays for pixel coords (px, py) with
     jitter samples in [0,1).
 
     px, py: (N,) integer pixel column/row (row 0 = top, as in the reference's
     y loop). Returns (origins (N,3), directions (N,3) normalized).
+
+    With ``aperture > 0`` (a static Python float), a thin-lens camera:
+    the ray starts from a uniformly sampled point on the lens disk of that
+    radius in the (u, v) camera plane (polar draws lens_u/lens_v) and is
+    re-aimed at the pinhole ray's focal-plane point — geometry at
+    ``focus_dist`` along the view axis stays sharp, everything else
+    defocuses. The reference camera is a pure pinhole (smallpt.cpp:256-285);
+    aperture=0 takes a branch-free identical path.
     """
     px = px.astype(cam.origin.dtype)
     py = py.astype(cam.origin.dtype)
+    jit_u, jit_v = filter_jitter(jit_u, jit_v, pixel_filter)
     # Contract C4 (smallpt.cpp:533-534).
     s = (px - 0.5 + jit_u) / width
     t = ((height - py - 1.0) - 0.5 + jit_v) / height
@@ -92,6 +134,36 @@ def primary_rays(
         + t[:, None] * cam.vertical
         - cam.origin
     )
+    if aperture > 0.0:
+        # lower_left = origin - u*hw - v*hh + w with |w| = 1 (make_camera),
+        # so d's view-axis component is exactly 1: the focal-plane point is
+        # origin + d * focus_dist.
+        r = aperture * jnp.sqrt(lens_u)
+        sin_p, cos_p = vm.sincos_2pi(lens_v)
+        o = (
+            cam.origin
+            + vm.norm(cam.horizontal[None, :])[0] * (r * cos_p)[:, None]
+            + vm.norm(cam.vertical[None, :])[0] * (r * sin_p)[:, None]
+        )
+        d = vm.norm(cam.origin + d * focus_dist - o)
+        return o, d
     d = vm.norm(d)
     o = jnp.broadcast_to(cam.origin, d.shape)
     return o, d
+
+
+def primary_rays_cfg(cam: CameraParams, cfg, px, py, path_id, seed, uniform):
+    """primary_rays driven by a RenderConfig: draws the camera jitter
+    (counters 0/1) and, when cfg.aperture > 0, the lens-disk sample
+    (counters 2/3 — below rng.DRAWS_PER_BOUNCE, so they never collide with
+    bounce draws). The single spawn recipe shared by every jnp schedule
+    (regen/scan/sharded/adjoint/guided)."""
+    ju = uniform(seed, path_id, jnp.uint32(0))
+    jv = uniform(seed, path_id, jnp.uint32(1))
+    lu = lv = None
+    if cfg.aperture > 0.0:
+        lu = uniform(seed, path_id, jnp.uint32(2))
+        lv = uniform(seed, path_id, jnp.uint32(3))
+    return primary_rays(cam, cfg.width, cfg.height, px, py, ju, jv,
+                        cfg.pixel_filter, cfg.aperture, cfg.focus_dist,
+                        lu, lv)

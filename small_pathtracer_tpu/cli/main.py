@@ -24,6 +24,19 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="multi-emitter light-list selection heuristic "
                         "(scenes with scene.lights, e.g. cornell_twolights)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--filter", default="box", choices=["box", "tent"],
+                   dest="pixel_filter",
+                   help="pixel reconstruction filter: box = the reference's "
+                        "uniform jitter (C4); tent = original smallpt's "
+                        "2-pixel triangle filter")
+    p.add_argument("--aperture", type=float, default=0.0,
+                   help="thin-lens radius in scene units (0 = the "
+                        "reference's pinhole); depth of field focused at "
+                        "--focus-dist")
+    p.add_argument("--focus-dist", type=float, default=163.0,
+                   help="focal-plane distance along the view axis "
+                        "(default 163 = the reference's lookfrom->lookat "
+                        "distance)")
     p.add_argument("--wavefront", default="regen", choices=["regen", "scan"])
     p.add_argument("--pallas", action="store_true", dest="use_pallas",
                    help="use the fused Pallas megakernel (all materials "
@@ -116,6 +129,9 @@ def _build(args):
         light_select=args.light_select,
         wavefront=args.wavefront, rng_backend=args.rng_backend,
         use_pallas=getattr(args, "use_pallas", False),
+        pixel_filter=getattr(args, "pixel_filter", "box"),
+        aperture=getattr(args, "aperture", 0.0),
+        focus_dist=getattr(args, "focus_dist", 163.0),
     )
     scene = get_scene(args.scene)
     cam = make_camera(aspect=args.width / args.height)

@@ -55,11 +55,31 @@ class RenderConfig:
     # amortizes the RR tail); "scan" = fixed slots, chunked over spp (the
     # semantics-defining reference implementation; also the AD path).
     wavefront: str = "regen"
+    # Pixel reconstruction filter: "box" = the reference's uniform jitter
+    # (contract C4); "tent" = original smallpt's 2-pixel triangle filter
+    # (see camera.pinhole.filter_jitter). Shared by every schedule.
+    pixel_filter: str = "box"
+    # Thin-lens depth of field (original-smallpt-family extension; the
+    # reference camera is a pure pinhole — aperture 0 reproduces it
+    # bit-for-bit). aperture = lens radius in scene units; focus_dist =
+    # distance from the camera origin to the focal plane along the view
+    # axis (the reference's lookfrom->lookat distance is 163).
+    aperture: float = 0.0
+    focus_dist: float = 163.0
 
     def __post_init__(self):
         if self.estimator not in ESTIMATORS:
             raise ValueError(
                 f"unknown estimator {self.estimator!r}; one of {ESTIMATORS}"
+            )
+        if self.pixel_filter not in ("box", "tent"):
+            raise ValueError(
+                f"unknown pixel_filter {self.pixel_filter!r}; box or tent"
+            )
+        if self.aperture < 0.0 or self.focus_dist <= 0.0:
+            raise ValueError(
+                "aperture must be >= 0 and focus_dist > 0 "
+                f"(got {self.aperture}, {self.focus_dist})"
             )
 
     def resolved_spp_chunk(self) -> int:

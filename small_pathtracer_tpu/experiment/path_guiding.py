@@ -58,7 +58,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..camera.pinhole import CameraParams, primary_rays
+from ..camera.pinhole import CameraParams, primary_rays_cfg
 from ..config import RenderConfig
 from ..core import rng, vecmath as vm
 from ..geometry.intersect import shade_info, trace
@@ -103,9 +103,7 @@ def _spawn_all(cam: CameraParams, cfg: RenderConfig, seed):
     py = jnp.broadcast_to(
         (pix[:, None] // jnp.uint32(w)).astype(jnp.int32), (w * h, spp)
     ).reshape(-1)
-    ju = uniform(seed, path_id, jnp.uint32(0))
-    jv = uniform(seed, path_id, jnp.uint32(1))
-    o, d = primary_rays(cam, w, h, px, py, ju, jv)
+    o, d = primary_rays_cfg(cam, cfg, px, py, path_id, seed, uniform)
     return o, d, path_id
 
 

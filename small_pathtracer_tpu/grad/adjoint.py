@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..camera.pinhole import CameraParams, primary_rays
+from ..camera.pinhole import CameraParams, primary_rays_cfg
 from ..config import RenderConfig
 from ..core import rng
 from ..integrator.wavefront import path_trace_fixed
@@ -64,9 +64,7 @@ def render_linear(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     py = jnp.broadcast_to(
         (pix[:, None] // jnp.uint32(w)).astype(jnp.int32), (w * h, spp)
     ).reshape(-1)
-    ju = uniform(seed, path_id, jnp.uint32(0))
-    jv = uniform(seed, path_id, jnp.uint32(1))
-    o, d = primary_rays(cam, w, h, px, py, ju, jv)
+    o, d = primary_rays_cfg(cam, cfg, px, py, path_id, seed, uniform)
     L, _ = path_trace_fixed(scene, cfg, seed, o, d, path_id, n_bounces)
     return L.reshape(h * w, spp, 3).mean(axis=1).reshape(h, w, 3)
 
@@ -110,9 +108,7 @@ def _local_linear(scene, cam, seed, *, cfg: RenderConfig, n_pix_loc: int,
         (pix[:, None] // jnp.uint32(w)).astype(jnp.int32), (n_pix_loc, n_s_loc)
     ).reshape(-1)
     uniform = rng.make_uniform_fn(cfg.rng_backend)
-    ju = uniform(seed, path_id, jnp.uint32(0))
-    jv = uniform(seed, path_id, jnp.uint32(1))
-    o, d = primary_rays(cam, cfg.width, cfg.height, px, py, ju, jv)
+    o, d = primary_rays_cfg(cam, cfg, px, py, path_id, seed, uniform)
     L, _ = path_trace_fixed(scene, cfg, seed, o, d, path_id, n_bounces)
     img_loc = L.reshape(n_pix_loc, n_s_loc, 3).sum(axis=1) / spp
     return jax.lax.psum(img_loc, AXIS_SAMPLE)

@@ -37,7 +37,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..camera.pinhole import CameraParams, primary_rays
+from ..camera.pinhole import CameraParams, primary_rays_cfg
 from ..config import RenderConfig
 from ..core import film, rng, vecmath as vm
 from ..geometry.intersect import Hit, shade_info, trace
@@ -470,13 +470,12 @@ def _spawn(cam: CameraParams, cfg: RenderConfig, seed, px, py, pid_base,
     precomputed OUTSIDE the while loop: integer div/mod is very expensive on
     the VPU and XLA does not reliably hoist it out of while bodies.
 
-    Camera-jitter counters 0/1 never collide with bounce draws (those start
-    at DRAWS_PER_BOUNCE because depth >= 1)."""
+    Camera-jitter counters 0/1 (and lens counters 2/3 when cfg.aperture > 0)
+    never collide with bounce draws (those start at DRAWS_PER_BOUNCE
+    because depth >= 1)."""
     uniform = rng.make_uniform_fn(cfg.rng_backend)
     path_id = pid_base + s_idx
-    ju = uniform(seed, path_id, jnp.uint32(0))
-    jv = uniform(seed, path_id, jnp.uint32(1))
-    o, d = primary_rays(cam, cfg.width, cfg.height, px, py, ju, jv)
+    o, d = primary_rays_cfg(cam, cfg, px, py, path_id, seed, uniform)
     return o, d, path_id
 
 
@@ -616,9 +615,7 @@ def _chunk_paths(cam: CameraParams, cfg: RenderConfig, seed, s0, n_s):
     py = (pix[:, None] // jnp.uint32(w)).astype(jnp.int32)
     px = jnp.broadcast_to(px, (w * h, n_s)).reshape(-1)
     py = jnp.broadcast_to(py, (w * h, n_s)).reshape(-1)
-    ju = uniform(seed, path_id, jnp.uint32(0))  # camera jitter counters 0, 1
-    jv = uniform(seed, path_id, jnp.uint32(1))
-    o, d = primary_rays(cam, w, h, px, py, ju, jv)
+    o, d = primary_rays_cfg(cam, cfg, px, py, path_id, seed, uniform)
     return o, d, path_id
 
 

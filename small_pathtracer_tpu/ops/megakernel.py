@@ -460,9 +460,14 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
 
 
 def make_spawn(cam: CameraParams, cfg: RenderConfig):
-    """(spawn closure, origin consts) — primary-ray generation (C4/C5),
-    shared bit-for-bit by the forward kernel and the adjoint kernel
-    (ops/megakernel_grad.py replays paths by regenerating the same rays)."""
+    """(spawn closure, origin consts) — primary-ray generation (C4/C5 plus
+    the optional tent filter / thin lens, camera.pinhole semantics), shared
+    bit-for-bit by the forward kernel and the adjoint kernel
+    (ops/megakernel_grad.py replays paths by regenerating the same rays).
+
+    spawn returns (o, d) triples: o is the compile-time origin constant
+    tuple for the pinhole (cfg.aperture == 0 — call sites broadcast scalars
+    for free), or per-lane lens-origin arrays for thin-lens DoF."""
     width = np.float32(cfg.width)
     height = np.float32(cfg.height)
     origin = tuple(np.float32(v) for v in np.asarray(cam.origin))
@@ -470,20 +475,55 @@ def make_spawn(cam: CameraParams, cfg: RenderConfig):
     horizontal = tuple(np.float32(v) for v in np.asarray(cam.horizontal))
     vertical = tuple(np.float32(v) for v in np.asarray(cam.vertical))
     uni = _uniform_for(cfg.rng_backend)
+    tent = cfg.pixel_filter == "tent"
+    aperture = np.float32(cfg.aperture)
+    focus = np.float32(cfg.focus_dist)
+    if cfg.aperture > 0.0:
+        hn = np.asarray(cam.horizontal, np.float64)
+        vn = np.asarray(cam.vertical, np.float64)
+        u_hat = tuple(np.float32(v) for v in hn / np.linalg.norm(hn))
+        v_hat = tuple(np.float32(v) for v in vn / np.linalg.norm(vn))
+
+    def _tent(xi):
+        # camera.pinhole.filter_jitter "tent", with the same jnp ops.
+        r = np.float32(2.0) * xi
+        return jnp.where(
+            r < np.float32(1.0),
+            jnp.sqrt(r) - np.float32(1.0),
+            np.float32(1.0) - jnp.sqrt(jnp.maximum(np.float32(2.0) - r,
+                                                   np.float32(0.0))),
+        )
 
     def spawn(seed, px, py, path_id):
         ju = uni(seed, path_id, np.uint32(0))
         jv = uni(seed, path_id, np.uint32(1))
+        if tent:
+            ju = np.float32(0.5) + _tent(ju)
+            jv = np.float32(0.5) + _tent(jv)
         s = (px - np.float32(0.5) + ju) / width
         t = ((height - py - np.float32(1.0)) - np.float32(0.5) + jv) / height
         dxyz = [
             lower_left[c] + s * horizontal[c] + t * vertical[c] - origin[c]
             for c in range(3)
         ]
+        if cfg.aperture > 0.0:
+            lu = uni(seed, path_id, np.uint32(2))
+            lv = uni(seed, path_id, np.uint32(3))
+            r = aperture * jnp.sqrt(lu)
+            sin_p, cos_p = vm.sincos_2pi(lv)
+            rc, rs = r * cos_p, r * sin_p
+            oxyz = [
+                origin[c] + u_hat[c] * rc + v_hat[c] * rs for c in range(3)
+            ]
+            dxyz = [
+                origin[c] + dxyz[c] * focus - oxyz[c] for c in range(3)
+            ]
+        else:
+            oxyz = origin
         inv_len = jax.lax.rsqrt(
             dxyz[0] ** 2 + dxyz[1] ** 2 + dxyz[2] ** 2
         )
-        return [v * inv_len for v in dxyz]
+        return oxyz, [v * inv_len for v in dxyz]
 
     return spawn, origin
 
@@ -758,13 +798,13 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         s0 = sstart_ref[...]
 
         pid0 = pid_base + s0
-        d0 = spawn(seed, px, py, pid0)
+        o0, d0 = spawn(seed, px, py, pid0)
         zero = jnp.zeros_like(px)
         one = jnp.ones_like(px)
 
         carry0 = (
-            jnp.full_like(px, origin[0]), jnp.full_like(px, origin[1]),
-            jnp.full_like(px, origin[2]),
+            # o0 entries are scalars (pinhole) or per-lane arrays (lens).
+            o0[0] + zero, o0[1] + zero, o0[2] + zero,
             d0[0], d0[1], d0[2],
             one, one, one,              # throughput
             zero, zero, zero,           # L accumulator
@@ -1221,7 +1261,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             s_next = s + jnp.where(died, np.uint32(1), np.uint32(0))
             respawn = died & (s_next < s_stop)
             pid_sp = pid_base + s_next
-            d_sp = spawn(seed, px, py, pid_sp)
+            o_sp, d_sp = spawn(seed, px, py, pid_sp)
 
             live = alive_next
             if multi and est in ("nee", "mixture"):
@@ -1231,9 +1271,9 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 hx = jnp.where(off_m, pox, hx)
                 hy = jnp.where(off_m, poy, hy)
                 hz = jnp.where(off_m, poz, hz)
-            ox = jnp.where(respawn, origin[0], jnp.where(live, hx, ox))
-            oy = jnp.where(respawn, origin[1], jnp.where(live, hy, oy))
-            oz = jnp.where(respawn, origin[2], jnp.where(live, hz, oz))
+            ox = jnp.where(respawn, o_sp[0], jnp.where(live, hx, ox))
+            oy = jnp.where(respawn, o_sp[1], jnp.where(live, hy, oy))
+            oz = jnp.where(respawn, o_sp[2], jnp.where(live, hz, oz))
             dx = jnp.where(respawn, d_sp[0], jnp.where(live, ndx, dx))
             dy = jnp.where(respawn, d_sp[1], jnp.where(live, ndy, dy))
             dz = jnp.where(respawn, d_sp[2], jnp.where(live, ndz, dz))

@@ -212,14 +212,14 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
         gacc[...] = jnp.zeros((2 * n_obj * 3, TILE_ROWS, 128), jnp.float32)
 
         pid0 = pid_base + s0
-        d0 = spawn(seed, px, py, pid0)
+        o0, d0 = spawn(seed, px, py, pid0)
         zero = jnp.zeros_like(px)
         one = jnp.ones_like(px)
         izero = jnp.zeros_like(px, dtype=jnp.int32)
 
         carry0 = (
-            jnp.full_like(px, origin[0]), jnp.full_like(px, origin[1]),
-            jnp.full_like(px, origin[2]),
+            # o0 entries are scalars (pinhole) or per-lane arrays (lens).
+            o0[0] + zero, o0[1] + zero, o0[2] + zero,
             d0[0], d0[1], d0[2],
             one, one, one,              # T (prefix throughput)
             zero, zero, zero,           # acc (emission partial / pass-A L)
@@ -621,7 +621,7 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             respawn_a = adv & (s_next < s_stop)
             reborn = to_b | respawn_a
             pid_sel = jnp.where(to_b, pid, pid_base + s_next)
-            d_sp = spawn(seed, px, py, pid_sel)
+            o_sp, d_sp = spawn(seed, px, py, pid_sel)
 
             live = alive_next
             if multi and est in ("nee", "mixture"):
@@ -632,9 +632,9 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 hx = jnp.where(off_m, pox, hx)
                 hy = jnp.where(off_m, poy, hy)
                 hz = jnp.where(off_m, poz, hz)
-            ox = jnp.where(reborn, origin[0], jnp.where(live, hx, ox))
-            oy = jnp.where(reborn, origin[1], jnp.where(live, hy, oy))
-            oz = jnp.where(reborn, origin[2], jnp.where(live, hz, oz))
+            ox = jnp.where(reborn, o_sp[0], jnp.where(live, hx, ox))
+            oy = jnp.where(reborn, o_sp[1], jnp.where(live, hy, oy))
+            oz = jnp.where(reborn, o_sp[2], jnp.where(live, hz, oz))
             dx = jnp.where(reborn, d_sp[0], jnp.where(live, ndx, dx))
             dy = jnp.where(reborn, d_sp[1], jnp.where(live, ndy, dy))
             dz = jnp.where(reborn, d_sp[2], jnp.where(live, ndz, dz))

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..camera.pinhole import CameraParams, primary_rays
+from ..camera.pinhole import CameraParams, primary_rays_cfg
 from ..config import RenderConfig
 from ..core import film
 from ..integrator.wavefront import lane_groups, path_trace, path_trace_regen
@@ -80,9 +80,7 @@ def _local_render(scene, cam, seed, s0, *, cfg: RenderConfig, n_pix_loc: int,
         from ..core import rng
 
         uniform = rng.make_uniform_fn(cfg.rng_backend)
-        ju = uniform(seed, path_id, jnp.uint32(0))
-        jv = uniform(seed, path_id, jnp.uint32(1))
-        o, d = primary_rays(cam, cfg.width, cfg.height, px, py, ju, jv)
+        o, d = primary_rays_cfg(cam, cfg, px, py, path_id, seed, uniform)
 
         L, n_traces = path_trace(scene, cfg, seed, o, d, path_id)
         img_loc = L.reshape(n_pix_loc, n_s_loc, 3).sum(axis=1)

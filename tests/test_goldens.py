@@ -34,3 +34,17 @@ def test_golden_render(name, est):
     # Same backend, same seed => must be exact. (Goldens were rendered on
     # the CPU backend the test suite pins.)
     np.testing.assert_array_equal(got, golden)
+
+
+def test_golden_render_tent_dof():
+    """Camera-extension golden: tent filter + thin-lens DoF focused at the
+    near sphere (exact reproduction locks the lens/filter RNG draw sites)."""
+    path = GOLDENS / "cornell_spheres_64x48x16_nee_tentdof_seed42.ppm"
+    golden = film.read_ppm(str(path))
+    cfg = spt.RenderConfig(width=64, height=48, spp=16, estimator="nee",
+                           seed=42, pixel_filter="tent", aperture=6.0,
+                           focus_dist=121.0)
+    img, _ = spt.render(
+        spt.get_scene("cornell_spheres"), spt.make_camera(aspect=64 / 48), cfg
+    )
+    np.testing.assert_array_equal(np.asarray(film.tonemap_u8(img)), golden)
