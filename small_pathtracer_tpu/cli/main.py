@@ -319,6 +319,17 @@ def cmd_fit(args) -> int:
     from ..parallel.mesh import make_mesh
 
     scene, cam, cfg = _build(args)
+    if (cfg.aperture > 0.0 or cfg.pixel_filter != "box") and (
+        args.camera_edge or args.edge_sphere >= 0 or args.soft_tau > 0
+    ):
+        # The boundary-gradient estimators (grad/edge.py, grad/camera_edge
+        # .py, grad/soft.py) derive silhouette velocities from PINHOLE ray
+        # geometry; a lens or reshaped filter would silently bias them.
+        raise SystemExit(
+            "--camera-edge/--edge-sphere/--soft-tau assume the reference's "
+            "pinhole box-filter camera; drop --aperture/--filter tent for "
+            "boundary-gradient fits"
+        )
     if args.camera_edge:
         # Camera-pose fitting on the HARD render: pathwise (interior) +
         # exact scene-edge boundary gradients (grad/camera_edge.py).

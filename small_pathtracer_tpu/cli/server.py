@@ -83,6 +83,12 @@ def _render(req: dict, stats: dict) -> tuple[bytes, str]:
     )
     if "estimator" in req:
         overrides["estimator"] = req["estimator"]
+    if "pixel_filter" in req:
+        overrides["pixel_filter"] = str(req["pixel_filter"])
+    if "aperture" in req:
+        overrides["aperture"] = float(req["aperture"])
+    if "focus_dist" in req:
+        overrides["focus_dist"] = float(req["focus_dist"])
     model = get_model(req.get("scene", "cornell_box"), **overrides)
     t0 = time.perf_counter()
     img, traces = render(model.scene, model.camera, model.config)

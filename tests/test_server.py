@@ -44,6 +44,20 @@ def test_render_png(server):
     assert stats["last_mrays_per_s"] > 0
 
 
+def test_render_camera_overrides(server):
+    """pixel_filter / aperture / focus_dist pass through the registry."""
+    url, _ = server
+    resp = _post(url, {"scene": "cornell_spheres", "width": 16, "height": 12,
+                       "spp": 1, "pixel_filter": "tent", "aperture": 4.0,
+                       "focus_dist": 121.0})
+    assert resp.headers["Content-Type"] == "image/png"
+    from PIL import Image
+    import io
+
+    img = np.asarray(Image.open(io.BytesIO(resp.read())))
+    assert img.shape == (12, 16, 3)
+
+
 def test_render_ppm(server):
     url, _ = server
     resp = _post(url, {"width": 16, "height": 12, "spp": 1, "format": "ppm"})
