@@ -20,7 +20,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..core import vecmath as vm
+from ..core import ld, vecmath as vm
 
 
 class CameraParams(NamedTuple):
@@ -158,12 +158,12 @@ def primary_rays_cfg(cam: CameraParams, cfg, px, py, path_id, seed, uniform):
     (counters 2/3 — below rng.DRAWS_PER_BOUNCE, so they never collide with
     bounce draws). The single spawn recipe shared by every jnp schedule
     (regen/scan/sharded/adjoint/guided)."""
-    ju = uniform(seed, path_id, jnp.uint32(0))
-    jv = uniform(seed, path_id, jnp.uint32(1))
+    ju = uniform(seed, path_id, jnp.uint32(0), purpose=ld.CAM_U)
+    jv = uniform(seed, path_id, jnp.uint32(1), purpose=ld.CAM_V)
     lu = lv = None
     if cfg.aperture > 0.0:
-        lu = uniform(seed, path_id, jnp.uint32(2))
-        lv = uniform(seed, path_id, jnp.uint32(3))
+        lu = uniform(seed, path_id, jnp.uint32(2), purpose=ld.LENS_U)
+        lv = uniform(seed, path_id, jnp.uint32(3), purpose=ld.LENS_V)
     return primary_rays(cam, cfg.width, cfg.height, px, py, ju, jv,
                         cfg.pixel_filter, cfg.aperture, cfg.focus_dist,
                         lu, lv)

@@ -48,6 +48,12 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--rng", default="mix",
                    choices=["mix", "mix_packed", "threefry"],
                    dest="rng_backend")
+    p.add_argument("--sampler", default="random",
+                   choices=["random", "sobol"],
+                   help="sample sequences for the jitter/lens/light/scatter "
+                        "dimensions: independent hash uniforms (the "
+                        "reference's behavior) or per-pixel Owen-scrambled "
+                        "(0,2)-sequences (lower MSE at equal spp; core/ld.py)")
     p.add_argument("--mesh", default="",
                    help="distributed mesh shape 'SPxDP' (e.g. 4x2); empty = single device")
     p.add_argument("--coordinator", default="",
@@ -128,6 +134,7 @@ def _build(args):
         light_sample_mode=args.light_sample_mode, seed=args.seed,
         light_select=args.light_select,
         wavefront=args.wavefront, rng_backend=args.rng_backend,
+        sampler=getattr(args, "sampler", "random"),
         use_pallas=getattr(args, "use_pallas", False),
         pixel_filter=getattr(args, "pixel_filter", "box"),
         aperture=getattr(args, "aperture", 0.0),

@@ -50,6 +50,17 @@ class RenderConfig:
     regen_groups: int = 0       # lanes per pixel for wavefront="regen"; 0 = auto
     seed: int = 0
     rng_backend: str = "mix"    # "mix" | "threefry"
+    # Sample-sequence generator for the variance-dominant dimensions
+    # (pixel jitter, lens disk, per-bounce light point + scatter angles):
+    # "random" = independent counter-hash uniforms (the reference's
+    # behavior, contract C6); "sobol" = per-pixel Owen-scrambled (0,2)-
+    # sequences (core/ld.py — lower MSE at equal spp, unbiased; identical
+    # across schedules/sharding just like "random"). RR/mixture/selection
+    # coins always stay on the hash RNG. Forward-render feature: the
+    # gradient paths (fit/adjoint) sample their own forward with the hash
+    # RNG regardless — unbiasedness does not depend on the primal
+    # render's sampler.
+    sampler: str = "random"
     use_pallas: bool = False    # fused Pallas bounce kernel (ops/)
     # Wavefront schedule: "regen" = lane-per-pixel regeneration (fast path;
     # amortizes the RR tail); "scan" = fixed slots, chunked over spp (the
@@ -71,6 +82,10 @@ class RenderConfig:
         if self.estimator not in ESTIMATORS:
             raise ValueError(
                 f"unknown estimator {self.estimator!r}; one of {ESTIMATORS}"
+            )
+        if self.sampler not in ("random", "sobol"):
+            raise ValueError(
+                f"unknown sampler {self.sampler!r}; random or sobol"
             )
         if self.pixel_filter not in ("box", "tent"):
             raise ValueError(

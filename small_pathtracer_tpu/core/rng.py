@@ -128,13 +128,24 @@ def uniform_threefry(seed, path_id, ctr) -> jnp.ndarray:
 
 
 def make_uniform_fn(backend: str = "mix"):
+    """uniform(seed, path_id, ctr, purpose=None) for the hash backend.
+
+    The optional ``purpose`` keyword is the trace-time draw-site hint the
+    Owen-Sobol sampler specializes on (core/ld.py); the hash backends are
+    purpose-blind and ignore it."""
     if backend == "mix":
-        return uniform_mix
-    if backend == "mix_packed":
-        return uniform_mix_packed
-    if backend == "threefry":
-        return uniform_threefry
-    raise ValueError(f"unknown rng backend: {backend!r}")
+        base = uniform_mix
+    elif backend == "mix_packed":
+        base = uniform_mix_packed
+    elif backend == "threefry":
+        base = uniform_threefry
+    else:
+        raise ValueError(f"unknown rng backend: {backend!r}")
+
+    def uniform(seed, path_id, ctr, purpose=None):
+        return base(seed, path_id, ctr)
+
+    return uniform
 
 
 # ---------------------------------------------------------------------------

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from ..camera.pinhole import CameraParams, primary_rays_cfg
 from ..config import RenderConfig
-from ..core import film, rng, vecmath as vm
+from ..core import film, ld, rng, vecmath as vm
 from ..geometry.intersect import Hit, shade_info, trace
 from ..scene.types import DIFF, REFR, SPEC, Scene, object_arrays
 from . import sampling
@@ -232,7 +232,7 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     bounce already estimated the light via a shadow ray (nee_textbook) —
     their light-emission pickup this bounce is suppressed to avoid double
     counting."""
-    uniform = rng.make_uniform_fn(cfg.rng_backend)
+    uniform = ld.make_uniform_cfg(cfg, rng.make_uniform_fn(cfg.rng_backend))
     textbook = cfg.estimator == "nee_textbook"
 
     hit = trace(scene, o, d)
@@ -261,7 +261,7 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     # Per-purpose uniforms for this bounce.
     ctr_base = depth.astype(jnp.uint32) * jnp.uint32(rng.DRAWS_PER_BOUNCE)
     u = {
-        p: uniform(seed, path_id, ctr_base + jnp.uint32(p))
+        p: uniform(seed, path_id, ctr_base + jnp.uint32(p), purpose=p)
         for p in (
             rng.P_RR,
             rng.P_LIGHT_U,
@@ -473,7 +473,7 @@ def _spawn(cam: CameraParams, cfg: RenderConfig, seed, px, py, pid_base,
     Camera-jitter counters 0/1 (and lens counters 2/3 when cfg.aperture > 0)
     never collide with bounce draws (those start at DRAWS_PER_BOUNCE
     because depth >= 1)."""
-    uniform = rng.make_uniform_fn(cfg.rng_backend)
+    uniform = ld.make_uniform_cfg(cfg, rng.make_uniform_fn(cfg.rng_backend))
     path_id = pid_base + s_idx
     o, d = primary_rays_cfg(cam, cfg, px, py, path_id, seed, uniform)
     return o, d, path_id
@@ -607,7 +607,7 @@ def _chunk_paths(cam: CameraParams, cfg: RenderConfig, seed, s0, n_s):
     Layout is pixel-major / sample-minor so per-pixel reduction is a reshape
     (no scatter). path_id = (y*width + x) * spp + s."""
     w, h, spp = cfg.width, cfg.height, cfg.spp
-    uniform = rng.make_uniform_fn(cfg.rng_backend)
+    uniform = ld.make_uniform_cfg(cfg, rng.make_uniform_fn(cfg.rng_backend))
     pix = jnp.arange(w * h, dtype=jnp.uint32)
     s = s0 + jnp.arange(n_s, dtype=jnp.uint32)
     path_id = (pix[:, None] * jnp.uint32(spp) + s[None, :]).reshape(-1)

@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..camera.pinhole import CameraParams
 from ..config import RenderConfig
-from ..core import rng
+from ..core import ld, rng
 from ..core import vecmath as vm
 from ..scene.types import DIFF, Scene
 from ..geometry.intersect import MISS_T, SELF_HIT_EPS, SPHERE_EPS
@@ -474,7 +474,7 @@ def make_spawn(cam: CameraParams, cfg: RenderConfig):
     lower_left = tuple(np.float32(v) for v in np.asarray(cam.lower_left))
     horizontal = tuple(np.float32(v) for v in np.asarray(cam.horizontal))
     vertical = tuple(np.float32(v) for v in np.asarray(cam.vertical))
-    uni = _uniform_for(cfg.rng_backend)
+    uni = ld.make_uniform_cfg(cfg, _uniform_for(cfg.rng_backend))
     tent = cfg.pixel_filter == "tent"
     aperture = np.float32(cfg.aperture)
     focus = np.float32(cfg.focus_dist)
@@ -495,8 +495,8 @@ def make_spawn(cam: CameraParams, cfg: RenderConfig):
         )
 
     def spawn(seed, px, py, path_id):
-        ju = uni(seed, path_id, np.uint32(0))
-        jv = uni(seed, path_id, np.uint32(1))
+        ju = uni(seed, path_id, np.uint32(0), purpose=ld.CAM_U)
+        jv = uni(seed, path_id, np.uint32(1), purpose=ld.CAM_V)
         if tent:
             ju = np.float32(0.5) + _tent(ju)
             jv = np.float32(0.5) + _tent(jv)
@@ -507,8 +507,8 @@ def make_spawn(cam: CameraParams, cfg: RenderConfig):
             for c in range(3)
         ]
         if cfg.aperture > 0.0:
-            lu = uni(seed, path_id, np.uint32(2))
-            lv = uni(seed, path_id, np.uint32(3))
+            lu = uni(seed, path_id, np.uint32(2), purpose=ld.LENS_U)
+            lv = uni(seed, path_id, np.uint32(3), purpose=ld.LENS_V)
             r = aperture * jnp.sqrt(lu)
             sin_p, cos_p = vm.sincos_2pi(lv)
             rc, rs = r * cos_p, r * sin_p
@@ -692,6 +692,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         np.float32(v) for v in all_objs[light_id]["emission"]
     ) if all_objs else (np.float32(0),) * 3
     glibc = cfg.light_sample_mode == "glibc_overflow"
+    uni = ld.make_uniform_cfg(cfg, uni)
 
     # Multi-emitter light list (scene.lights): per-light compile-time
     # constants + a per-lane inverse-CDF selection draw in the kernel body
@@ -872,8 +873,10 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             alive_next = alive & survive
 
             # Cosine-weighted scatter frame (C11): w = nl, u/v per onb_from_w.
-            u1 = uni(seed, pid, ctr + _u32c(rng.P_SCATTER_U))
-            u2 = uni(seed, pid, ctr + _u32c(rng.P_SCATTER_V))
+            u1 = uni(seed, pid, ctr + _u32c(rng.P_SCATTER_U),
+                     purpose=rng.P_SCATTER_U)
+            u2 = uni(seed, pid, ctr + _u32c(rng.P_SCATTER_V),
+                     purpose=rng.P_SCATTER_V)
             pick = jnp.abs(nx) > np.float32(0.1)
             # a = pick ? (0,1,0) : (1,0,0); u = normalize(cross(a, w)):
             # cross((0,1,0), w) = (wz, 0, -wx); cross((1,0,0), w) = (0, -wz, wy).
@@ -974,8 +977,10 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 # Light-plane sample + visibility probe. nee/mixture: C13
                 # continuation semantics; nee_textbook: unbiased shadow-ray
                 # direct term (see integrator/wavefront._bounce_core).
-                lu = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_U))
-                lv = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_V))
+                lu = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_U),
+                         purpose=rng.P_LIGHT_U)
+                lv = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_V),
+                         purpose=rng.P_LIGHT_V)
                 if multi:
                     # Per-lane light selection (inverse CDF over q_k,
                     # sampling.sample_light_index) then a chained K-way

@@ -77,9 +77,11 @@ def _local_render(scene, cam, seed, s0, *, cfg: RenderConfig, n_pix_loc: int,
             (n_pix_loc, n_s_loc),
         ).reshape(-1)
 
-        from ..core import rng
+        from ..core import ld, rng
 
-        uniform = rng.make_uniform_fn(cfg.rng_backend)
+        uniform = ld.make_uniform_cfg(
+            cfg, rng.make_uniform_fn(cfg.rng_backend)
+        )
         o, d = primary_rays_cfg(cam, cfg, px, py, path_id, seed, uniform)
 
         L, n_traces = path_trace(scene, cfg, seed, o, d, path_id)
