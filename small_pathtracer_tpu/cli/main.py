@@ -206,7 +206,39 @@ def cmd_render(args) -> int:
 
     scene, cam, cfg = _build(args)
     t0 = time.perf_counter()
-    if getattr(args, "guided", False):
+    if getattr(args, "adaptive_tol", 0.0) > 0.0:
+        if args.mesh or args.checkpoint or args.preview or getattr(
+                args, "guided", False):
+            raise SystemExit(
+                "--adaptive-tol composes with --pallas only (not --mesh/"
+                "--checkpoint/--preview/--guided)"
+            )
+        from ..utils.adaptive import adaptive_render
+
+        res = adaptive_render(
+            scene, cam, cfg, tol=args.adaptive_tol,
+            wave=args.adaptive_wave, log=sys.stderr,
+        )
+        img, traces = res.image, res.traces[0] + res.traces[1]
+        print(
+            f"[adaptive] {res.waves} waves, {res.total_samples} samples "
+            f"({100.0 * res.total_samples / res.uniform_samples:.0f}% of "
+            f"uniform {cfg.spp} spp), spp range "
+            f"{int(res.spp_map.min())}-{int(res.spp_map.max())}",
+            file=sys.stderr,
+        )
+        if args.adaptive_map:
+            from ..core import film
+            import numpy as np
+
+            m = res.spp_map.astype(np.float32) / float(res.spp_map.max())
+            film.write_ppm(
+                args.adaptive_map,
+                np.asarray(film.tonemap_u8(
+                    np.repeat(m[..., None], 3, axis=-1)
+                )),
+            )
+    elif getattr(args, "guided", False):
         if args.preview:
             raise SystemExit("--preview does not compose with --guided")
         img, traces = _render_guided_cli(args, scene, cam, cfg)
@@ -768,6 +800,17 @@ def main(argv=None) -> int:
     p_render = sub.add_parser("render", help="render an image")
     _add_render_args(p_render)
     p_render.add_argument("-o", "--output", default="image.ppm")
+    p_render.add_argument(
+        "--adaptive-tol", type=float, default=0.0,
+        help="adaptive sampling: stop a pixel when the standard error of "
+             "its mean falls below TOL * (luma + 0.02); --spp becomes the "
+             "per-pixel cap (utils/adaptive.py). 0 = uniform sampling")
+    p_render.add_argument(
+        "--adaptive-wave", type=int, default=0,
+        help="samples per adaptive wave (0 = auto: spp/8, at least 8)")
+    p_render.add_argument(
+        "--adaptive-map", default="",
+        help="also write the per-pixel spp heatmap to this PPM path")
     p_render.set_defaults(fn=cmd_render)
 
     p_bench = sub.add_parser("bench", help="measure Mrays/s")

@@ -1446,6 +1446,96 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     return run
 
 
+def render_pallas_budgets(scene: Scene, cam: CameraParams,
+                          cfg: RenderConfig, seed, s_start, s_stop,
+                          interpret: bool = False):
+    """Megakernel render with PER-PIXEL sample budgets: pixel i renders
+    sample indices [s_start[i], s_stop[i]) — the adaptive-sampling wave
+    unit (utils/adaptive.py). One lane per pixel; pixels with
+    s_start == s_stop are born dead and cost only their tile slot.
+
+    s_start/s_stop are TRACED (n_pix,) uint32 inputs (the compiled
+    executable is reused across waves); cfg.spp remains the path-id
+    packing stride, so per-sample radiance is bit-identical to every
+    other schedule at equal (pixel, sample).
+
+    Returns ((n_pix, 3) radiance SUM over each pixel's span, traces (2,))."""
+    if not interpret and jax.devices()[0].platform != "tpu":
+        interpret = True
+
+    key = (_geom_hash(scene, cam), cfg, "budgets", interpret,
+           _fold_enabled())
+    fn = _CACHE.get(key)
+    if fn is None:
+        fn = _build_render_budgets(scene, cam, cfg, interpret)
+        _CACHE[key] = fn
+    return fn(
+        jnp.asarray(seed, jnp.uint32),
+        jnp.asarray(s_start, jnp.uint32),
+        jnp.asarray(s_stop, jnp.uint32),
+    )
+
+
+def _build_render_budgets(scene: Scene, cam: CameraParams,
+                          cfg: RenderConfig, interpret: bool):
+    n_pix = cfg.width * cfg.height
+    pad = (-n_pix) % TILE
+    n_total = n_pix + pad
+    n_tiles = n_total // TILE
+
+    kernel = build_kernel(scene, cam, cfg)
+    block = pl.BlockSpec(
+        (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    @jax.jit
+    def run(seed, s_start, s_stop):
+        pix = jnp.arange(n_pix, dtype=jnp.uint32)
+        px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
+        py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
+        pid_base = pix * jnp.uint32(cfg.spp)
+
+        def padto(x, fill):
+            return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+                n_tiles * TILE_ROWS, 128
+            )
+
+        lr, lg, lb, traces = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                block, block, block, block, block,
+            ],
+            out_specs=[
+                block, block, block,
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            seed.reshape(1),
+            padto(px, 0.0), padto(py, 0.0), padto(pid_base, 0),
+            # Padding lanes: s_start == s_stop == 0 => born dead.
+            padto(s_start.astype(jnp.uint32), 0),
+            padto(s_stop.astype(jnp.uint32), 0),
+        )
+        L = jnp.stack(
+            [lr.reshape(-1)[:n_pix], lg.reshape(-1)[:n_pix],
+             lb.reshape(-1)[:n_pix]],
+            axis=-1,
+        )
+        return L, traces[0]
+
+    return run
+
+
 def pack_guide_planes(guide):
     """(mu (V,3), use (V,)) from path_guiding.guide_lobes -> ONE
     (rows, 128) int32 VMEM plane, entry i at (i >> 7, i & 127), rows
