@@ -86,6 +86,24 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="spp of the guide-training pre-pass (at 1/8 res)")
     p.add_argument("--guide-bounces", type=int, default=8,
                    help="bounce depth for guide training and guided render")
+    p.add_argument("--aov", default="",
+                   help="also render first-hit feature buffers "
+                        "(utils/aov.py) and write PREFIX.{albedo,normal,"
+                        "depth,coverage}.ppm plus PREFIX.npz with the raw "
+                        "float32 arrays")
+    p.add_argument("--aov-spp", type=int, default=0,
+                   help="primary samples for the AOV pass (0 = auto: "
+                        "min(spp, 64) — feature buffers converge far "
+                        "faster than radiance)")
+    p.add_argument("--denoise", type=int, nargs="?", const=5, default=0,
+                   metavar="N",
+                   help="edge-aware a-trous denoise (utils/denoise.py) "
+                        "with N passes (bare flag = 5; support is "
+                        "4*2^N+1 px) guided by an AOV pre-pass; filters "
+                        "the LINEAR image before tonemapping. Composes "
+                        "with every render path (pure post-process)")
+    p.add_argument("--denoise-sigma-l", type=float, default=0.5,
+                   help="denoiser luminance edge stop (bigger = smoother)")
 
 
 def _fit_result(loss, ran_steps: bool, steps: int) -> dict:
@@ -199,6 +217,37 @@ def _render_guided_cli(args, scene, cam, cfg):
     return img, float(cfg.width * cfg.height * cfg.spp * args.guide_bounces)
 
 
+def _write_aovs(prefix: str, aovs) -> None:
+    """Dump feature buffers: eyeball PPMs + one npz of the raw floats.
+
+    albedo is tonemapped like a render; normal is mapped [-1,1] -> [0,1]
+    linearly (no gamma); depth is normalized to its max; coverage is a
+    direct [0,1] grayscale.
+    """
+    import numpy as np
+
+    from ..core import film
+
+    def u8(x):
+        return np.asarray(
+            np.clip(np.asarray(x, np.float32), 0.0, 1.0) * 255.0 + 0.5
+        ).astype(np.uint8)
+
+    def gray3(x):
+        return np.repeat(np.asarray(x)[..., None], 3, axis=-1)
+
+    alb, nrm = aovs["albedo"], aovs["normal"]
+    dep, cov = aovs["depth"], aovs["coverage"]
+    film.write_ppm(prefix + ".albedo.ppm", np.asarray(film.tonemap_u8(alb)))
+    film.write_ppm(prefix + ".normal.ppm", u8((np.asarray(nrm) + 1.0) * 0.5))
+    dmax = float(np.asarray(dep).max())
+    film.write_ppm(prefix + ".depth.ppm",
+                   gray3(u8(np.asarray(dep) / (dmax if dmax > 0 else 1.0))))
+    film.write_ppm(prefix + ".coverage.ppm", gray3(u8(cov)))
+    np.savez(prefix + ".npz",
+             **{k: np.asarray(v, np.float32) for k, v in aovs.items()})
+
+
 def cmd_render(args) -> int:
     import numpy as np
 
@@ -275,6 +324,27 @@ def cmd_render(args) -> int:
         from ..integrator.wavefront import render
 
         img, traces = render(scene, cam, cfg)
+    aov_prefix = getattr(args, "aov", "")
+    n_denoise = getattr(args, "denoise", 0)
+    if aov_prefix or n_denoise:
+        # First-hit feature pass (cheap: one bounce-free trace per sample,
+        # unsharded — at AOV spp it is a rounding error next to the render).
+        from ..utils.aov import render_aovs
+
+        aovs = render_aovs(
+            scene, cam, cfg, spp=args.aov_spp if args.aov_spp > 0 else None
+        )
+        if n_denoise:
+            from ..utils.denoise import denoise
+
+            import jax.numpy as jnp
+
+            img = film.finalize(denoise(
+                jnp.asarray(img, jnp.float32), aovs,
+                iterations=n_denoise, sigma_l=args.denoise_sigma_l,
+            ))
+        if aov_prefix:
+            _write_aovs(aov_prefix, aovs)
     dt = time.perf_counter() - t0
     u8 = np.asarray(film.tonemap_u8(img))
     out = args.output

@@ -53,6 +53,28 @@ def test_render_progressive_preview(tmp_path):
     np.testing.assert_allclose(final.astype(np.int32), d, atol=1)
 
 
+def test_render_denoise_and_aov(tmp_path):
+    """render --denoise --aov: the post-filter + feature dumps compose with
+    a plain render; AOV files land next to the prefix and the npz holds the
+    raw float buffers."""
+    out = tmp_path / "img.ppm"
+    prefix = tmp_path / "feat"
+    rc = main([
+        "render", "--width", "32", "--height", "24", "--spp", "4",
+        "--denoise", "--aov", str(prefix), "-o", str(out),
+    ])
+    assert rc == 0
+    img = film.read_ppm(str(out))
+    assert img.shape == (24, 32, 3)
+    for kind in ("albedo", "normal", "depth", "coverage"):
+        assert film.read_ppm(str(prefix) + f".{kind}.ppm").shape == (24, 32, 3)
+    raw = np.load(str(prefix) + ".npz")
+    assert raw["albedo"].shape == (24, 32, 3)
+    assert raw["depth"].shape == (24, 32)
+    # Inside the closed box every primary ray hits: coverage == 1.
+    assert float(raw["coverage"].min()) == 1.0
+
+
 @pytest.mark.parametrize("extra", [[], ["--pallas"]])
 def test_render_guided(tmp_path, extra):
     """render --guided: train-then-render through the jnp estimator and
