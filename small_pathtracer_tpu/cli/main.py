@@ -48,6 +48,13 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--rng", default="mix",
                    choices=["mix", "mix_packed", "threefry"],
                    dest="rng_backend")
+    p.add_argument("--sphere-table", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="megakernel scalable-scene mode: loop the spheres "
+                        "through runtime SMEM tables instead of unrolling "
+                        "them (O(1) compiled code size at any sphere "
+                        "count; geometry edits never recompile). auto = "
+                        "table at >= 48 spheres")
     p.add_argument("--sampler", default="random",
                    choices=["random", "sobol"],
                    help="sample sequences for the jitter/lens/light/scatter "
@@ -157,6 +164,7 @@ def _build(args):
         pixel_filter=getattr(args, "pixel_filter", "box"),
         aperture=getattr(args, "aperture", 0.0),
         focus_dist=getattr(args, "focus_dist", 163.0),
+        sphere_table=getattr(args, "sphere_table", "auto"),
     )
     scene = get_scene(args.scene)
     cam = make_camera(aspect=args.width / args.height)

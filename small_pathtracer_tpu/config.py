@@ -77,11 +77,25 @@ class RenderConfig:
     # axis (the reference's lookfrom->lookat distance is 163).
     aperture: float = 0.0
     focus_dist: float = 163.0
+    # Megakernel sphere-table mode (ops/megakernel.build_kernel
+    # sphere_tab): "auto" = loop the spheres through runtime SMEM tables
+    # when the scene has >= SPHERE_TABLE_AUTO_MIN of them (compiled code
+    # size stays O(unrolled objects); sphere geometry/material changes
+    # never recompile), "on"/"off" force it. Same estimator either way,
+    # statistically identical renders (grazing-hit t can differ by ulps —
+    # FMA contraction, see build_kernel); unrolling runs faster for small
+    # scenes, the table wins compile time + scalability for large ones
+    # (PERF.md).
+    sphere_table: str = "auto"
 
     def __post_init__(self):
         if self.estimator not in ESTIMATORS:
             raise ValueError(
                 f"unknown estimator {self.estimator!r}; one of {ESTIMATORS}"
+            )
+        if self.sphere_table not in ("auto", "on", "off"):
+            raise ValueError(
+                f"sphere_table must be auto/on/off, got {self.sphere_table!r}"
             )
         if self.sampler not in ("random", "sobol"):
             raise ValueError(
@@ -103,3 +117,9 @@ class RenderConfig:
         # Keep the wavefront around <= 2^22 paths per pass.
         budget = max(1, (1 << 22) // max(1, self.width * self.height))
         return max(1, min(self.spp, budget))
+
+
+# sphere_table="auto" switches the megakernel to the looped SMEM sphere
+# table at this many spheres (below it, full unrolling compiles fast and
+# runs faster; measured crossover discussion in PERF.md).
+SPHERE_TABLE_AUTO_MIN = 48

@@ -350,8 +350,28 @@ def _iter_hits(rects, quads, spheres, ox, oy, oz, dx, dy, dz,
         obj_id += 1
 
 
+def _table_sphere_hit(geom_ref, i, ox, oy, oz, dx, dy, dz):
+    """One table sphere's (t_i, valid) — the SAME expression tree as the
+    unrolled sphere branch of _iter_hits (smallpt.cpp:229-239 semantics),
+    with the per-object constants read from the (S, 4) SMEM geometry table
+    [cx, cy, cz, radius] at a traced row index. Returns the center too
+    (the winner's normal is reconstructed after the scan)."""
+    cx, cy, cz = geom_ref[i, 0], geom_ref[i, 1], geom_ref[i, 2]
+    rad = geom_ref[i, 3]
+    opx, opy, opz = cx - ox, cy - oy, cz - oz
+    bq = opx * dx + opy * dy + opz * dz
+    det = bq * bq - (opx * opx + opy * opy + opz * opz) + rad * rad
+    det_pos = det > 0.0
+    sdet = jnp.sqrt(jnp.where(det_pos, det, 1.0))
+    t_near = bq - sdet
+    t_far = bq + sdet
+    t_i = jnp.where(t_near > np.float32(SPHERE_EPS), t_near, t_far)
+    valid = det_pos & (t_i > np.float32(SPHERE_EPS))
+    return t_i, valid, (cx, cy, cz)
+
+
 def _probe_unrolled(rects, quads, spheres, light_id: int,
-                    ox, oy, oz, dx, dy, dz):
+                    ox, oy, oz, dx, dy, dz, sphere_tab=None):
     """Any-occluder shadow probe: (t_light, success).
 
     Bit-exact to ``h = _trace_unrolled(...); h["hit"] & h["is_light"]``
@@ -375,11 +395,29 @@ def _probe_unrolled(rects, quads, spheres, light_id: int,
         blk = valid & closer
         occ = blk if occ is None else (occ | blk)
     success = valid_l if occ is None else (valid_l & ~occ)
+    if sphere_tab is not None:
+        # Looped table spheres sit AFTER every unrolled id, so they block
+        # with the strict compare (t_i < t_l), exactly like an unrolled
+        # sphere at the same position in the scan order.
+        geom_ref, _, _, _, S, _ = sphere_tab
+
+        def body(i, occ_i):
+            t_i, valid, _ = _table_sphere_hit(
+                geom_ref, i, ox, oy, oz, dx, dy, dz
+            )
+            blk = valid & (t_i < t_l)
+            return occ_i | jnp.where(blk, np.int32(1), np.int32(0))
+
+        occ_t = jax.lax.fori_loop(
+            0, S, body, jnp.zeros_like(ox, dtype=jnp.int32)
+        )
+        success = success & (occ_t == 0)
     return t_l, success
 
 
 def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
-                    want_shading: bool, want_obj: bool = False):
+                    want_shading: bool, want_obj: bool = False,
+                    sphere_tab=None):
     """Unrolled nearest-hit over all primitives.
 
     Returns dict with t, hit, is_light and (if want_shading) the winning
@@ -449,6 +487,102 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
         rects, quads, spheres, ox, oy, oz, dx, dy, dz, want_shading
     ):
         consider(obj_id, t_i, valid, n_raw, ng_raw, obj)
+
+    if sphere_tab is not None:
+        # Looped sphere table (scalable-scene mode, build_kernel
+        # sphere_tab=True): geometry/materials are RUNTIME SMEM tables and
+        # the scan is a fori_loop — O(1) compiled code size at any sphere
+        # count, no recompile when sphere positions/radii/materials change.
+        # Expression trees and scan order (table spheres after every
+        # unrolled id, strict <) match unrolling the same spheres last;
+        # equality is statistical, not bitwise (FMA contraction differs
+        # for constants vs loop scalars — see build_kernel docstring).
+        # Table spheres are never the light.
+        geom_ref, refl_ref, alb_ref, emi_ref, S, base_id = sphere_tab
+        i32z = jnp.zeros_like(ox, dtype=jnp.int32)
+
+        def as_i32(b):
+            return jnp.where(b, np.int32(1), np.int32(0))
+
+        if want_shading:
+            carry = (
+                t_best, i32z,
+                alb[0], alb[1], alb[2], emi[0], emi[1], emi[2],
+                jnp.zeros_like(ox), jnp.zeros_like(ox), jnp.zeros_like(ox),
+                as_i32(is_spec), as_i32(is_refr),
+                obj_best if want_obj else i32z,
+            )
+
+            def body(i, c):
+                (t_b, won, a0, a1, a2, e0, e1, e2, cbx, cby, cbz,
+                 msp, mrf, ob) = c
+                t_i, valid, (cx, cy, cz) = _table_sphere_hit(
+                    geom_ref, i, ox, oy, oz, dx, dy, dz
+                )
+                win = valid & (t_i < t_b)
+                mi = base_id + i
+                r_i = refl_ref[i, 0]
+                return (
+                    jnp.where(win, t_i, t_b),
+                    jnp.where(win, np.int32(1), won),
+                    jnp.where(win, alb_ref[mi, 0], a0),
+                    jnp.where(win, alb_ref[mi, 1], a1),
+                    jnp.where(win, alb_ref[mi, 2], a2),
+                    jnp.where(win, emi_ref[mi, 0], e0),
+                    jnp.where(win, emi_ref[mi, 1], e1),
+                    jnp.where(win, emi_ref[mi, 2], e2),
+                    jnp.where(win, cx, cbx),
+                    jnp.where(win, cy, cby),
+                    jnp.where(win, cz, cbz),
+                    jnp.where(win, jnp.where(r_i == np.int32(1),
+                                             np.int32(1), np.int32(0)), msp),
+                    jnp.where(win, jnp.where(r_i == np.int32(2),
+                                             np.int32(1), np.int32(0)), mrf),
+                    jnp.where(win, mi.astype(jnp.int32), ob),
+                )
+
+            (t_best, won_i, a0, a1, a2, e0, e1, e2, cbx, cby, cbz,
+             msp, mrf, ob) = jax.lax.fori_loop(0, S, body, carry)
+            won = won_i > 0
+            alb = [a0, a1, a2]
+            emi = [e0, e1, e2]
+            is_spec = msp > 0
+            is_refr = mrf > 0
+            is_light = is_light & ~won
+            if want_obj:
+                obj_best = ob
+            # Winner's normal, reconstructed from (t_best, center) with the
+            # SAME expressions the unrolled sphere branch uses per object —
+            # bit-identical for the winning sphere; merged on `won`.
+            hx = ox + t_best * dx
+            hy = oy + t_best * dy
+            hz = oz + t_best * dz
+            gx, gy, gz = hx - cbx, hy - cby, hz - cbz
+            inv_len = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz)
+            dot = gx * dx + gy * dy + gz * dz
+            sgn = jnp.where(dot < 0.0, inv_len, -inv_len)
+            for c, g_c in enumerate((gx, gy, gz)):
+                nrm[c] = jnp.where(won, g_c * sgn, nrm[c])
+                ngm[c] = jnp.where(won, g_c * inv_len, ngm[c])
+        else:
+            carry = (t_best, i32z, obj_best if want_obj else i32z)
+
+            def body(i, c):
+                t_b, won, ob = c
+                t_i, valid, _ = _table_sphere_hit(
+                    geom_ref, i, ox, oy, oz, dx, dy, dz
+                )
+                win = valid & (t_i < t_b)
+                return (
+                    jnp.where(win, t_i, t_b),
+                    jnp.where(win, np.int32(1), won),
+                    jnp.where(win, (base_id + i).astype(jnp.int32), ob),
+                )
+
+            t_best, won_i, ob = jax.lax.fori_loop(0, S, body, carry)
+            is_light = is_light & ~(won_i > 0)
+            if want_obj:
+                obj_best = ob
 
     out = dict(t=t_best, hit=t_best < np.float32(MISS_T), is_light=is_light)
     if want_obj:
@@ -643,7 +777,8 @@ def _oct_decode(packed):
 
 def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                  mat_refs: bool = False,
-                 guide_cfg: tuple[float, float] | None = None):
+                 guide_cfg: tuple[float, float] | None = None,
+                 sphere_tab: bool = False):
     """Returns the Pallas kernel body closed over scene/cam/cfg constants.
 
     mat_refs=True: the kernel takes two extra leading refs (alb_ref,
@@ -651,6 +786,22 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     seed and reads materials from them instead of baking them as
     immediates; the RNG/trace/shade structure is otherwise identical, so
     renders are bit-identical to the baked kernel at equal materials.
+
+    sphere_tab=True (scalable-scene mode, implies mat_refs): the scene's
+    spheres are NOT unrolled — the kernel takes two further refs after the
+    material tables, a (S, 4) f32 SMEM geometry table [cx, cy, cz, radius]
+    and a (S, 1) i32 refl table, and scans them with a fori_loop inside
+    every nearest-hit/probe. Compiled code size is O(unrolled objects)
+    instead of O(total objects), and sphere geometry/material changes
+    re-run WITHOUT recompiling. Scan order (all table spheres after every
+    unrolled object) and expression trees match unrolling the same spheres
+    last; the estimator is IDENTICAL, but renders are only statistically
+    equal to the unrolled kernel: the compiler contracts the sphere
+    discriminant differently for baked constants vs loop-carried scalars
+    (FMA), and near-cancelling grazing hits amplify that to ~30 ulps of t
+    — the same divergence class as the documented jnp-vs-kernel FMA gap
+    (tests/test_megakernel.py sphere-scene tolerances). Rects, quads, and
+    the light stay compile-time (the light must not be a table sphere).
 
     guide_cfg=(beta, k): voxel path guiding fused into the bounce loop
     (experiment/path_guiding.py defines the estimator; this is its
@@ -667,6 +818,31 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     "nee_textbook"); C13-continuation estimators replace the bounce with
     the light sample, leaving nothing to guide."""
     rects, quads, spheres, light, lightlist = _scene_consts(scene)
+    # sphere_tab: spec/refr code inclusion still keys on the ACTUAL scene
+    # (refl is part of the build cache key — it is not a training target),
+    # but the per-sphere constants never reach the trace: the table loop
+    # reads them from SMEM at run time.
+    has_spec_all = any(o["refl"] == 1 for o in rects + quads + spheres)
+    has_refr_all = any(o["refl"] == 2 for o in rects + quads + spheres)
+    S_tab = len(spheres)
+    base_tab = len(rects) + len(quads)
+    if sphere_tab:
+        if not mat_refs:
+            raise ValueError(
+                "sphere_tab=True requires mat_refs=True (table-sphere "
+                "materials are rows of the runtime material tables)"
+            )
+        if not (rects or quads):
+            raise ValueError(
+                "sphere_tab=True needs at least one unrolled object "
+                "(the C15 miss default shades object 0)"
+            )
+        if int(np.asarray(scene.light.light_obj_id)) >= base_tab:
+            raise ValueError(
+                "sphere_tab=True requires the light to be an unrolled "
+                "rect/quad, not a table sphere"
+            )
+        spheres = []
     guided = guide_cfg is not None
     if guided:
         if cfg.estimator not in ("cosine", "nee_textbook"):
@@ -680,8 +856,8 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         g_k = np.float32(guide_cfg[1])
         g_inv_k1 = np.float32(1.0 / (float(guide_cfg[1]) + 1.0))
         g_norm = np.float32((float(guide_cfg[1]) + 1.0) / (2.0 * math.pi))
-    has_spec = any(o["refl"] == 1 for o in rects + quads + spheres)
-    has_refr = any(o["refl"] == 2 for o in rects + quads + spheres)
+    has_spec = has_spec_all
+    has_refr = has_refr_all
     light_id = light["light_obj_id"]
     uni = _uniform_for(cfg.rng_backend)
     est = cfg.estimator
@@ -784,6 +960,12 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         else:
             rects_k, quads_k, spheres_k = rects, quads, spheres
             e_light_k = e_light
+        if sphere_tab:
+            geom_ref, refl_ref = refs[0], refs[1]
+            refs = refs[2:]
+            tab = (geom_ref, refl_ref, alb_ref, emi_ref, S_tab, base_tab)
+        else:
+            tab = None
         if multi:
             _q_l, _cdf_l, _e_lights = _light_select_cdf(
                 ml, all_objs, cfg.light_select,
@@ -832,7 +1014,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 rects_k, quads_k, spheres_k,
                 light_ids_all if multi else light_id,
                 ox, oy, oz, dx, dy, dz,
-                want_shading=True,
+                want_shading=True, sphere_tab=tab,
             )
             alive_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
             # Emission pickup (C10/C13/C14). nee_textbook lanes whose
@@ -1068,7 +1250,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     probe = _trace_unrolled(
                         rects_k, quads_k, spheres_k, light_ids_all,
                         pox, poy, poz, ldx, ldy, ldz,
-                        want_shading=False, want_obj=True,
+                        want_shading=False, want_obj=True, sphere_tab=tab,
                     )
                     success = probe["hit"] & (probe["obj"] == sel_id)
                     t_probe = probe["t"]
@@ -1077,7 +1259,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     # to the chain, fewer in-register selects).
                     t_probe, success = _probe_unrolled(
                         rects_k, quads_k, spheres_k, light_id,
-                        pox, poy, poz, ldx, ldy, ldz,
+                        pox, poy, poz, ldx, ldy, ldz, sphere_tab=tab,
                     )
                 t_safe = jnp.where(success, t_probe, 1.0)
                 cos_l = jnp.abs(
@@ -1334,6 +1516,65 @@ def _geom_hash(scene: Scene, cam: CameraParams) -> str:
     return h.hexdigest()
 
 
+def _use_sphere_table(scene: Scene, cfg: RenderConfig) -> bool:
+    """Resolve cfg.sphere_table ("auto"/"on"/"off") for this scene."""
+    S = int(np.asarray(scene.spheres.radius).shape[0])
+    mode = getattr(cfg, "sphere_table", "auto")
+    if mode == "on":
+        return S > 0
+    if mode == "off":
+        return False
+    if mode != "auto":
+        raise ValueError(f"sphere_table must be auto/on/off, got {mode!r}")
+    from ..config import SPHERE_TABLE_AUTO_MIN
+
+    return S >= SPHERE_TABLE_AUTO_MIN
+
+
+def _geom_hash_structure(scene: Scene, cam: CameraParams) -> str:
+    """Build-cache key for the sphere-table kernel: everything the compiled
+    code DEPENDS on (rect/quad geometry, light geometry, refl codes, object
+    counts, camera) — excluding what rides in at run time (all materials;
+    sphere centers/radii), so geometry/material edits reuse the
+    executable."""
+    import hashlib
+
+    h = hashlib.sha256()
+    r, q, s = scene.rects, scene.quads, scene.spheres
+    static_leaves = (
+        r.axis, r.k, r.lo, r.hi, r.refl,
+        q.corner, q.edge_u, q.edge_v, q.refl,
+        s.refl,
+        scene.light,
+        scene.lights if scene.lights is not None else (),
+        cam,
+    )
+    for leaf in jax.tree.leaves(static_leaves):
+        h.update(np.asarray(leaf).tobytes())
+    h.update(str(int(np.asarray(s.radius).shape[0])).encode())
+    return h.hexdigest()
+
+
+def _sphere_tables(scene: Scene):
+    """Runtime SMEM inputs for the table kernel: (alb (K,3) f32,
+    emi (K,3) f32, geom (S,4) f32 [cx,cy,cz,r], refl (S,1) i32)."""
+    from ..scene.types import object_arrays
+
+    alb, emi, _ = object_arrays(scene)
+    geom = jnp.concatenate(
+        [
+            jnp.asarray(scene.spheres.center, jnp.float32),
+            jnp.asarray(scene.spheres.radius, jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+    refl = jnp.asarray(scene.spheres.refl, jnp.int32)[:, None]
+    return (
+        jnp.asarray(alb, jnp.float32), jnp.asarray(emi, jnp.float32),
+        geom, refl,
+    )
+
+
 def render_pallas(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
                   interpret: bool = False):
     """Full render via the Pallas megakernel.
@@ -1363,16 +1604,20 @@ def render_pallas_span(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     if not interpret and jax.devices()[0].platform != "tpu":
         interpret = True
 
-    key = (_geom_hash(scene, cam), cfg, int(n_s), interpret, _fold_enabled())
+    use_tab = _use_sphere_table(scene, cfg)
+    ghash = (_geom_hash_structure(scene, cam) if use_tab
+             else _geom_hash(scene, cam))
+    key = (ghash, use_tab, cfg, int(n_s), interpret, _fold_enabled())
     fn = _CACHE.get(key)
     if fn is None:
-        fn = _build_render(scene, cam, cfg, int(n_s), interpret)
+        fn = _build_render(scene, cam, cfg, int(n_s), interpret, use_tab)
         _CACHE[key] = fn
-    return fn(jnp.asarray(seed, jnp.uint32), jnp.asarray(s0, jnp.uint32))
+    return fn(scene, jnp.asarray(seed, jnp.uint32),
+              jnp.asarray(s0, jnp.uint32))
 
 
 def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
-                  n_s: int, interpret: bool):
+                  n_s: int, interpret: bool, use_tab: bool = False):
     from ..integrator.wavefront import lane_groups
 
     n_pix = cfg.width * cfg.height
@@ -1387,13 +1632,15 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     n_total = n_lanes + pad
     n_tiles = n_total // TILE
 
-    kernel = build_kernel(scene, cam, cfg)
+    kernel = build_kernel(scene, cam, cfg, mat_refs=use_tab,
+                          sphere_tab=use_tab)
     block = pl.BlockSpec(
         (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     @jax.jit
-    def run(seed, s0):
+    def run(seed, s0, *tables):
         pix = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), g)
         px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
         py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
@@ -1412,7 +1659,10 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             kernel,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+                smem,  # seed (1,)
+                # Table mode: alb/emi (K,3) f32 + geom (S,4) f32 +
+                # refl (S,1) i32 runtime SMEM tables.
+                *([smem, smem, smem, smem] if use_tab else []),
                 block, block, block, block, block,
             ],
             out_specs=[
@@ -1429,6 +1679,7 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             interpret=interpret,
         )(
             seed.reshape(1),
+            *tables,
             padto(px, 0.0), padto(py, 0.0), padto(pid_base, 0),
             # Padding lanes get s_start == s_stop == 0 => born dead.
             padto(s_start, 0), padto(s_stop, 0),
@@ -1443,7 +1694,12 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         )
         return img, traces[0]
 
-    return run
+    def fn(scene_now: Scene, seed, s0):
+        if use_tab:
+            return run(seed, s0, *_sphere_tables(scene_now))
+        return run(seed, s0)
+
+    return fn
 
 
 def render_pallas_budgets(scene: Scene, cam: CameraParams,

@@ -233,6 +233,11 @@ PRESETS = {
     "cornell_tilted_light": cornell_tilted_light,
     "cornell_twolights": cornell_twolights,
     "sphere_grid": sphere_grid,
+    # Scalability ladder for the megakernel's looped sphere table
+    # (ops/megakernel.py sphere_tab; PERF.md "scalable scenes"): unrolling
+    # these would blow compile time, the table scans them at O(1) code size.
+    "sphere_grid_256": lambda: sphere_grid(256),
+    "sphere_grid_1024": lambda: sphere_grid(1024),
 }
 
 

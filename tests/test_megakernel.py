@@ -170,7 +170,9 @@ def test_max_bounces_cap_consistent_across_schedules():
 
 def test_sphere_grid_scalability():
     """71-object scene (walls + light + 64 spheres incl. mirrors): the jnp
-    path scales O(N) and the kernel unrolls it; both agree."""
+    path scales O(N); the kernel takes it through the looped sphere table
+    (sphere_table="auto" switches at 48 spheres — TestSphereTable); both
+    agree."""
     scene = get_scene("sphere_grid")
     from small_pathtracer_tpu.scene.types import num_objects
 
@@ -273,3 +275,154 @@ def test_nee_fold_bit_identical(preset, est, lsm, monkeypatch):
     b, tb = render_pallas(scene, cam, cfg, 5, interpret=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+
+
+class TestSphereTable:
+    """Scalable-scene mode: the megakernel's looped SMEM sphere table
+    (build_kernel sphere_tab=True) vs full unrolling. Same estimator,
+    same scan order; equality is statistical — the compiler contracts the
+    sphere discriminant differently for baked constants vs loop scalars
+    (FMA), and grazing hits amplify that to ~30 ulps of t (measured; see
+    build_kernel docstring)."""
+
+    def test_trace_contract_vs_unrolled(self):
+        """Random-ray fuzz of the nearest-hit itself: every DISCRETE field
+        (hit/is_light/is_spec/is_refr and the winning object's materials)
+        must agree exactly; t agrees to FMA-level relative tolerance; the
+        probe (any-occluder chain) agrees exactly on success."""
+        from small_pathtracer_tpu.ops import megakernel as mk
+
+        scene = get_scene("sphere_grid")
+        rects, quads, spheres, _, _ = mk._scene_consts(scene)
+        alb, emi, geom, refl = mk._sphere_tables(scene)
+        base = len(rects) + len(quads)
+        rng = np.random.default_rng(0)
+        N = 20000
+        o = rng.uniform([2, 1, 1], [98, 80, 169], (N, 3)).astype(np.float32)
+        d = rng.normal(size=(N, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        ox, oy, oz = (jnp.asarray(o[:, i]) for i in range(3))
+        dx, dy, dz = (jnp.asarray(d[:, i]) for i in range(3))
+        tab = (geom, refl, alb, emi, len(spheres), base)
+
+        import jax
+
+        @jax.jit
+        def both():
+            A = mk._trace_unrolled(rects, quads, spheres, 6,
+                                   ox, oy, oz, dx, dy, dz,
+                                   want_shading=True, want_obj=True)
+            B = mk._trace_unrolled(rects, quads, [], 6,
+                                   ox, oy, oz, dx, dy, dz,
+                                   want_shading=True, want_obj=True,
+                                   sphere_tab=tab)
+            PA = mk._probe_unrolled(rects, quads, spheres, 6,
+                                    ox, oy, oz, dx, dy, dz)
+            PB = mk._probe_unrolled(rects, quads, [], 6,
+                                    ox, oy, oz, dx, dy, dz, sphere_tab=tab)
+            return A, B, PA, PB
+
+        A, B, (ta, sa), (tb, sb) = both()
+        for k in ("hit", "is_light", "is_spec", "is_refr", "obj"):
+            np.testing.assert_array_equal(
+                np.asarray(A[k]), np.asarray(B[k]), err_msg=k
+            )
+        for k in ("alb", "emi"):
+            for c in range(3):
+                np.testing.assert_array_equal(
+                    np.asarray(A[k][c]), np.asarray(B[k][c]), err_msg=k
+                )
+        np.testing.assert_allclose(
+            np.asarray(A["t"]), np.asarray(B["t"]), rtol=2e-4
+        )
+        # Winner normals: identical where the winner is not a table sphere,
+        # and FMA-level close on table-sphere wins.
+        for c in range(3):
+            np.testing.assert_allclose(
+                np.asarray(A["nrm"][c]), np.asarray(B["nrm"][c]), atol=2e-3
+            )
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+        np.testing.assert_allclose(np.asarray(ta), np.asarray(tb), rtol=2e-4)
+
+    @pytest.mark.parametrize("est", ["nee", "nee_textbook"])
+    def test_render_matches_unrolled_statistically(self, est):
+        import dataclasses
+
+        scene = get_scene("sphere_grid")
+        cam = make_camera()
+        cfg = RenderConfig(width=16, height=16, spp=2, estimator=est,
+                           seed=4, sphere_table="off")
+        a, ta = render_pallas(scene, cam, cfg, 4, interpret=True)
+        b, tb = render_pallas(
+            scene, cam, dataclasses.replace(cfg, sphere_table="on"), 4,
+            interpret=True,
+        )
+        a = np.asarray(a) / cfg.spp
+        b = np.asarray(b) / cfg.spp
+        # Identical estimator + RNG: only FMA-level grazing-hit path flips
+        # differ. Nearly all pixels bitwise equal, the rest MC-close.
+        frac_ident = (a == b).all(axis=-1).mean()
+        assert frac_ident > 0.9, frac_ident
+        assert abs(a.mean() - b.mean()) < 2e-3
+        assert np.abs(a - b).max() < 0.1
+        ta, tb = np.asarray(ta), np.asarray(tb)
+        assert np.abs(ta - tb).sum() / ta.sum() < 5e-3
+
+    def test_no_recompile_on_geometry_or_material_edit(self):
+        """The whole point of the table: moving/recoloring spheres reuses
+        the compiled kernel (the build cache key hashes only the
+        structure), and the output tracks the edit."""
+        from small_pathtracer_tpu.ops import megakernel as mk
+
+        scene = get_scene("sphere_grid")
+        cam = make_camera()
+        cfg = RenderConfig(width=8, height=8, spp=1, estimator="nee",
+                           seed=1, sphere_table="on")
+        a, _ = render_pallas(scene, cam, cfg, 1, interpret=True)
+        n_built = len(mk._CACHE)
+        moved = scene._replace(spheres=scene.spheres._replace(
+            center=scene.spheres.center + jnp.asarray([0.0, 3.0, 0.0]),
+            radius=scene.spheres.radius * 1.3,
+            albedo=scene.spheres.albedo * 0.5,
+        ))
+        b, _ = render_pallas(moved, cam, cfg, 1, interpret=True)
+        assert len(mk._CACHE) == n_built  # cache hit: no new build
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-3
+
+    def test_auto_threshold_and_validation(self):
+        from small_pathtracer_tpu.ops.megakernel import (
+            _use_sphere_table,
+            build_kernel,
+        )
+
+        cam = make_camera()
+        few = get_scene("cornell_spheres")
+        many = get_scene("sphere_grid")
+        cfg = RenderConfig(width=8, height=8, spp=1)
+        assert not _use_sphere_table(few, cfg)
+        assert _use_sphere_table(many, cfg)
+        import dataclasses
+
+        assert _use_sphere_table(
+            few, dataclasses.replace(cfg, sphere_table="on"))
+        assert not _use_sphere_table(
+            many, dataclasses.replace(cfg, sphere_table="off"))
+        with pytest.raises(ValueError, match="mat_refs"):
+            build_kernel(many, cam, cfg, sphere_tab=True)
+
+    def test_large_scene_renders(self):
+        """256 spheres through the table: finite image, light visible, and
+        the jnp wavefront agrees statistically (same estimator + RNG)."""
+        scene = get_scene("sphere_grid_256")
+        cam = make_camera()
+        cfg = RenderConfig(width=12, height=12, spp=2, estimator="nee",
+                           seed=2, sphere_table="on")
+        img, traces = render_pallas(scene, cam, cfg, 2, interpret=True)
+        img = np.asarray(img) / cfg.spp
+        assert np.isfinite(img).all()
+        a, ta = render_regen(scene, cam, cfg, jnp.uint32(2))
+        a = np.asarray(a) / cfg.spp
+        assert abs(a.mean() - img.mean()) < 2e-2
+        t_jnp = float(np.asarray(ta).sum())
+        t_tab = float(np.asarray(traces).sum())
+        assert abs(t_tab - t_jnp) / t_jnp < 2e-2
