@@ -11,7 +11,11 @@ recompilation.
          -o out.png http://localhost:8000/render
 
 Request fields (all optional): scene, width, height, spp, estimator, seed,
-wavefront, use_pallas, format ("png"|"ppm"). GET /healthz returns metrics.
+wavefront, use_pallas, sphere_table, denoise (a-trous passes, 0 = off —
+utils/denoise.py runs on the linear image before tonemap, guided by an AOV
+pre-pass), aov ("albedo"|"normal"|"depth"|"coverage" — return that feature
+buffer instead of the beauty), format ("png"|"ppm"). GET /healthz returns
+metrics.
 """
 
 from __future__ import annotations
@@ -89,15 +93,50 @@ def _render(req: dict, stats: dict) -> tuple[bytes, str]:
         overrides["aperture"] = float(req["aperture"])
     if "focus_dist" in req:
         overrides["focus_dist"] = float(req["focus_dist"])
+    if "sphere_table" in req:
+        overrides["sphere_table"] = str(req["sphere_table"])
     model = get_model(req.get("scene", "cornell_box"), **overrides)
+    aov_kind = str(req.get("aov", ""))
+    n_denoise = int(req.get("denoise", 0))
+    if aov_kind not in ("", "albedo", "normal", "depth", "coverage"):
+        raise ValueError(
+            f"aov must be albedo/normal/depth/coverage, got {aov_kind!r}"
+        )
     t0 = time.perf_counter()
-    img, traces = render(model.scene, model.camera, model.config)
-    dt = time.perf_counter() - t0
+    if aov_kind or n_denoise:
+        from ..utils.aov import render_aovs
+
+        aovs = render_aovs(model.scene, model.camera, model.config)
+    if aov_kind:
+        # Feature-buffer responses use the CLI's encodings (cli/main.py
+        # _write_aovs): tonemapped albedo, [-1,1]->[0,1] normal, max-
+        # normalized depth, direct coverage.
+        traces = float(
+            model.config.width * model.config.height
+        )  # one primary trace per pixel-sample; nominal for stats
+        a = np.asarray(aovs[aov_kind], np.float32)
+        if aov_kind == "albedo":
+            u8 = np.asarray(film.tonemap_u8(a))
+        else:
+            if aov_kind == "normal":
+                a = (a + 1.0) * 0.5
+            elif aov_kind == "depth":
+                a = a / max(float(a.max()), 1e-9)
+            if a.ndim == 2:
+                a = np.repeat(a[..., None], 3, axis=-1)
+            u8 = (np.clip(a, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        dt = time.perf_counter() - t0
+    else:
+        img, traces = render(model.scene, model.camera, model.config)
+        if n_denoise:
+            from ..utils.denoise import denoise
+
+            img = film.finalize(denoise(img, aovs, iterations=n_denoise))
+        dt = time.perf_counter() - t0
+        u8 = np.asarray(film.tonemap_u8(img))
     stats["requests"] = stats.get("requests", 0) + 1
     stats["last_mrays_per_s"] = round(traces / dt / 1e6, 3)
     stats["last_wall_s"] = round(dt, 4)
-
-    u8 = np.asarray(film.tonemap_u8(img))
     if req.get("format", "png") == "ppm":
         h, w = u8.shape[:2]
         from .. import native

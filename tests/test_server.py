@@ -77,3 +77,27 @@ def test_bad_request(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(url, {"scene": "no_such_scene"})
     assert e.value.code == 400
+
+
+def test_render_denoise_and_aov(server):
+    """denoise + aov request fields: the filtered beauty and each feature
+    buffer come back as valid images."""
+    from PIL import Image
+    import io
+
+    url, _ = server
+    resp = _post(url, {"scene": "cornell_box", "width": 24, "height": 16,
+                       "spp": 2, "denoise": 2})
+    img = np.asarray(Image.open(io.BytesIO(resp.read())))
+    assert img.shape == (16, 24, 3)
+    for kind in ("albedo", "normal", "depth", "coverage"):
+        resp = _post(url, {"scene": "cornell_box", "width": 24,
+                           "height": 16, "spp": 2, "aov": kind})
+        a = np.asarray(Image.open(io.BytesIO(resp.read())))
+        assert a.shape == (16, 24, 3), kind
+    # Coverage inside the closed box is everywhere 1 -> pure white.
+    assert (a == 255).all()
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        _post(url, {"aov": "nonsense"})
