@@ -38,7 +38,11 @@ def get_model(name: str, **config_overrides) -> RenderModel:
         "cornell_spheres": dict(estimator="nee"),
         "smallpt_original": dict(estimator="cosine"),
         "cornell_tilted_light": dict(estimator="nee"),
+        "cornell_twolights": dict(estimator="nee"),
         "sphere_grid": dict(estimator="nee"),
+        # Scalability-ladder scenes (megakernel sphere table, PERF.md).
+        "sphere_grid_256": dict(estimator="nee"),
+        "sphere_grid_1024": dict(estimator="nee"),
     }
     if name not in defaults:
         raise ValueError(f"unknown model {name!r}; one of {sorted(defaults)}")
@@ -53,5 +57,6 @@ def get_model(name: str, **config_overrides) -> RenderModel:
 
 MODELS = tuple(
     ("cornell_box", "cornell_spheres", "smallpt_original",
-     "cornell_tilted_light", "sphere_grid")
+     "cornell_tilted_light", "cornell_twolights", "sphere_grid",
+     "sphere_grid_256", "sphere_grid_1024")
 )

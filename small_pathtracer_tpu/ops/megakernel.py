@@ -350,14 +350,70 @@ def _iter_hits(rects, quads, spheres, ox, oy, oz, dx, dy, dz,
         obj_id += 1
 
 
-def _table_sphere_hit(geom_ref, i, ox, oy, oz, dx, dy, dz):
+class _FlatRows:
+    """Row-indexing shim over a FLAT 1-D SMEM table: ref2d[i, c] ->
+    flat[i*stride + c]. SMEM tiles the TRAILING dimension to 128 lanes, so
+    a (K, 3) scalar table would burn 128x its bytes (measured: 1024
+    spheres as 2-D tables blew the 1 MB SMEM budget at 2.01 MB); flat 1-D
+    arrays only pad the total length."""
+
+    def __init__(self, ref, stride: int):
+        self.ref = ref
+        self.stride = stride
+
+    def __getitem__(self, key):
+        i, c = key
+        return self.ref[i * self.stride + c]
+
+
+# Packed sphere-table row layout (flat f32 SMEM, stride 16 for 64-byte
+# row alignment): [cx, cy, cz, radius, alb_r, alb_g, alb_b, emi_r, emi_g,
+# emi_b, refl, pad x5]. One row per sphere: the loop computes ONE base
+# index (i*16) and reads everything at constant offsets. The scalar
+# core's loads/address math bound the scan — packing + alignment + the
+# _TAB_UNROLL block unroll took the v5e ladder from 126/74/25 to
+# 215/137/45 Mrays/s at 64/256/1024 spheres (512x384x64spp NEE; PERF.md).
+TAB_STRIDE = 16
+
+# Table-scan manual unrolling: U rows per fori_loop iteration (plus a
+# static epilogue for the remainder) overlaps one row's scalar loads and
+# address math with neighbors' vector work. Code size stays O(U).
+# Measured on the v5e at 256 spheres: U=1 78, U=4 121, U=8 137 Mrays/s;
+# U=16 compiles pathologically slowly (minutes) for no further gain.
+_TAB_UNROLL = 8
+
+
+def _table_scan(S: int, body, carry):
+    """carry = body(i, carry) for i in range(S), as a fori_loop over
+    blocks of _TAB_UNROLL rows + a static remainder epilogue (Mosaic only
+    supports unroll=1 or full unrolling in lax loops)."""
+    U = _TAB_UNROLL
+    n_blocks = S // U
+    done = 0
+    if n_blocks > 1:
+        def blk(ib, c):
+            base = ib * U
+            for j in range(U):
+                c = body(base + j, c)
+            return c
+
+        carry = jax.lax.fori_loop(0, n_blocks, blk, carry)
+        done = n_blocks * U
+    for i in range(done, S):
+        carry = body(np.int32(i), carry)
+    return carry
+
+
+def _table_sphere_hit(tab_ref, i, ox, oy, oz, dx, dy, dz):
     """One table sphere's (t_i, valid) — the SAME expression tree as the
     unrolled sphere branch of _iter_hits (smallpt.cpp:229-239 semantics),
-    with the per-object constants read from the (S, 4) SMEM geometry table
-    [cx, cy, cz, radius] at a traced row index. Returns the center too
-    (the winner's normal is reconstructed after the scan)."""
-    cx, cy, cz = geom_ref[i, 0], geom_ref[i, 1], geom_ref[i, 2]
-    rad = geom_ref[i, 3]
+    with the per-object constants read from the packed flat SMEM table at
+    a traced row index. Returns the center and the row base (the caller
+    reads materials from it; the winner's normal is reconstructed after
+    the scan)."""
+    b = i * TAB_STRIDE
+    cx, cy, cz = tab_ref[b], tab_ref[b + 1], tab_ref[b + 2]
+    rad = tab_ref[b + 3]
     opx, opy, opz = cx - ox, cy - oy, cz - oz
     bq = opx * dx + opy * dy + opz * dz
     det = bq * bq - (opx * opx + opy * opy + opz * opz) + rad * rad
@@ -367,7 +423,7 @@ def _table_sphere_hit(geom_ref, i, ox, oy, oz, dx, dy, dz):
     t_far = bq + sdet
     t_i = jnp.where(t_near > np.float32(SPHERE_EPS), t_near, t_far)
     valid = det_pos & (t_i > np.float32(SPHERE_EPS))
-    return t_i, valid, (cx, cy, cz)
+    return t_i, valid, (cx, cy, cz), b
 
 
 def _probe_unrolled(rects, quads, spheres, light_id: int,
@@ -399,17 +455,17 @@ def _probe_unrolled(rects, quads, spheres, light_id: int,
         # Looped table spheres sit AFTER every unrolled id, so they block
         # with the strict compare (t_i < t_l), exactly like an unrolled
         # sphere at the same position in the scan order.
-        geom_ref, _, _, _, S, _ = sphere_tab
+        tab_ref, S, _ = sphere_tab
 
         def body(i, occ_i):
-            t_i, valid, _ = _table_sphere_hit(
-                geom_ref, i, ox, oy, oz, dx, dy, dz
+            t_i, valid, _, _ = _table_sphere_hit(
+                tab_ref, i, ox, oy, oz, dx, dy, dz
             )
             blk = valid & (t_i < t_l)
             return occ_i | jnp.where(blk, np.int32(1), np.int32(0))
 
-        occ_t = jax.lax.fori_loop(
-            0, S, body, jnp.zeros_like(ox, dtype=jnp.int32)
+        occ_t = _table_scan(
+            S, body, jnp.zeros_like(ox, dtype=jnp.int32)
         )
         success = success & (occ_t == 0)
     return t_l, success
@@ -498,7 +554,7 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
         # equality is statistical, not bitwise (FMA contraction differs
         # for constants vs loop scalars — see build_kernel docstring).
         # Table spheres are never the light.
-        geom_ref, refl_ref, alb_ref, emi_ref, S, base_id = sphere_tab
+        tab_ref, S, base_id = sphere_tab
         i32z = jnp.zeros_like(ox, dtype=jnp.int32)
 
         def as_i32(b):
@@ -516,33 +572,32 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
             def body(i, c):
                 (t_b, won, a0, a1, a2, e0, e1, e2, cbx, cby, cbz,
                  msp, mrf, ob) = c
-                t_i, valid, (cx, cy, cz) = _table_sphere_hit(
-                    geom_ref, i, ox, oy, oz, dx, dy, dz
+                t_i, valid, (cx, cy, cz), b = _table_sphere_hit(
+                    tab_ref, i, ox, oy, oz, dx, dy, dz
                 )
                 win = valid & (t_i < t_b)
-                mi = base_id + i
-                r_i = refl_ref[i, 0]
+                r_i = tab_ref[b + 10]
                 return (
                     jnp.where(win, t_i, t_b),
                     jnp.where(win, np.int32(1), won),
-                    jnp.where(win, alb_ref[mi, 0], a0),
-                    jnp.where(win, alb_ref[mi, 1], a1),
-                    jnp.where(win, alb_ref[mi, 2], a2),
-                    jnp.where(win, emi_ref[mi, 0], e0),
-                    jnp.where(win, emi_ref[mi, 1], e1),
-                    jnp.where(win, emi_ref[mi, 2], e2),
+                    jnp.where(win, tab_ref[b + 4], a0),
+                    jnp.where(win, tab_ref[b + 5], a1),
+                    jnp.where(win, tab_ref[b + 6], a2),
+                    jnp.where(win, tab_ref[b + 7], e0),
+                    jnp.where(win, tab_ref[b + 8], e1),
+                    jnp.where(win, tab_ref[b + 9], e2),
                     jnp.where(win, cx, cbx),
                     jnp.where(win, cy, cby),
                     jnp.where(win, cz, cbz),
-                    jnp.where(win, jnp.where(r_i == np.int32(1),
+                    jnp.where(win, jnp.where(r_i == np.float32(1.0),
                                              np.int32(1), np.int32(0)), msp),
-                    jnp.where(win, jnp.where(r_i == np.int32(2),
+                    jnp.where(win, jnp.where(r_i == np.float32(2.0),
                                              np.int32(1), np.int32(0)), mrf),
-                    jnp.where(win, mi.astype(jnp.int32), ob),
+                    jnp.where(win, (base_id + i).astype(jnp.int32), ob),
                 )
 
             (t_best, won_i, a0, a1, a2, e0, e1, e2, cbx, cby, cbz,
-             msp, mrf, ob) = jax.lax.fori_loop(0, S, body, carry)
+             msp, mrf, ob) = _table_scan(S, body, carry)
             won = won_i > 0
             alb = [a0, a1, a2]
             emi = [e0, e1, e2]
@@ -569,8 +624,8 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
 
             def body(i, c):
                 t_b, won, ob = c
-                t_i, valid, _ = _table_sphere_hit(
-                    geom_ref, i, ox, oy, oz, dx, dy, dz
+                t_i, valid, _, _ = _table_sphere_hit(
+                    tab_ref, i, ox, oy, oz, dx, dy, dz
                 )
                 win = valid & (t_i < t_b)
                 return (
@@ -579,7 +634,7 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
                     jnp.where(win, (base_id + i).astype(jnp.int32), ob),
                 )
 
-            t_best, won_i, ob = jax.lax.fori_loop(0, S, body, carry)
+            t_best, won_i, ob = _table_scan(S, body, carry)
             is_light = is_light & ~(won_i > 0)
             if want_obj:
                 obj_best = ob
@@ -788,10 +843,11 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     renders are bit-identical to the baked kernel at equal materials.
 
     sphere_tab=True (scalable-scene mode, implies mat_refs): the scene's
-    spheres are NOT unrolled — the kernel takes two further refs after the
-    material tables, a (S, 4) f32 SMEM geometry table [cx, cy, cz, radius]
-    and a (S, 1) i32 refl table, and scans them with a fori_loop inside
-    every nearest-hit/probe. Compiled code size is O(unrolled objects)
+    spheres are NOT unrolled — the kernel takes one further ref after the
+    material tables, a flat (S*TAB_STRIDE,) f32 SMEM table of packed
+    per-sphere rows [cx, cy, cz, radius, albedo rgb, emission rgb, refl]
+    (_sphere_tables), and scans it with a fori_loop inside every
+    nearest-hit/probe. Compiled code size is O(unrolled objects)
     instead of O(total objects), and sphere geometry/material changes
     re-run WITHOUT recompiling. Scan order (all table spheres after every
     unrolled object) and expression trees match unrolling the same spheres
@@ -952,6 +1008,10 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         if mat_refs:
             alb_ref, emi_ref = refs[0], refs[1]
             refs = refs[2:]
+            if sphere_tab:
+                # Table mode ships the material tables FLAT (see _FlatRows).
+                alb_ref = _FlatRows(alb_ref, 3)
+                emi_ref = _FlatRows(emi_ref, 3)
             R, Q = len(rects), len(quads)
             rects_k = _runtime_materials(rects, alb_ref, emi_ref, 0)
             quads_k = _runtime_materials(quads, alb_ref, emi_ref, R)
@@ -961,9 +1021,10 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             rects_k, quads_k, spheres_k = rects, quads, spheres
             e_light_k = e_light
         if sphere_tab:
-            geom_ref, refl_ref = refs[0], refs[1]
-            refs = refs[2:]
-            tab = (geom_ref, refl_ref, alb_ref, emi_ref, S_tab, base_tab)
+            # Packed per-sphere rows (TAB_STRIDE f32 each) — geometry AND
+            # materials; the scan never touches the (K*3) material tables.
+            tab = (refs[0], S_tab, base_tab)
+            refs = refs[1:]
         else:
             tab = None
         if multi:
@@ -1556,22 +1617,31 @@ def _geom_hash_structure(scene: Scene, cam: CameraParams) -> str:
 
 
 def _sphere_tables(scene: Scene):
-    """Runtime SMEM inputs for the table kernel: (alb (K,3) f32,
-    emi (K,3) f32, geom (S,4) f32 [cx,cy,cz,r], refl (S,1) i32)."""
+    """Runtime SMEM inputs for the table kernel, all FLAT 1-D (SMEM pads
+    the trailing dim to 128 lanes — 2-D scalar tables cost 128x their
+    bytes, see _FlatRows): (alb (K*3,) f32, emi (K*3,) f32 for the
+    unrolled objects' runtime materials, packed (S*TAB_STRIDE,) f32
+    per-sphere rows [cx,cy,cz,r, alb rgb, emi rgb, refl, pad])."""
     from ..scene.types import object_arrays
 
     alb, emi, _ = object_arrays(scene)
-    geom = jnp.concatenate(
+    s = scene.spheres
+    S = int(np.asarray(s.radius).shape[0])
+    packed = jnp.concatenate(
         [
-            jnp.asarray(scene.spheres.center, jnp.float32),
-            jnp.asarray(scene.spheres.radius, jnp.float32)[:, None],
+            jnp.asarray(s.center, jnp.float32),
+            jnp.asarray(s.radius, jnp.float32)[:, None],
+            jnp.asarray(s.albedo, jnp.float32),
+            jnp.asarray(s.emission, jnp.float32),
+            jnp.asarray(s.refl, jnp.float32)[:, None],
+            jnp.zeros((S, TAB_STRIDE - 11), jnp.float32),
         ],
         axis=1,
     )
-    refl = jnp.asarray(scene.spheres.refl, jnp.int32)[:, None]
     return (
-        jnp.asarray(alb, jnp.float32), jnp.asarray(emi, jnp.float32),
-        geom, refl,
+        jnp.asarray(alb, jnp.float32).reshape(-1),
+        jnp.asarray(emi, jnp.float32).reshape(-1),
+        packed.reshape(-1),
     )
 
 
@@ -1660,9 +1730,9 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             grid=(n_tiles,),
             in_specs=[
                 smem,  # seed (1,)
-                # Table mode: alb/emi (K,3) f32 + geom (S,4) f32 +
-                # refl (S,1) i32 runtime SMEM tables.
-                *([smem, smem, smem, smem] if use_tab else []),
+                # Table mode: flat alb/emi material tables + the
+                # packed per-sphere rows (see _sphere_tables).
+                *([smem, smem, smem] if use_tab else []),
                 block, block, block, block, block,
             ],
             out_specs=[
@@ -1719,13 +1789,16 @@ def render_pallas_budgets(scene: Scene, cam: CameraParams,
     if not interpret and jax.devices()[0].platform != "tpu":
         interpret = True
 
-    key = (_geom_hash(scene, cam), cfg, "budgets", interpret,
-           _fold_enabled())
+    use_tab = _use_sphere_table(scene, cfg)
+    ghash = (_geom_hash_structure(scene, cam) if use_tab
+             else _geom_hash(scene, cam))
+    key = (ghash, use_tab, cfg, "budgets", interpret, _fold_enabled())
     fn = _CACHE.get(key)
     if fn is None:
-        fn = _build_render_budgets(scene, cam, cfg, interpret)
+        fn = _build_render_budgets(scene, cam, cfg, interpret, use_tab)
         _CACHE[key] = fn
     return fn(
+        scene,
         jnp.asarray(seed, jnp.uint32),
         jnp.asarray(s_start, jnp.uint32),
         jnp.asarray(s_stop, jnp.uint32),
@@ -1733,19 +1806,22 @@ def render_pallas_budgets(scene: Scene, cam: CameraParams,
 
 
 def _build_render_budgets(scene: Scene, cam: CameraParams,
-                          cfg: RenderConfig, interpret: bool):
+                          cfg: RenderConfig, interpret: bool,
+                          use_tab: bool = False):
     n_pix = cfg.width * cfg.height
     pad = (-n_pix) % TILE
     n_total = n_pix + pad
     n_tiles = n_total // TILE
 
-    kernel = build_kernel(scene, cam, cfg)
+    kernel = build_kernel(scene, cam, cfg, mat_refs=use_tab,
+                          sphere_tab=use_tab)
     block = pl.BlockSpec(
         (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     @jax.jit
-    def run(seed, s_start, s_stop):
+    def run(seed, s_start, s_stop, *tables):
         pix = jnp.arange(n_pix, dtype=jnp.uint32)
         px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
         py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
@@ -1761,6 +1837,7 @@ def _build_render_budgets(scene: Scene, cam: CameraParams,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                *([smem, smem, smem] if use_tab else []),
                 block, block, block, block, block,
             ],
             out_specs=[
@@ -1777,6 +1854,7 @@ def _build_render_budgets(scene: Scene, cam: CameraParams,
             interpret=interpret,
         )(
             seed.reshape(1),
+            *tables,
             padto(px, 0.0), padto(py, 0.0), padto(pid_base, 0),
             # Padding lanes: s_start == s_stop == 0 => born dead.
             padto(s_start.astype(jnp.uint32), 0),
@@ -1789,7 +1867,12 @@ def _build_render_budgets(scene: Scene, cam: CameraParams,
         )
         return L, traces[0]
 
-    return run
+    def fn(scene_now: Scene, seed, s_start, s_stop):
+        if use_tab:
+            return run(seed, s_start, s_stop, *_sphere_tables(scene_now))
+        return run(seed, s_start, s_stop)
+
+    return fn
 
 
 def pack_guide_planes(guide):
@@ -1865,6 +1948,12 @@ def render_pallas_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     probe])."""
     if not interpret and jax.devices()[0].platform != "tpu":
         interpret = True
+    if _use_sphere_table(scene, cfg):
+        raise ValueError(
+            "the guided megakernel does not support sphere_table mode yet; "
+            "pass sphere_table='off' (the scene will be fully unrolled — "
+            "practical below ~100 spheres) or drop --guided"
+        )
     plane = pack_guide_planes(guide)
     key = (
         _geom_hash(scene, cam), cfg, cfg.spp, float(beta), float(k),
@@ -1973,18 +2062,23 @@ def render_pallas_sharded(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     if not interpret and jax.devices()[0].platform != "tpu":
         interpret = True
     n_s = cfg.spp if n_s is None else int(n_s)
-    key = (_geom_hash(scene, cam), cfg, mesh, n_s, interpret, "sharded",
+    use_tab = _use_sphere_table(scene, cfg)
+    ghash = (_geom_hash_structure(scene, cam) if use_tab
+             else _geom_hash(scene, cam))
+    key = (ghash, use_tab, cfg, mesh, n_s, interpret, "sharded",
            _fold_enabled())
     fn = _CACHE.get(key)
     if fn is None:
-        fn = _build_render_sharded(scene, cam, cfg, mesh, n_s, interpret)
+        fn = _build_render_sharded(scene, cam, cfg, mesh, n_s, interpret,
+                                   use_tab)
         _CACHE[key] = fn
-    return fn(jnp.asarray(seed, jnp.uint32), jnp.asarray(s0, jnp.uint32))
+    return fn(scene, jnp.asarray(seed, jnp.uint32),
+              jnp.asarray(s0, jnp.uint32))
 
 
 def _build_render_sharded(scene: Scene, cam: CameraParams,
                           cfg: RenderConfig, mesh, n_s: int,
-                          interpret: bool):
+                          interpret: bool, use_tab: bool = False):
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import AXIS_PIXEL, AXIS_SAMPLE
@@ -2005,12 +2099,14 @@ def _build_render_sharded(scene: Scene, cam: CameraParams,
     pad = (-n_lanes) % TILE
     n_tiles = (n_lanes + pad) // TILE
 
-    kernel = build_kernel(scene, cam, cfg)
+    kernel = build_kernel(scene, cam, cfg, mat_refs=use_tab,
+                          sphere_tab=use_tab)
     block = pl.BlockSpec(
         (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    def local(seed, s0):
+    def local(seed, s0, *tables):
         pix0 = (jax.lax.axis_index(AXIS_PIXEL) * n_pix_loc).astype(jnp.uint32)
         samp0 = s0 + (
             jax.lax.axis_index(AXIS_SAMPLE) * n_s_loc
@@ -2034,6 +2130,7 @@ def _build_render_sharded(scene: Scene, cam: CameraParams,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                *([smem, smem, smem] if use_tab else []),
                 block, block, block, block, block,
             ],
             out_specs=[
@@ -2050,6 +2147,7 @@ def _build_render_sharded(scene: Scene, cam: CameraParams,
             interpret=interpret,
         )(
             seed.reshape(1),
+            *tables,
             padto(px, 0.0), padto(py, 0.0), padto(pid_base, 0),
             padto(s_start, 0), padto(s_stop, 0),
         )
@@ -2064,9 +2162,18 @@ def _build_render_sharded(scene: Scene, cam: CameraParams,
             traces[0], (AXIS_PIXEL, AXIS_SAMPLE)
         )
 
-    return jax.jit(
+    run = jax.jit(
         jax.shard_map(
-            local, mesh=mesh, in_specs=(P(), P()),
+            local, mesh=mesh,
+            # Scene tables (if any) are tiny and replicated on every device.
+            in_specs=(P(), P()) + ((P(),) * 3 if use_tab else ()),
             out_specs=(P(AXIS_PIXEL), P()), check_vma=False,
         )
     )
+
+    def fn(scene_now: Scene, seed, s0):
+        if use_tab:
+            return run(seed, s0, *_sphere_tables(scene_now))
+        return run(seed, s0)
+
+    return fn

@@ -294,7 +294,7 @@ class TestSphereTable:
 
         scene = get_scene("sphere_grid")
         rects, quads, spheres, _, _ = mk._scene_consts(scene)
-        alb, emi, geom, refl = mk._sphere_tables(scene)
+        alb, emi, packed = mk._sphere_tables(scene)
         base = len(rects) + len(quads)
         rng = np.random.default_rng(0)
         N = 20000
@@ -303,7 +303,9 @@ class TestSphereTable:
         d /= np.linalg.norm(d, axis=1, keepdims=True)
         ox, oy, oz = (jnp.asarray(o[:, i]) for i in range(3))
         dx, dy, dz = (jnp.asarray(d[:, i]) for i in range(3))
-        tab = (geom, refl, alb, emi, len(spheres), base)
+        # The kernel ships ONE flat packed per-sphere SMEM table
+        # (_sphere_tables); mirror that here.
+        tab = (packed, len(spheres), base)
 
         import jax
 
@@ -426,3 +428,64 @@ class TestSphereTable:
         t_jnp = float(np.asarray(ta).sum())
         t_tab = float(np.asarray(traces).sum())
         assert abs(t_tab - t_jnp) / t_jnp < 2e-2
+
+    def test_sharded_table_matches_single(self):
+        """Table kernel inside shard_map (multi-chip scalable scenes):
+        tables replicate on every device; image and trace counts match
+        the single-device table render (same kernel program => same FMA
+        choices; only float sum order differs)."""
+        from small_pathtracer_tpu.ops.megakernel import render_pallas_sharded
+        from small_pathtracer_tpu.parallel.mesh import make_mesh
+
+        scene = get_scene("sphere_grid")
+        cam = make_camera()
+        cfg = RenderConfig(width=16, height=16, spp=4, estimator="nee",
+                           seed=5, sphere_table="on")
+        a, ta = render_pallas(scene, cam, cfg, 5, interpret=True)
+        mesh = make_mesh(mesh_shape=(4, 2))
+        b, tb = render_pallas_sharded(scene, cam, cfg, mesh, 5,
+                                      interpret=True)
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b).reshape(16, 16, 3), atol=1e-5
+        )
+
+    def test_budgets_table_matches_full_render(self):
+        """Adaptive-wave runner in table mode: uniform budgets [0, spp)
+        reproduce the plain table render (per-sample purity — only the
+        lane schedule differs)."""
+        from small_pathtracer_tpu.ops.megakernel import render_pallas_budgets
+
+        scene = get_scene("sphere_grid")
+        cam = make_camera()
+        cfg = RenderConfig(width=12, height=12, spp=4, estimator="nee",
+                           seed=6, sphere_table="on")
+        a, ta = render_pallas(scene, cam, cfg, 6, interpret=True)
+        n_pix = cfg.width * cfg.height
+        L, tb = render_pallas_budgets(
+            scene, cam, cfg, 6,
+            np.zeros(n_pix, np.uint32),
+            np.full(n_pix, cfg.spp, np.uint32),
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a).reshape(n_pix, 3), np.asarray(L),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(np.asarray(ta), np.asarray(tb), rtol=5e-3)
+
+    def test_guided_rejects_table_mode(self):
+        from small_pathtracer_tpu.experiment.path_guiding import guide_lobes
+        from small_pathtracer_tpu.ops.megakernel import render_pallas_guided
+
+        scene = get_scene("sphere_grid")
+        cam = make_camera()
+        cfg = RenderConfig(width=8, height=8, spp=1, estimator="cosine",
+                           seed=1)
+        import jax.numpy as _jnp
+        from small_pathtracer_tpu.experiment.path_guiding import _NVOX
+
+        v = int(np.prod(_NVOX))
+        guide = (_jnp.zeros((v, 3)), _jnp.zeros((v,), bool))
+        with pytest.raises(ValueError, match="sphere_table"):
+            render_pallas_guided(scene, cam, cfg, 1, guide, interpret=True)
