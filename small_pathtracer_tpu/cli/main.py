@@ -624,6 +624,50 @@ def cmd_fit(args) -> int:
         print(json.dumps(out))
         return 0
 
+    if args.fd_sphere >= 0:
+        # Chip-speed geometry fitting: common-random-number central
+        # differences through the TABLE megakernel (grad/fd.py) — every
+        # probe is a kernel re-render, no recompile, any sphere count.
+        from ..grad.fd import FIELDS, _render_mean, _table_cfg, fit_fd
+
+        fields = tuple(args.train.split(","))
+        bad = [f for f in fields if f not in FIELDS]
+        if bad or args.optimizer != "sgd":
+            raise SystemExit(
+                f"fit --fd-sphere trains {sorted(FIELDS)} with "
+                f"--optimizer sgd (got {bad or args.optimizer})"
+            )
+        si = args.fd_sphere
+        if scene.spheres.center.shape[0] <= si:
+            raise SystemExit(
+                f"scene has {scene.spheres.center.shape[0]} spheres; "
+                f"--fd-sphere {si} out of range"
+            )
+        cfg_t = _table_cfg(cfg)
+        if args.target:
+            target = jnp.asarray(
+                film.srgb_from_u8(film.read_ppm(args.target)), jnp.float32
+            )
+        else:
+            # Self-test: independent-seed target, then displace and recover.
+            target = _render_mean(scene, cam, cfg_t, cfg.seed + 1, False)
+            scene = scene._replace(spheres=scene.spheres._replace(
+                center=scene.spheres.center.at[si].add(
+                    jnp.asarray([4.0, 0.0, -3.0])),
+                radius=scene.spheres.radius.at[si].multiply(1.1),
+            ))
+        s, losses = fit_fd(
+            scene, cam, cfg_t, target, si, fields, steps=args.steps,
+            lr=args.lr, delta=args.fd_delta, seed=cfg.seed,
+            log=sys.stderr,
+        )
+        out = _fit_result(losses[-1] if losses else float("nan"),
+                          ran_steps=bool(losses), steps=args.steps)
+        out["center"] = [float(v) for v in s.spheres.center[si]]
+        out["radius"] = float(s.spheres.radius[si])
+        print(json.dumps(out))
+        return 0
+
     if args.soft_tau > 0:
         # Soft-visibility geometry fitting (silhouette + soft-shadow
         # gradients, grad/soft.py) on selected fields; SGD or any optax
@@ -916,6 +960,14 @@ def main(argv=None) -> int:
     p_fit.add_argument("--edge-sphere", type=int, default=-1,
                        help="fit sphere IDX's center/radius with exact "
                             "edge-sampled boundary gradients (grad/edge.py)")
+    p_fit.add_argument("--fd-sphere", type=int, default=-1,
+                       help="fit sphere IDX (center/radius/albedo/emission "
+                            "via --train) with common-random-number "
+                            "central differences through the TABLE "
+                            "megakernel (grad/fd.py) — chip-speed, no "
+                            "recompile per step, any sphere count")
+    p_fit.add_argument("--fd-delta", type=float, default=0.5,
+                       help="FD step in scene units for --fd-sphere")
     p_fit.add_argument("--camera-edge", action="store_true",
                        help="fit the camera translation with exact "
                             "scene-edge boundary gradients "

@@ -401,6 +401,21 @@ def test_fit_camera_edge_rotation(capsys):
     assert np.linalg.norm(w) < 0.12
 
 
+def test_fit_fd_sphere(capsys):
+    """fit --fd-sphere: CRN finite differences through the table kernel
+    (self-test mode displaces sphere 0 and descends)."""
+    rc = main([
+        "fit", "--scene", "cornell_spheres", "--width", "16",
+        "--height", "12", "--spp", "2", "--steps", "2",
+        "--fd-sphere", "0", "--train", "center,radius", "--lr", "2000",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["steps"] == 2
+    assert isinstance(out["final_loss"], float)
+    assert len(out["center"]) == 3 and out["radius"] > 0
+
+
 def test_fit_soft_geometry(capsys):
     rc = main([
         "fit", "--scene", "cornell_spheres", "--width", "24", "--height", "16",
