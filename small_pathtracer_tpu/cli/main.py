@@ -15,7 +15,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--spp", type=int, default=16)
     p.add_argument("--estimator", default="nee",
-                   help="uniform | uniform_corrected | cosine | nee | mixture | nee_textbook (unbiased shadow-ray NEE)")
+                   help="uniform | uniform_corrected | cosine | nee | "
+                        "mixture | nee_textbook (unbiased shadow-ray NEE) "
+                        "| mis (balance-heuristic MIS over light + BSDF "
+                        "sampling; single-light scenes)")
     p.add_argument("--mixture-q", type=float, default=0.5)
     p.add_argument("--light-sample-mode", default="intended",
                    choices=["intended", "glibc_overflow"])

@@ -21,6 +21,14 @@ ESTIMATORS = (
     # "correctness over parity" NEE recommended by SURVEY section 7 hard
     # part #2. Not in the reference.
     "nee_textbook",
+    # Multiple importance sampling (Veach 97 balance heuristic): the
+    # nee_textbook pair of strategies — light sampling and BSDF-sampled
+    # light hits — each weighted by p_own/(p_light + p_bsdf) instead of
+    # the all-or-nothing double-count suppression. Strictly lower-variance
+    # wherever either strategy's density dominates (e.g. vertices NEAR the
+    # light, where the shadow ray's 1/t^2 weight explodes but the cosine
+    # continuation finds the light reliably). Single-light scenes (v1).
+    "mis",
 )
 
 

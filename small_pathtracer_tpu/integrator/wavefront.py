@@ -59,6 +59,10 @@ class PathState(NamedTuple):
     #   mean path length, fixing the reference's broken C17 stat)
     no_emit: jnp.ndarray  # (N,) bool — skip next emission pickup
     #   (nee_textbook double-count guard; always False otherwise)
+    mis_pdf: jnp.ndarray  # (N,) f32 — estimator="mis": the previous
+    #   diffuse vertex's BSDF pdf (cos/pi) of this ray's direction; 0 when
+    #   the previous vertex did not light-sample (primary/specular) —
+    #   drives the balance-heuristic pickup weight. Always 0 otherwise.
 
 
 def init_paths(o, d, path_id) -> PathState:
@@ -73,6 +77,7 @@ def init_paths(o, d, path_id) -> PathState:
         path_id=path_id,
         n_traces=jnp.zeros((2,), jnp.float32),
         no_emit=jnp.zeros((n,), jnp.bool_),
+        mis_pdf=jnp.zeros((n,), jnp.float32),
     )
 
 
@@ -111,9 +116,9 @@ def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
     (sampling.SHADOW_EPS))."""
     nl = sh.n
     cos_dir = sampling.sample_cosine(nl, u[rng.P_SCATTER_U], u[rng.P_SCATTER_V])
-    if cfg.estimator in ("cosine", "nee_textbook"):
-        # nee_textbook: continuation is plain cosine; the direct (shadow-
-        # ray) term is added in _bounce_core.
+    if cfg.estimator in ("cosine", "nee_textbook", "mis"):
+        # nee_textbook/mis: continuation is plain cosine; the direct
+        # (shadow-ray) term is added in _bounce_core.
         return cos_dir, jnp.ones(nl.shape[:-1], nl.dtype), jnp.zeros(nl.shape[:-1], jnp.float32), hit_x
     if cfg.estimator in ("uniform", "uniform_corrected"):
         uni_dir = sampling.sample_uniform(nl, u[rng.P_SCATTER_U], u[rng.P_SCATTER_V])
@@ -221,19 +226,30 @@ class BounceOut(NamedTuple):
     #   discrete survival decision — grad/score.py; 0 when p in {0, >=1})
     no_emit_next: jnp.ndarray  # (N,) bool — suppress emission next bounce
     #   (nee_textbook only; False elsewhere)
+    mis_pdf_next: jnp.ndarray  # (N,) f32 — next bounce's balance-heuristic
+    #   pdf carry (estimator="mis" only; 0 elsewhere)
 
 
 def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
-                 depth, path_id, no_emit=None) -> BounceOut:
+                 depth, path_id, no_emit=None, mis_pdf=None) -> BounceOut:
     """The radiance() body (smallpt.cpp:419-496) over a wavefront.
 
     ``depth`` is the reference's post-increment value (++depth,
     smallpt.cpp:448) for this frame. ``no_emit`` marks lanes whose previous
     bounce already estimated the light via a shadow ray (nee_textbook) —
     their light-emission pickup this bounce is suppressed to avoid double
-    counting."""
+    counting. ``mis_pdf`` is estimator="mis"'s float analogue: the BSDF
+    pdf (cos/pi, solid angle) the previous diffuse vertex assigned to this
+    ray — the light pickup is weighted by the balance heuristic
+    p_bsdf / (p_bsdf + p_light) instead of being suppressed."""
     uniform = ld.make_uniform_cfg(cfg, rng.make_uniform_fn(cfg.rng_backend))
     textbook = cfg.estimator == "nee_textbook"
+    mis = cfg.estimator == "mis"
+    if mis and scene.lights is not None:
+        raise ValueError(
+            "estimator='mis' supports single-light scenes (v1); use "
+            "nee_textbook for scenes with a light list"
+        )
 
     hit = trace(scene, o, d)
     sh = shade_info(scene, o, d, hit)
@@ -242,6 +258,23 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     # Emission pickup: `return hit.e + ...` contributes T*e once per bounce
     # (the terminal RR return of e is this same term — see SURVEY C10/C13).
     emit = alive_f * T * sh.emission
+    if mis and mis_pdf is not None:
+        # Balance-heuristic weight on BSDF-sampled light hits: the same
+        # light could have been reached by the previous vertex's shadow
+        # ray, whose solid-angle density there is
+        # p_light = t^2 / (A * |cos(theta_l)|). Veach's w_bsdf =
+        # p_bsdf / (p_bsdf + p_light); with p_bsdf = 0 (primary ray,
+        # specular previous vertex, or non-light hit) the pickup is full.
+        area_l, n_l = sampling.light_area_normal(scene.light)
+        is_light_hit = hit.hit & (
+            hit.obj_id == jnp.asarray(scene.light.light_obj_id, jnp.int32)
+        )
+        cos_l = jnp.abs(vm.dot(d, n_l))
+        p_light = (hit.t * hit.t) / (area_l * jnp.maximum(cos_l, 1e-6))
+        w_bsdf = mis_pdf / (mis_pdf + p_light)
+        emit = emit * jnp.where(
+            is_light_hit & (mis_pdf > 0.0), w_bsdf, 1.0
+        )[:, None]
     if textbook and no_emit is not None:
         # Suppress ONLY emission the previous bounce's shadow ray already
         # estimated: the single sampled light — or, with a light LIST, any
@@ -317,7 +350,8 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     T_out = T * f * w[:, None]
 
     no_emit_next = jnp.zeros_like(alive)
-    if textbook:
+    mis_pdf_next = jnp.zeros(alive.shape, T.dtype)
+    if textbook or mis:
         # Unbiased next-event estimation (SURVEY hard part #2's
         # "nee_textbook"): at every live diffuse vertex, one shadow ray to a
         # uniform light-plane point; contribution
@@ -345,19 +379,46 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
         w_d = sampling.nee_weight(light, d_l, sh.n, t_safe)
         if q_sel is not None:
             w_d = w_d / q_sel
+        if mis:
+            # Balance heuristic on the light-sampled term: the SAME
+            # direction could have come from the cosine continuation,
+            # p_bsdf = max(d_l . n, 0) / pi; p_light = t^2/(A |cos_l|) is
+            # exactly the density nee_weight inverts. w_light =
+            # p_light / (p_light + p_bsdf); the complementary w_bsdf is
+            # applied at pickup (top of this function), so every light
+            # path is counted with total weight 1 — unbiased, and each
+            # strategy dominates where its density is higher (Veach 97).
+            area_l, n_l_ = sampling.light_area_normal(light)
+            cos_l_s = jnp.abs(vm.dot(d_l, n_l_))
+            p_light_s = (t_safe * t_safe) / (
+                area_l * jnp.maximum(cos_l_s, 1e-6)
+            )
+            p_bsdf_s = jnp.maximum(vm.dot(d_l, sh.n), 0.0) * (
+                1.0 / math.pi
+            )
+            w_d = w_d * (p_light_s / (p_light_s + p_bsdf_s))
         _, emission_all, _ = object_arrays(scene)
         e_light = emission_all[jnp.asarray(light.light_obj_id, jnp.int32)]
         diff_live = alive & (sh.refl == DIFF)
         gate = (diff_live & success).astype(T.dtype)
         emit = emit + (gate * w_d)[:, None] * T * sh.albedo * e_light
         probes = diff_live.astype(jnp.float32)
-        no_emit_next = alive_out & (sh.refl == DIFF)
+        if textbook:
+            no_emit_next = alive_out & (sh.refl == DIFF)
+        else:
+            # mis: carry the continuation's BSDF pdf to the next pickup.
+            mis_pdf_next = jnp.where(
+                alive_out & (sh.refl == DIFF),
+                jnp.maximum(vm.dot(new_dir, sh.n), 0.0) * (1.0 / math.pi),
+                0.0,
+            )
 
     # Trace accounting: 1 extend per alive lane at frame start + NEE probes
-    # (reference-style: lanes that survived RR and are DIFF; textbook: one
-    # shadow ray per live diffuse lane).
+    # (reference-style: lanes that survived RR and are DIFF; textbook/mis:
+    # one shadow ray per live diffuse lane).
     probe_alive = (
-        jnp.ones_like(alive) if textbook else (alive_out & (sh.refl == DIFF))
+        jnp.ones_like(alive) if (textbook or mis)
+        else (alive_out & (sh.refl == DIFF))
     )
     traces_inc = jnp.stack([
         jnp.sum(alive.astype(jnp.float32)),
@@ -367,7 +428,7 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     return BounceOut(
         emit=emit, x=x_next, new_dir=new_dir, T=T_out, alive=alive_out,
         traces_inc=traces_inc, logp_inc=logp_inc,
-        no_emit_next=no_emit_next,
+        no_emit_next=no_emit_next, mis_pdf_next=mis_pdf_next,
     )
 
 
@@ -376,7 +437,7 @@ def bounce_step(scene: Scene, cfg: RenderConfig, seed, state: PathState) -> Path
     depth = state.depth + 1  # the reference's ++depth (smallpt.cpp:448)
     out = _bounce_core(
         scene, cfg, seed, state.o, state.d, state.T, state.alive, depth,
-        state.path_id, state.no_emit,
+        state.path_id, state.no_emit, state.mis_pdf,
     )
     # Masked write-back: dead lanes keep their state frozen.
     live = out.alive[:, None]
@@ -390,6 +451,7 @@ def bounce_step(scene: Scene, cfg: RenderConfig, seed, state: PathState) -> Path
         path_id=state.path_id,
         n_traces=state.n_traces + out.traces_inc,
         no_emit=out.no_emit_next,
+        mis_pdf=out.mis_pdf_next,
     )
 
 
@@ -427,7 +489,7 @@ def path_trace_fixed(scene: Scene, cfg: RenderConfig, seed, o, d, path_id,
         depth = state.depth + 1
         out = _bounce_core(
             scene, cfg, seed, state.o, state.d, state.T, state.alive, depth,
-            state.path_id, state.no_emit,
+            state.path_id, state.no_emit, state.mis_pdf,
         )
         live = out.alive[:, None]
         new_state = PathState(
@@ -440,6 +502,7 @@ def path_trace_fixed(scene: Scene, cfg: RenderConfig, seed, o, d, path_id,
             path_id=state.path_id,
             n_traces=state.n_traces + out.traces_inc,
             no_emit=out.no_emit_next,
+            mis_pdf=out.mis_pdf_next,
         )
         return (new_state, logp + out.logp_inc), None
 
@@ -460,6 +523,7 @@ class RegenState(NamedTuple):
     path_id: jnp.ndarray  # (N,) uint32
     n_traces: jnp.ndarray  # (2,) f32 [extend, probe]
     no_emit: jnp.ndarray  # (N,) bool (nee_textbook double-count guard)
+    mis_pdf: jnp.ndarray  # (N,) f32 (estimator="mis" balance carry)
 
 
 def _spawn(cam: CameraParams, cfg: RenderConfig, seed, px, py, pid_base,
@@ -517,6 +581,7 @@ def path_trace_regen(scene: Scene, cfg: RenderConfig, seed,
         path_id=pid0,
         n_traces=jnp.zeros((2,), jnp.float32),
         no_emit=jnp.zeros((n,), jnp.bool_),
+        mis_pdf=jnp.zeros((n,), jnp.float32),
     )
 
     def cond(st):
@@ -526,7 +591,7 @@ def path_trace_regen(scene: Scene, cfg: RenderConfig, seed,
         depth = st.depth + 1
         out = _bounce_core(
             scene, cfg, seed, st.o, st.d, st.T, st.alive, depth, st.path_id,
-            st.no_emit,
+            st.no_emit, st.mis_pdf,
         )
         # Per-path max_bounces truncation — identical to the scan schedule's
         # whole-wave cap (in scan, every alive lane's depth equals the
@@ -549,8 +614,9 @@ def path_trace_regen(scene: Scene, cfg: RenderConfig, seed,
             path_id=jnp.where(respawn, pid_sp, st.path_id),
             n_traces=st.n_traces + out.traces_inc,
             # Respawned lanes start fresh (their primary hit DOES pick up
-            # emission); surviving lanes carry the textbook guard.
+            # emission); surviving lanes carry the textbook/mis guards.
             no_emit=out.no_emit_next & ~respawn,
+            mis_pdf=jnp.where(respawn, 0.0, out.mis_pdf_next),
         )
 
     out = jax.lax.while_loop(cond, body, state0)

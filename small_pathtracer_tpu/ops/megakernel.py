@@ -918,6 +918,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     uni = _uniform_for(cfg.rng_backend)
     est = cfg.estimator
     textbook = est == "nee_textbook"
+    mis_est = est == "mis"
     # The light object's emission (for the textbook direct term).
     all_objs = rects + quads + spheres
     e_light = tuple(
@@ -932,6 +933,11 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     # gather, Mosaic-friendly). Semantics match integrator/wavefront.py
     # _select_light exactly: light k with probability q_k, NEE weight / q_k.
     multi = lightlist is not None
+    if multi and mis_est:
+        raise ValueError(
+            "estimator='mis' supports single-light scenes (v1); use "
+            "nee_textbook for scenes with a light list"
+        )
     if multi and glibc:
         raise ValueError(
             "light_sample_mode='glibc_overflow' reproduces the reference's "
@@ -1061,13 +1067,22 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             jnp.zeros((), jnp.float32),  # extend traces
             jnp.zeros((), jnp.float32),  # probe traces
         )
+        if mis_est:
+            # estimator="mis": + the balance-heuristic pdf carry (the
+            # previous diffuse vertex's cos/pi of this ray's direction).
+            carry0 = carry0 + (jnp.zeros_like(px),)
 
         def cond(c):
             return jnp.max(c[12]) > 0
 
         def body(c):
-            (ox, oy, oz, dx, dy, dz, tr_, tg, tb, Lr, Lg, Lb, alive_i, depth,
-             s, pid, nex, npr) = c
+            if mis_est:
+                (ox, oy, oz, dx, dy, dz, tr_, tg, tb, Lr, Lg, Lb, alive_i,
+                 depth, s, pid, nex, npr, mpdf) = c
+            else:
+                (ox, oy, oz, dx, dy, dz, tr_, tg, tb, Lr, Lg, Lb, alive_i,
+                 depth, s, pid, nex, npr) = c
+                mpdf = None
             alive = alive_i > 0
             depth = jnp.where(alive, depth + 1, depth)
 
@@ -1087,6 +1102,20 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 suppress = (alive_i > np.int32(1)) & h["is_light"]
                 emit_f = jnp.where(
                     alive & ~suppress, np.float32(1.0), np.float32(0.0)
+                )
+            elif mis_est:
+                # Balance heuristic on BSDF-sampled light hits (mirrors
+                # _bounce_core's mis pickup): p_light = t^2/(A |cos_l|) at
+                # the CURRENT hit, w_bsdf = mpdf/(mpdf + p_light); full
+                # pickup when the previous vertex did not light-sample
+                # (mpdf == 0: primary, specular, or respawned lane).
+                cos_lh = jnp.abs(dx * ln[0] + dy * ln[1] + dz * ln[2])
+                p_l_h = (h["t"] * h["t"]) / (
+                    area * jnp.maximum(cos_lh, np.float32(1e-6))
+                )
+                w_b = mpdf / (mpdf + p_l_h)
+                emit_f = alive_f * jnp.where(
+                    h["is_light"] & (mpdf > 0.0), w_b, np.float32(1.0)
                 )
             else:
                 emit_f = alive_f
@@ -1216,10 +1245,11 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 # direction and weight below and always carry).
                 ok_g = ok_g | ~is_diff_g
 
-            if est in ("nee", "mixture", "nee_textbook"):
+            if est in ("nee", "mixture", "nee_textbook", "mis"):
                 # Light-plane sample + visibility probe. nee/mixture: C13
-                # continuation semantics; nee_textbook: unbiased shadow-ray
-                # direct term (see integrator/wavefront._bounce_core).
+                # continuation semantics; nee_textbook/mis: unbiased
+                # shadow-ray direct term (integrator/wavefront._bounce_core;
+                # mis weights both strategies by the balance heuristic).
                 lu = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_U),
                          purpose=rng.P_LIGHT_U)
                 lv = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_V),
@@ -1334,7 +1364,18 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     # Unbiased for the SUM over the list: importance weight
                     # 1/q_k (integrator/wavefront._diff_scatter).
                     w_nee = w_nee / q_sel
-                if textbook:
+                if mis_est:
+                    # w_light = p_light/(p_light + p_bsdf) at the SAMPLED
+                    # direction (complement of the pickup's w_bsdf).
+                    p_l_s = (t_safe * t_safe) / (
+                        area * jnp.maximum(cos_l, np.float32(1e-6))
+                    )
+                    dot_sn = ldx * nx + ldy * ny + ldz * nz
+                    p_b_s = jnp.maximum(dot_sn, 0.0) * np.float32(
+                        1.0 / math.pi
+                    )
+                    w_nee = w_nee * (p_l_s / (p_l_s + p_b_s))
+                if textbook or mis_est:
                     # Direct term with the PRE-update throughput; cosine
                     # continuation; one shadow ray per live diffuse lane
                     # (matches _bounce_core exactly). Multi-emitter: the
@@ -1457,7 +1498,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             tb_n = tb * h["alb"][2] * f_scale
 
             nex = nex + jnp.sum(alive_f)
-            if textbook:
+            if textbook or mis_est:
                 # Shadow rays fire for every live diffuse lane regardless
                 # of the RR outcome (probes already carries that mask).
                 npr = npr + jnp.sum(probes)
@@ -1542,6 +1583,19 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     alive_next & is_diff_tb & ~respawn,
                     np.int32(2), np.int32(0),
                 )
+            if mis_est:
+                # Next pickup's balance carry: the cosine continuation's
+                # pdf (cos/pi) for surviving diffuse lanes; 0 for
+                # spec/refr (delta — full pickup) and fresh respawns.
+                is_diff_m = ~(h["is_spec"] | h["is_refr"])
+                cos_c = ndx * nx + ndy * ny + ndz * nz
+                mpdf = jnp.where(
+                    alive_next & is_diff_m & ~respawn,
+                    jnp.maximum(cos_c, 0.0) * np.float32(1.0 / math.pi),
+                    np.float32(0.0),
+                )
+                return (ox, oy, oz, dx, dy, dz, tr_, tg, tb, Lr, Lg, Lb,
+                        alive_i, depth, s, pid, nex, npr, mpdf)
 
             return (ox, oy, oz, dx, dy, dz, tr_, tg, tb, Lr, Lg, Lb, alive_i,
                     depth, s, pid, nex, npr)

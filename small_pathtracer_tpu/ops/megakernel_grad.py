@@ -134,6 +134,13 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     light_id = light["light_obj_id"]
     uni = _uniform_for(cfg.rng_backend)
     est = cfg.estimator
+    if est == "mis":
+        raise ValueError(
+            "the adjoint megakernel does not implement estimator='mis' "
+            "yet; fit with estimator='nee_textbook' (same strategies, "
+            "all-or-nothing weights) or use the jnp adjoint "
+            "(grad/adjoint.py), which differentiates mis directly"
+        )
     textbook = est == "nee_textbook"
     glibc = cfg.light_sample_mode == "glibc_overflow"
     # Multi-emitter light list: same per-lane selection replay as the

