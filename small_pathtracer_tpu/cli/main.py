@@ -968,7 +968,9 @@ def main(argv=None) -> int:
                             "via --train) with common-random-number "
                             "central differences through the TABLE "
                             "megakernel (grad/fd.py) — chip-speed, no "
-                            "recompile per step, any sphere count")
+                            "recompile per step, any sphere count; "
+                            "normalized-step descent: --lr is the INITIAL "
+                            "step length in scene units")
     p_fit.add_argument("--fd-delta", type=float, default=0.5,
                        help="FD step in scene units for --fd-sphere")
     p_fit.add_argument("--camera-edge", action="store_true",

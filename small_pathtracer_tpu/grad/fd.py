@@ -47,7 +47,7 @@ def _table_cfg(cfg: RenderConfig) -> RenderConfig:
     return dataclasses.replace(cfg, sphere_table="on")
 
 
-def _render_mean(scene, cam, cfg, seed, interpret):
+def _render_mean(scene, cam, cfg, seed, interpret=False):
     img, _ = render_pallas(scene, cam, cfg, seed, interpret=interpret)
     return jnp.asarray(img, jnp.float32) / jnp.float32(cfg.spp)
 
@@ -104,18 +104,25 @@ def fd_loss_and_grad(scene: Scene, cam: CameraParams, cfg: RenderConfig,
 
 def fit_fd(scene: Scene, cam: CameraParams, cfg: RenderConfig, target,
            sphere_idx: int, fields=("center", "radius"), steps: int = 10,
-           lr: float = 2000.0, delta: float = 0.5, seed: int = 0,
+           lr: float = 1.0, delta: float = 0.5, seed: int = 0,
            interpret: bool = False, log=None):
-    """SGD on FD gradients through the table kernel. Returns
-    (fitted scene, [losses]). lr is large because image-MSE gradients
-    w.r.t. scene units are small (a 1-unit center move changes few
-    pixels). Every step is CLIPPED to +-2*delta per coordinate — the FD
-    gradient is only trustworthy within ~delta of the probe, and an
-    uncapped radius step oscillates (radius moves every silhouette pixel
-    at once, so its gradient runs much hotter than the center's)."""
+    """Normalized-step descent on FD gradients through the table kernel.
+    Returns (fitted scene, [losses]).
+
+    The FD gradient's MAGNITUDE spans decades (it scales with the
+    sphere's visible pixel fraction), so fixed-lr SGD is hopeless; its
+    DIRECTION is reliable. Each step moves ``cap`` units along -g/|g| per
+    field (same convention as fit --camera-edge), with a backtracking
+    trust region on the DETERMINISTIC (CRN) loss: a step that made things
+    worse is rejected — return to the best iterate and halve the cap
+    (the re-evaluated FD there is identical, so the retry just steps
+    shorter); acceptance regrows the cap toward its initial value.
+    lr = the INITIAL step length in scene units (materials use
+    min(lr, 0.1) in albedo/emission units)."""
     cfg = _table_cfg(cfg)
-    cap_geo = 2.0 * delta
-    cap_mat = 0.1
+    cap0_geo = float(lr)
+    cap0_mat = min(float(lr), 0.1)
+    cap_geo, cap_mat = cap0_geo, cap0_mat
     losses = []
     s = scene
     best_loss, best_s = float("inf"), scene
@@ -124,11 +131,6 @@ def fit_fd(scene: Scene, cam: CameraParams, cfg: RenderConfig, target,
             s, cam, cfg, target, sphere_idx, fields,
             delta=delta, seed=seed, interpret=interpret,
         )
-        # Backtracking trust region on the DETERMINISTIC (CRN) loss: near
-        # the optimum |lr*g| still exceeds the cap, so uncapped-size steps
-        # oscillate forever. Reject any step that made things worse —
-        # return to the best iterate with a halved cap (the re-evaluated
-        # FD there is identical, CRN, so the retry just steps shorter).
         if loss > best_loss:
             s = best_s
             cap_geo *= 0.5
@@ -139,13 +141,16 @@ def fit_fd(scene: Scene, cam: CameraParams, cfg: RenderConfig, target,
                       f"(cap -> {cap_geo:.3f})", file=log or sys.stderr)
             continue
         best_loss, best_s = loss, s
+        cap_geo = min(1.2 * cap_geo, cap0_geo)
+        cap_mat = min(1.2 * cap_mat, cap0_mat)
         losses.append(loss)
         sp = s.spheres
 
         def step(grad, cap):
-            return jnp.asarray(
-                np.clip(-lr * grad, -cap, cap), jnp.float32
-            )
+            n = float(np.linalg.norm(grad))
+            if n < 1e-30:
+                return jnp.zeros(len(grad), jnp.float32)
+            return jnp.asarray(-cap * grad / n, jnp.float32)
 
         if "center" in g:
             sp = sp._replace(center=sp.center.at[sphere_idx].add(

@@ -407,7 +407,7 @@ def test_fit_fd_sphere(capsys):
     rc = main([
         "fit", "--scene", "cornell_spheres", "--width", "16",
         "--height", "12", "--spp", "2", "--steps", "2",
-        "--fd-sphere", "0", "--train", "center,radius", "--lr", "2000",
+        "--fd-sphere", "0", "--train", "center,radius", "--lr", "1.5",
     ])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

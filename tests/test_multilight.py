@@ -175,3 +175,21 @@ def test_gather_light_views(twolights):
     area, n = sampling.light_area_normal(lv)
     np.testing.assert_allclose(np.asarray(area), [400.0, 625.0, 400.0])
     assert n.shape == (3, 3)
+
+
+def test_mis_rejects_light_lists():
+    """estimator='mis' is single-light v1: both the jnp wavefront and the
+    megakernel refuse light-list scenes with guidance."""
+    import pytest
+
+    from small_pathtracer_tpu import RenderConfig, get_scene, make_camera
+    from small_pathtracer_tpu.integrator.wavefront import render_regen
+    from small_pathtracer_tpu.ops.megakernel import build_kernel
+
+    scene = get_scene("cornell_twolights")
+    cam = make_camera()
+    cfg = RenderConfig(width=8, height=8, spp=1, estimator="mis")
+    with pytest.raises(ValueError, match="single-light"):
+        render_regen(scene, cam, cfg, 0)
+    with pytest.raises(ValueError, match="single-light"):
+        build_kernel(scene, cam, cfg)
