@@ -18,7 +18,7 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="uniform | uniform_corrected | cosine | nee | "
                         "mixture | nee_textbook (unbiased shadow-ray NEE) "
                         "| mis (balance-heuristic MIS over light + BSDF "
-                        "sampling; single-light scenes)")
+                        "sampling)")
     p.add_argument("--mixture-q", type=float, default=0.5)
     p.add_argument("--light-sample-mode", default="intended",
                    choices=["intended", "glibc_overflow"])

@@ -27,7 +27,8 @@ ESTIMATORS = (
     # the all-or-nothing double-count suppression. Strictly lower-variance
     # wherever either strategy's density dominates (e.g. vertices NEAR the
     # light, where the shadow ray's 1/t^2 weight explodes but the cosine
-    # continuation finds the light reliably). Single-light scenes (v1).
+    # continuation finds the light reliably). Light lists supported: the
+    # strategy density folds in the selection probability q_k.
     "mis",
 )
 

@@ -245,11 +245,6 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     uniform = ld.make_uniform_cfg(cfg, rng.make_uniform_fn(cfg.rng_backend))
     textbook = cfg.estimator == "nee_textbook"
     mis = cfg.estimator == "mis"
-    if mis and scene.lights is not None:
-        raise ValueError(
-            "estimator='mis' supports single-light scenes (v1); use "
-            "nee_textbook for scenes with a light list"
-        )
 
     hit = trace(scene, o, d)
     sh = shade_info(scene, o, d, hit)
@@ -265,12 +260,34 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
         # p_light = t^2 / (A * |cos(theta_l)|). Veach's w_bsdf =
         # p_bsdf / (p_bsdf + p_light); with p_bsdf = 0 (primary ray,
         # specular previous vertex, or non-light hit) the pickup is full.
-        area_l, n_l = sampling.light_area_normal(scene.light)
-        is_light_hit = hit.hit & (
-            hit.obj_id == jnp.asarray(scene.light.light_obj_id, jnp.int32)
-        )
+        # Light lists: the shadow-ray strategy picks light k with
+        # probability q_k, so the combined density at a direction hitting
+        # light k is q_k * t^2/(A_k |cos_k|) — gather (q, A, n) of the HIT
+        # light by id match (unlisted emitters keep w = 1: no shadow ray
+        # ever samples them).
+        if scene.lights is not None:
+            _, emission_all_m, _ = object_arrays(scene)
+            q_all = sampling.light_select_probs(
+                scene.lights, emission_all_m, cfg.light_select
+            )
+            areas_m, normals_m = sampling.light_area_normal(scene.lights)
+            match = hit.obj_id[:, None] == scene.lights.obj_id[None, :]
+            is_light_hit = hit.hit & jnp.any(match, axis=1)
+            k_idx = jnp.argmax(match, axis=1)
+            area_l = areas_m[k_idx]
+            n_l = normals_m[k_idx]
+            q_hit = q_all[k_idx]
+        else:
+            area_l, n_l = sampling.light_area_normal(scene.light)
+            is_light_hit = hit.hit & (
+                hit.obj_id == jnp.asarray(scene.light.light_obj_id,
+                                          jnp.int32)
+            )
+            q_hit = 1.0
         cos_l = jnp.abs(vm.dot(d, n_l))
-        p_light = (hit.t * hit.t) / (area_l * jnp.maximum(cos_l, 1e-6))
+        p_light = q_hit * (hit.t * hit.t) / (
+            area_l * jnp.maximum(cos_l, 1e-6)
+        )
         w_bsdf = mis_pdf / (mis_pdf + p_light)
         emit = emit * jnp.where(
             is_light_hit & (mis_pdf > 0.0), w_bsdf, 1.0
@@ -388,11 +405,15 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
             # applied at pickup (top of this function), so every light
             # path is counted with total weight 1 — unbiased, and each
             # strategy dominates where its density is higher (Veach 97).
-            area_l, n_l_ = sampling.light_area_normal(light)
-            cos_l_s = jnp.abs(vm.dot(d_l, n_l_))
+            # Light lists: the strategy's density includes the selection
+            # probability q_k of the sampled light (matches the pickup).
+            area_l2, n_l2 = sampling.light_area_normal(light)
+            cos_l_s = jnp.abs(vm.dot(d_l, n_l2))
             p_light_s = (t_safe * t_safe) / (
-                area_l * jnp.maximum(cos_l_s, 1e-6)
+                area_l2 * jnp.maximum(cos_l_s, 1e-6)
             )
+            if q_sel is not None:
+                p_light_s = p_light_s * q_sel
             p_bsdf_s = jnp.maximum(vm.dot(d_l, sh.n), 0.0) * (
                 1.0 / math.pi
             )

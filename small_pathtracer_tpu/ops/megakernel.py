@@ -933,11 +933,6 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     # gather, Mosaic-friendly). Semantics match integrator/wavefront.py
     # _select_light exactly: light k with probability q_k, NEE weight / q_k.
     multi = lightlist is not None
-    if multi and mis_est:
-        raise ValueError(
-            "estimator='mis' supports single-light scenes (v1); use "
-            "nee_textbook for scenes with a light list"
-        )
     if multi and glibc:
         raise ValueError(
             "light_sample_mode='glibc_overflow' reproduces the reference's "
@@ -1091,6 +1086,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 light_ids_all if multi else light_id,
                 ox, oy, oz, dx, dy, dz,
                 want_shading=True, sphere_tab=tab,
+                want_obj=(mis_est and multi),
             )
             alive_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
             # Emission pickup (C10/C13/C14). nee_textbook lanes whose
@@ -1105,14 +1101,32 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 )
             elif mis_est:
                 # Balance heuristic on BSDF-sampled light hits (mirrors
-                # _bounce_core's mis pickup): p_light = t^2/(A |cos_l|) at
-                # the CURRENT hit, w_bsdf = mpdf/(mpdf + p_light); full
+                # _bounce_core's mis pickup): p_light = q * t^2/(A |cos_l|)
+                # at the CURRENT hit, w_bsdf = mpdf/(mpdf + p_light); full
                 # pickup when the previous vertex did not light-sample
-                # (mpdf == 0: primary, specular, or respawned lane).
-                cos_lh = jnp.abs(dx * ln[0] + dy * ln[1] + dz * ln[2])
-                p_l_h = (h["t"] * h["t"]) / (
-                    area * jnp.maximum(cos_lh, np.float32(1e-6))
-                )
+                # (mpdf == 0: primary, specular, or respawned lane). Light
+                # lists: (q, A, n) of the HIT light by chained id select.
+                if multi:
+                    q_h = _q_l[0]
+                    a_h = ml[0]["area"]
+                    n_h = list(ml[0]["n"])
+                    for k in range(1, K_L):
+                        is_k = h["obj"] == np.int32(ml[k]["id"])
+                        q_h = jnp.where(is_k, _q_l[k], q_h)
+                        a_h = jnp.where(is_k, ml[k]["area"], a_h)
+                        for c in range(3):
+                            n_h[c] = jnp.where(is_k, ml[k]["n"][c], n_h[c])
+                    cos_lh = jnp.abs(
+                        dx * n_h[0] + dy * n_h[1] + dz * n_h[2]
+                    )
+                    p_l_h = q_h * (h["t"] * h["t"]) / (
+                        a_h * jnp.maximum(cos_lh, np.float32(1e-6))
+                    )
+                else:
+                    cos_lh = jnp.abs(dx * ln[0] + dy * ln[1] + dz * ln[2])
+                    p_l_h = (h["t"] * h["t"]) / (
+                        area * jnp.maximum(cos_lh, np.float32(1e-6))
+                    )
                 w_b = mpdf / (mpdf + p_l_h)
                 emit_f = alive_f * jnp.where(
                     h["is_light"] & (mpdf > 0.0), w_b, np.float32(1.0)
@@ -1366,10 +1380,13 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     w_nee = w_nee / q_sel
                 if mis_est:
                     # w_light = p_light/(p_light + p_bsdf) at the SAMPLED
-                    # direction (complement of the pickup's w_bsdf).
+                    # direction (complement of the pickup's w_bsdf);
+                    # light lists fold in the selection probability q_k.
                     p_l_s = (t_safe * t_safe) / (
-                        area * jnp.maximum(cos_l, np.float32(1e-6))
+                        area_use * jnp.maximum(cos_l, np.float32(1e-6))
                     )
+                    if multi:
+                        p_l_s = p_l_s * q_sel
                     dot_sn = ldx * nx + ldy * ny + ldz * nz
                     p_b_s = jnp.maximum(dot_sn, 0.0) * np.float32(
                         1.0 / math.pi

@@ -33,7 +33,7 @@ def test_box_scene_matches_jnp(est):
 @pytest.mark.parametrize(
     "est,sel",
     [("nee", "power"), ("nee", "uniform"), ("nee_textbook", "power"),
-     ("mixture", "uniform")],
+     ("mixture", "uniform"), ("mis", "power"), ("mis", "uniform")],
 )
 def test_twolights_matches_jnp(est, sel):
     """Multi-emitter light-list NEE in the kernel (per-lane inverse-CDF

@@ -177,19 +177,25 @@ def test_gather_light_views(twolights):
     assert n.shape == (3, 3)
 
 
-def test_mis_rejects_light_lists():
-    """estimator='mis' is single-light v1: both the jnp wavefront and the
-    megakernel refuse light-list scenes with guidance."""
-    import pytest
+def test_mis_light_list_unbiased():
+    """estimator='mis' over a light LIST: the balance weights fold in the
+    selection probability q_k, so the two-light scene's high-spp mean must
+    match the cosine estimator's (which never light-samples)."""
+    import jax.numpy as jnp
+    import numpy as np
 
     from small_pathtracer_tpu import RenderConfig, get_scene, make_camera
     from small_pathtracer_tpu.integrator.wavefront import render_regen
-    from small_pathtracer_tpu.ops.megakernel import build_kernel
 
     scene = get_scene("cornell_twolights")
-    cam = make_camera()
-    cfg = RenderConfig(width=8, height=8, spp=1, estimator="mis")
-    with pytest.raises(ValueError, match="single-light"):
-        render_regen(scene, cam, cfg, 0)
-    with pytest.raises(ValueError, match="single-light"):
-        build_kernel(scene, cam, cfg)
+    cam = make_camera(aspect=1.0)
+    ref_cfg = RenderConfig(width=16, height=16, spp=512,
+                           estimator="cosine", seed=9)
+    ref, _ = render_regen(scene, cam, ref_cfg, jnp.uint32(9))
+    ref = np.asarray(ref) / ref_cfg.spp
+    cfg = RenderConfig(width=16, height=16, spp=256, estimator="mis",
+                       seed=4)
+    img, _ = render_regen(scene, cam, cfg, jnp.uint32(4))
+    img = np.asarray(img) / cfg.spp
+    assert np.abs(img.mean(axis=(0, 1)) - ref.mean(axis=(0, 1))).max() \
+        < 2.5e-2
