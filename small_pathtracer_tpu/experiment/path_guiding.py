@@ -91,6 +91,17 @@ def _require_single_light(scene: Scene, what: str) -> None:
         )
 
 
+def _reject_glossy(scene: Scene, what: str) -> None:
+    from ..scene.types import scene_has_glos
+
+    if scene_has_glos(scene):
+        raise NotImplementedError(
+            f"{what} does not support GLOS (glossy) primitives: the guided "
+            "mixture reweights against the cosine continuation pdf; render "
+            "glossy scenes unguided (cosine / nee_textbook / mis)"
+        )
+
+
 def _spawn_all(cam: CameraParams, cfg: RenderConfig, seed):
     w, h, spp = cfg.width, cfg.height, cfg.spp
     uniform = rng.make_uniform_fn(cfg.rng_backend)
@@ -143,6 +154,7 @@ def train_guide(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     voxel. Specular/refractive chains between the diffuse vertex and the
     emitter pass credit through unchanged, so the learned lobe points at
     whatever leads to light — emitter, mirror, or glass."""
+    _reject_glossy(scene, "train_guide")
     return _train_guide(scene, cam, cfg, n_bounces, seed)
 
 
@@ -269,6 +281,7 @@ def render_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         raise ValueError(f"unknown guided estimator {estimator!r}")
     if estimator == "nee":
         _require_single_light(scene, "render_guided")
+    _reject_glossy(scene, "render_guided")
     return _render_guided(
         scene, cam, cfg, seed, guide, n_bounces, beta, k, estimator
     )

@@ -31,7 +31,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core import vecmath as vm
-from ..scene.types import OTHER_AXES, Scene, object_arrays
+from ..scene.types import OTHER_AXES, Scene, gloss_arrays, object_arrays
 
 MISS_T = 1e20  # smallpt.cpp:326
 SPHERE_EPS = 1e-4  # smallpt.cpp:231
@@ -147,6 +147,7 @@ class Shade(NamedTuple):
     albedo: jnp.ndarray    # (N,3)
     emission: jnp.ndarray  # (N,3)
     refl: jnp.ndarray      # (N,) int32
+    gloss: jnp.ndarray     # (N,) Phong exponent (GLOS extension; 0 else)
 
 
 def shade_info(scene: Scene, o, d, hit: Hit) -> Shade:
@@ -164,6 +165,7 @@ def shade_info(scene: Scene, o, d, hit: Hit) -> Shade:
     albedo = albedo_all[hit.obj_id]
     emission = emission_all[hit.obj_id]
     refl = refl_all[hit.obj_id]
+    gloss = gloss_arrays(scene)[hit.obj_id]
 
     # Rect normal: unit vector along the rect's normal axis.
     is_quad = (hit.obj_id >= R) & (hit.obj_id < R + Q)
@@ -193,4 +195,5 @@ def shade_info(scene: Scene, o, d, hit: Hit) -> Shade:
         is_sphere[:, None], n_sph, jnp.where(is_quad[:, None], n_quad, n_rect)
     )
     n = vm.orient_normal(n_geom, d)
-    return Shade(x=x, n=n, n_geom=n_geom, albedo=albedo, emission=emission, refl=refl)
+    return Shade(x=x, n=n, n_geom=n_geom, albedo=albedo, emission=emission,
+                 refl=refl, gloss=gloss)

@@ -46,6 +46,72 @@ def sample_uniform(nl: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.nda
     return vm.norm(d)
 
 
+def sample_phong(
+    mirror: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray, n_exp: jnp.ndarray
+) -> jnp.ndarray:
+    """Power-cosine lobe around the mirror direction (the GLOS extension —
+    no reference analogue; Refl_t stops at REFR, smallpt.cpp:72-74).
+
+    cos(alpha) = u2^(1/(n+1)), phi = 2*pi*u1 in the onb_from_w frame of
+    ``mirror`` — the exact sampler for the modified-Phong pdf
+    p(w) = (n+1)/(2*pi) * cos^n(alpha). n_exp may be per-lane (N,).
+
+    Sampled directions can fall below the SURFACE hemisphere (the lobe
+    straddles it for grazing mirrors); callers must zero/kill those lanes
+    (phong_weight returns 0 there)."""
+    sr1, cr1 = vm.sincos_2pi(u1)
+    cos_a = u2 ** (1.0 / (n_exp + 1.0))
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+    u, v = vm.onb_from_w(mirror)
+    d = (
+        u * (cr1 * sin_a)[..., None]
+        + v * (sr1 * sin_a)[..., None]
+        + mirror * cos_a[..., None]
+    )
+    return vm.norm(d)
+
+
+def _pow_safe(base: jnp.ndarray, n_exp: jnp.ndarray) -> jnp.ndarray:
+    """max(base, 0)^n with an AD-safe 0 base (d/dx x^n at x=0 NaNs for
+    n < 1 through the exp/log lowering; double-where keeps the primal and
+    the cotangent finite)."""
+    pos = base > 0.0
+    safe = jnp.where(pos, base, 1.0)
+    return jnp.where(pos, safe**n_exp, 0.0)
+
+
+def phong_pdf(
+    d: jnp.ndarray, mirror: jnp.ndarray, n_exp: jnp.ndarray
+) -> jnp.ndarray:
+    """Solid-angle density of sample_phong at direction d:
+    (n+1)/(2*pi) * max(d . mirror, 0)^n."""
+    cos_a = vm.dot(d, mirror)
+    return (n_exp + 1.0) * (1.0 / (2.0 * math.pi)) * _pow_safe(cos_a, n_exp)
+
+
+def phong_brdf_over_albedo(
+    d: jnp.ndarray, mirror: jnp.ndarray, n_exp: jnp.ndarray
+) -> jnp.ndarray:
+    """Modified-Phong BRDF divided by albedo:
+    f / rho = (n+2)/(2*pi) * max(d . mirror, 0)^n. Energy-conserving
+    (integral of f * cos over the hemisphere <= rho for any mirror tilt)."""
+    cos_a = vm.dot(d, mirror)
+    return (n_exp + 2.0) * (1.0 / (2.0 * math.pi)) * _pow_safe(cos_a, n_exp)
+
+
+def phong_weight(
+    d: jnp.ndarray, mirror: jnp.ndarray, nl: jnp.ndarray, n_exp: jnp.ndarray
+) -> jnp.ndarray:
+    """Path weight (f * cos / (pdf * albedo)) for a sample_phong direction:
+    (n+2)/(n+1) * max(d . nl, 0) — the cos^n factors cancel exactly.
+    Zero when the lobe sample fell below the surface (absorbed; callers
+    kill the lane)."""
+    del mirror  # cancels against the pdf; kept for signature symmetry
+    return (
+        (n_exp + 2.0) / (n_exp + 1.0)
+    ) * jnp.maximum(vm.dot(d, nl), 0.0)
+
+
 def light_area_normal(light: LightSampler):
     """Area and unit normal of the NEE sample parallelogram. For the Cornell
     presets: area = |(36,0,0) x (0,0,36)| = 1296 (the reference's hard-coded

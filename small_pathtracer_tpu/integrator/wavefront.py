@@ -41,7 +41,9 @@ from ..camera.pinhole import CameraParams, primary_rays_cfg
 from ..config import RenderConfig
 from ..core import film, ld, rng, vecmath as vm
 from ..geometry.intersect import Hit, shade_info, trace
-from ..scene.types import DIFF, REFR, SPEC, Scene, object_arrays
+from ..scene.types import (
+    DIFF, GLOS, REFR, SPEC, Scene, object_arrays, scene_has_glos,
+)
 from . import sampling
 
 
@@ -79,6 +81,25 @@ def init_paths(o, d, path_id) -> PathState:
         no_emit=jnp.zeros((n,), jnp.bool_),
         mis_pdf=jnp.zeros((n,), jnp.float32),
     )
+
+
+GLOS_ESTIMATORS = ("cosine", "nee_textbook", "mis")
+
+
+def check_glos_estimator(scene: Scene, cfg: RenderConfig) -> None:
+    """Reject GLOS scenes under the reference-parity estimators.
+
+    The C13 continuation family (``nee``/``mixture``) hard-codes the
+    diffuse cos/pi BRDF into its replace-the-bounce weight
+    (smallpt.cpp:471-472), and the ``uniform`` pair reproduces the
+    committed as-is weights (C12) — neither has glossy semantics. GLOS is
+    served by BSDF sampling (``cosine``), textbook NEE, and ``mis``."""
+    if cfg.estimator not in GLOS_ESTIMATORS and scene_has_glos(scene):
+        raise ValueError(
+            f"estimator {cfg.estimator!r} is a reference-parity estimator "
+            f"with no glossy (GLOS) semantics; use one of "
+            f"{GLOS_ESTIMATORS} for scenes with glossy primitives"
+        )
 
 
 def _select_light(scene: Scene, cfg: RenderConfig, u):
@@ -176,6 +197,23 @@ def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
 def _spec_scatter(sh, d_in):
     """Ideal mirror (C16, smallpt.cpp:482-483)."""
     return vm.reflect(d_in, sh.n_geom), jnp.ones(d_in.shape[:-1], d_in.dtype)
+
+
+def _glos_scatter(sh, d_in, u1, u2):
+    """Modified-Phong glossy lobe (GLOS — an extension; the reference's
+    Refl_t stops at REFR, smallpt.cpp:72-74). Samples the power-cosine
+    lobe around the mirror of the ORIENTED normal (two-sided surfaces
+    reflect about the side being shaded, like _spec uses n_geom for the
+    full-sphere mirror — for the one-sided lobe nl is the right axis).
+
+    Returns (dir, weight, mirror): weight = (n+2)/(n+1) * max(dir . nl, 0)
+    — the f*cos/pdf ratio with the cos^n factors cancelled
+    (sampling.phong_weight); 0 when the lobe sample fell below the surface
+    (the lane is absorbed/killed by the caller)."""
+    mirror = vm.reflect(d_in, sh.n)
+    d = sampling.sample_phong(mirror, u1, u2, sh.gloss)
+    w = sampling.phong_weight(d, mirror, sh.n, sh.gloss)
+    return d, w, mirror
 
 
 def _refr_scatter(sh, d_in, u_coin):
@@ -353,12 +391,22 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     diff_dir, diff_w, probes, diff_o = _diff_scatter(scene, cfg, sh, sh.x, u)
     spec_dir, spec_w = _spec_scatter(sh, d)
     refr_dir, refr_w = _refr_scatter(sh, d, u[rng.P_REFR_COIN])
+    glos_dir, glos_w, glos_mirror = _glos_scatter(
+        sh, d, u[rng.P_SCATTER_U], u[rng.P_SCATTER_V]
+    )
     is_spec = (sh.refl == SPEC)[:, None]
     is_refr = (sh.refl == REFR)[:, None]
+    is_glos = sh.refl == GLOS
     new_dir = jnp.where(is_spec, spec_dir, jnp.where(is_refr, refr_dir, diff_dir))
+    new_dir = jnp.where(is_glos[:, None], glos_dir, new_dir)
     w = jnp.where(
         sh.refl == SPEC, spec_w, jnp.where(sh.refl == REFR, refr_w, diff_w)
     )
+    w = jnp.where(is_glos, glos_w, w)
+    # Below-horizon lobe samples carry zero BRDF: the lane is absorbed
+    # (killed; its respawn/regeneration is the schedule's business). No-op
+    # for scenes without GLOS primitives (is_glos all-False).
+    alive_out = alive_out & ~(is_glos & (glos_w <= 0.0))
     # Next-bounce origin: sh.x, except light-list NEE-success diffuse lanes
     # (lifted probe origin — _diff_scatter docstring). Bitwise sh.x on the
     # single-light path.
@@ -396,6 +444,21 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
         w_d = sampling.nee_weight(light, d_l, sh.n, t_safe)
         if q_sel is not None:
             w_d = w_d / q_sel
+        # GLOS lanes swap the diffuse BRDF factor |cos|/pi inside
+        # nee_weight for the modified-Phong lobe evaluated at the
+        # shadow-ray direction: w = [A cos_l / t^2] * (f_glos/rho) * cos.
+        # No-op for scenes without GLOS (is_glos all-False keeps the
+        # diffuse w_d bit-identical through the select).
+        area_l2, n_l2 = sampling.light_area_normal(light)
+        w_geo = jnp.abs(area_l2 * vm.dot(d_l, n_l2)) / (t_safe * t_safe)
+        w_d_glos = (
+            w_geo
+            * sampling.phong_brdf_over_albedo(d_l, glos_mirror, sh.gloss)
+            * jnp.maximum(vm.dot(d_l, sh.n), 0.0)
+        )
+        if q_sel is not None:
+            w_d_glos = w_d_glos / q_sel
+        w_d = jnp.where(is_glos, w_d_glos, w_d)
         if mis:
             # Balance heuristic on the light-sampled term: the SAME
             # direction could have come from the cosine continuation,
@@ -407,7 +470,6 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
             # strategy dominates where its density is higher (Veach 97).
             # Light lists: the strategy's density includes the selection
             # probability q_k of the sampled light (matches the pickup).
-            area_l2, n_l2 = sampling.light_area_normal(light)
             cos_l_s = jnp.abs(vm.dot(d_l, n_l2))
             p_light_s = (t_safe * t_safe) / (
                 area_l2 * jnp.maximum(cos_l_s, 1e-6)
@@ -417,21 +479,35 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
             p_bsdf_s = jnp.maximum(vm.dot(d_l, sh.n), 0.0) * (
                 1.0 / math.pi
             )
+            # GLOS lanes: the continuation strategy is the Phong lobe, so
+            # the competing density at the shadow-ray direction is its pdf.
+            p_bsdf_s = jnp.where(
+                is_glos,
+                sampling.phong_pdf(d_l, glos_mirror, sh.gloss),
+                p_bsdf_s,
+            )
             w_d = w_d * (p_light_s / (p_light_s + p_bsdf_s))
         _, emission_all, _ = object_arrays(scene)
         e_light = emission_all[jnp.asarray(light.light_obj_id, jnp.int32)]
-        diff_live = alive & (sh.refl == DIFF)
-        gate = (diff_live & success).astype(T.dtype)
+        nee_live = alive & ((sh.refl == DIFF) | is_glos)
+        gate = (nee_live & success).astype(T.dtype)
         emit = emit + (gate * w_d)[:, None] * T * sh.albedo * e_light
-        probes = diff_live.astype(jnp.float32)
+        probes = nee_live.astype(jnp.float32)
         if textbook:
-            no_emit_next = alive_out & (sh.refl == DIFF)
+            no_emit_next = alive_out & ((sh.refl == DIFF) | is_glos)
         else:
-            # mis: carry the continuation's BSDF pdf to the next pickup.
+            # mis: carry the continuation's BSDF pdf to the next pickup
+            # (cos/pi for diffuse lanes, the Phong-lobe pdf for GLOS).
+            pdf_cont = jnp.maximum(vm.dot(new_dir, sh.n), 0.0) * (
+                1.0 / math.pi
+            )
+            pdf_cont = jnp.where(
+                is_glos,
+                sampling.phong_pdf(new_dir, glos_mirror, sh.gloss),
+                pdf_cont,
+            )
             mis_pdf_next = jnp.where(
-                alive_out & (sh.refl == DIFF),
-                jnp.maximum(vm.dot(new_dir, sh.n), 0.0) * (1.0 / math.pi),
-                0.0,
+                alive_out & ((sh.refl == DIFF) | is_glos), pdf_cont, 0.0
             )
 
     # Trace accounting: 1 extend per alive lane at frame start + NEE probes
@@ -729,6 +805,7 @@ def render_counts(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     only in accumulation order. Returns (linear image (h, w, 3) in [0,1] —
     contract C3 clamp applied — and (extend, probe) trace counts as floats;
     extend/paths is the exact mean path length, the fixed C17 stat)."""
+    check_glos_estimator(scene, cfg)
     if cfg.use_pallas:
         from ..ops.megakernel import render_pallas
 

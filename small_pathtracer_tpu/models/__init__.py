@@ -39,6 +39,10 @@ def get_model(name: str, **config_overrides) -> RenderModel:
         "smallpt_original": dict(estimator="cosine"),
         "cornell_tilted_light": dict(estimator="nee"),
         "cornell_twolights": dict(estimator="nee"),
+        # GLOS (glossy) extension scenes: mis is the natural estimator
+        # (scene/presets.veach_mis is Veach's MIS showcase).
+        "cornell_glossy": dict(estimator="mis"),
+        "veach_mis": dict(estimator="mis"),
         "sphere_grid": dict(estimator="nee"),
         # Scalability-ladder scenes (megakernel sphere table, PERF.md).
         "sphere_grid_256": dict(estimator="nee"),
@@ -57,6 +61,6 @@ def get_model(name: str, **config_overrides) -> RenderModel:
 
 MODELS = tuple(
     ("cornell_box", "cornell_spheres", "smallpt_original",
-     "cornell_tilted_light", "cornell_twolights", "sphere_grid",
-     "sphere_grid_256", "sphere_grid_1024")
+     "cornell_tilted_light", "cornell_twolights", "cornell_glossy",
+     "veach_mis", "sphere_grid", "sphere_grid_256", "sphere_grid_1024")
 )

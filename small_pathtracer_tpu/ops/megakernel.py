@@ -160,6 +160,7 @@ def _scene_consts(scene: Scene):
             albedo=tuple(float(v) for v in np.asarray(r.albedo)[i]),
             emission=tuple(float(v) for v in np.asarray(r.emission)[i]),
             refl=int(np.asarray(r.refl)[i]),
+            gloss=float(np.asarray(r.gloss)[i]),
         ))
     quads = []
     q = scene.quads
@@ -171,6 +172,7 @@ def _scene_consts(scene: Scene):
             albedo=tuple(float(v) for v in np.asarray(q.albedo)[i]),
             emission=tuple(float(v) for v in np.asarray(q.emission)[i]),
             refl=int(np.asarray(q.refl)[i]),
+            gloss=float(np.asarray(q.gloss)[i]),
         ))
     spheres = []
     s = scene.spheres
@@ -181,6 +183,7 @@ def _scene_consts(scene: Scene):
             albedo=tuple(float(v) for v in np.asarray(s.albedo)[i]),
             emission=tuple(float(v) for v in np.asarray(s.emission)[i]),
             refl=int(np.asarray(s.refl)[i]),
+            gloss=float(np.asarray(s.gloss)[i]),
         ))
     light = dict(
         corner=tuple(float(v) for v in np.asarray(scene.light.corner)),
@@ -473,7 +476,7 @@ def _probe_unrolled(rects, quads, spheres, light_id: int,
 
 def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
                     want_shading: bool, want_obj: bool = False,
-                    sphere_tab=None):
+                    sphere_tab=None, want_glos: bool = False):
     """Unrolled nearest-hit over all primitives.
 
     Returns dict with t, hit, is_light and (if want_shading) the winning
@@ -516,10 +519,18 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
             ngm = [jnp.ones_like(ox), jnp.zeros_like(ox), jnp.zeros_like(ox)]
         is_spec = jnp.zeros_like(ox, dtype=jnp.bool_)
         is_refr = jnp.zeros_like(ox, dtype=jnp.bool_)
+        if want_glos:
+            # GLOS extension: the winner's glossy flag + Phong exponent
+            # plane (C15 miss default = object 0's material, like alb/emi).
+            if o0["refl"] == 3:
+                is_glos = jnp.ones_like(ox, dtype=jnp.bool_)
+            else:
+                is_glos = jnp.zeros_like(ox, dtype=jnp.bool_)
+            glos = jnp.full_like(ox, np.float32(o0.get("gloss", 0.0)))
 
     def consider(obj_id, t_i, valid, n_raw, ng_raw, obj):
         nonlocal t_best, is_light, alb, emi, nrm, ngm, is_spec, is_refr
-        nonlocal obj_best
+        nonlocal obj_best, is_glos, glos
         win = valid & (t_i < t_best)
         t_best = jnp.where(win, t_i, t_best)
         if want_obj:
@@ -538,6 +549,12 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
                 ngm[c] = jnp.where(win, ng_raw[c], ngm[c])
             is_spec = (is_spec | win) if obj["refl"] == 1 else (is_spec & ~win)
             is_refr = (is_refr | win) if obj["refl"] == 2 else (is_refr & ~win)
+            if want_glos:
+                if obj["refl"] == 3:
+                    is_glos = is_glos | win
+                    glos = jnp.where(win, np.float32(obj["gloss"]), glos)
+                else:
+                    is_glos = is_glos & ~win
 
     for obj_id, t_i, valid, n_raw, ng_raw, obj in _iter_hits(
         rects, quads, spheres, ox, oy, oz, dx, dy, dz, want_shading
@@ -604,6 +621,10 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
             is_spec = msp > 0
             is_refr = mrf > 0
             is_light = is_light & ~won
+            if want_glos:
+                # Table spheres are never GLOS (build_kernel rejects that
+                # combination), so a table win simply clears the flag.
+                is_glos = is_glos & ~won
             if want_obj:
                 obj_best = ob
             # Winner's normal, reconstructed from (t_best, center) with the
@@ -645,6 +666,8 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
     if want_shading:
         out.update(alb=alb, emi=emi, nrm=nrm, ngm=ngm, is_spec=is_spec,
                    is_refr=is_refr)
+        if want_glos:
+            out.update(is_glos=is_glos, glos=glos)
     return out
 
 
@@ -880,6 +903,28 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     # reads them from SMEM at run time.
     has_spec_all = any(o["refl"] == 1 for o in rects + quads + spheres)
     has_refr_all = any(o["refl"] == 2 for o in rects + quads + spheres)
+    has_glos_all = any(o["refl"] == 3 for o in rects + quads + spheres)
+    if has_glos_all:
+        # GLOS (modified-Phong) extension — integrator/wavefront.py
+        # check_glos_estimator defines which estimators have glossy
+        # semantics; the guided mixture's lobe reweighting assumes the
+        # cosine continuation pdf, so it does not compose either.
+        if cfg.estimator not in ("cosine", "nee_textbook", "mis"):
+            raise ValueError(
+                f"estimator {cfg.estimator!r} has no glossy (GLOS) "
+                "semantics; use cosine / nee_textbook / mis"
+            )
+        if guide_cfg is not None:
+            raise ValueError(
+                "guided rendering does not compose with GLOS primitives "
+                "(the guide mixture reweights against the cosine pdf)"
+            )
+    if sphere_tab and any(o["refl"] == 3 for o in spheres):
+        raise ValueError(
+            "sphere_tab=True does not support GLOS table spheres (the "
+            "packed row carries no exponent); keep glossy spheres in an "
+            "unrolled scene or use the jnp wavefront"
+        )
     S_tab = len(spheres)
     base_tab = len(rects) + len(quads)
     if sphere_tab:
@@ -914,6 +959,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         g_norm = np.float32((float(guide_cfg[1]) + 1.0) / (2.0 * math.pi))
     has_spec = has_spec_all
     has_refr = has_refr_all
+    has_glos = has_glos_all
     light_id = light["light_obj_id"]
     uni = _uniform_for(cfg.rng_backend)
     est = cfg.estimator
@@ -1086,7 +1132,7 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 light_ids_all if multi else light_id,
                 ox, oy, oz, dx, dy, dz,
                 want_shading=True, sphere_tab=tab,
-                want_obj=(mis_est and multi),
+                want_obj=(mis_est and multi), want_glos=has_glos,
             )
             alive_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
             # Emission pickup (C10/C13/C14). nee_textbook lanes whose
@@ -1189,6 +1235,52 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             szr = uz * (cr1 * sin_t) + vz * (sr1 * sin_t) + nz * wz
             inv_sl = jax.lax.rsqrt(sxr * sxr + syr * syr + szr * szr)
             scx, scy, scz = sxr * inv_sl, syr * inv_sl, szr * inv_sl
+
+            if has_glos:
+                # GLOS modified-Phong lobe around the ORIENTED-normal
+                # mirror (integrator/wavefront._glos_scatter +
+                # sampling.sample_phong define the semantics; same u1/u2
+                # draws as the cosine sample, same onb/normalize
+                # expression trees for bit-parity).
+                gl = h["glos"]
+                glm = h["is_glos"]
+                nd_o = nx * dx + ny * dy + nz * dz
+                gmx = dx - nx * (np.float32(2.0) * nd_o)
+                gmy = dy - ny * (np.float32(2.0) * nd_o)
+                gmz = dz - nz * (np.float32(2.0) * nd_o)
+                cos_ga = u2 ** (np.float32(1.0) / (gl + np.float32(1.0)))
+                sin_ga = jnp.sqrt(
+                    jnp.maximum(np.float32(1.0) - cos_ga * cos_ga, 0.0)
+                )
+                pickg = jnp.abs(gmx) > np.float32(0.1)
+                guxr = jnp.where(pickg, gmz, 0.0)
+                guyr = jnp.where(pickg, 0.0, -gmz)
+                guzr = jnp.where(pickg, -gmx, gmy)
+                inv_gul = jax.lax.rsqrt(
+                    guxr * guxr + guyr * guyr + guzr * guzr
+                )
+                gux, guy, guz = guxr * inv_gul, guyr * inv_gul, guzr * inv_gul
+                gvx = gmy * guz - gmz * guy
+                gvy = gmz * gux - gmx * guz
+                gvz = gmx * guy - gmy * gux
+                glxr = gux * (cr1 * sin_ga) + gvx * (sr1 * sin_ga) + gmx * cos_ga
+                glyr = guy * (cr1 * sin_ga) + gvy * (sr1 * sin_ga) + gmy * cos_ga
+                glzr = guz * (cr1 * sin_ga) + gvz * (sr1 * sin_ga) + gmz * cos_ga
+                inv_gll = jax.lax.rsqrt(
+                    glxr * glxr + glyr * glyr + glzr * glzr
+                )
+                glx, gly, glz = glxr * inv_gll, glyr * inv_gll, glzr * inv_gll
+                # Path weight (n+2)/(n+1) * max(d . nl, 0)
+                # (sampling.phong_weight); 0 = below-horizon absorption.
+                gw = ((gl + np.float32(2.0)) / (gl + np.float32(1.0))) * (
+                    jnp.maximum(glx * nx + gly * ny + glz * nz, 0.0)
+                )
+
+                def _pow_safe_k(base, n_exp):
+                    # sampling._pow_safe: AD/NaN-safe max(base,0)^n.
+                    pos = base > 0.0
+                    safe = jnp.where(pos, base, 1.0)
+                    return jnp.where(pos, safe**n_exp, 0.0)
 
             if guided:
                 # Voxel lookup at the hit point (experiment/path_guiding.py
@@ -1378,6 +1470,22 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     # Unbiased for the SUM over the list: importance weight
                     # 1/q_k (integrator/wavefront._diff_scatter).
                     w_nee = w_nee / q_sel
+                if has_glos:
+                    # GLOS lanes swap the diffuse |cos|/pi factor for the
+                    # Phong lobe at the shadow-ray direction (mirrors
+                    # _bounce_core's w_d_glos select exactly).
+                    w_geo_k = jnp.abs(area_use * cos_l) / (t_safe * t_safe)
+                    brdf_g = (gl + np.float32(2.0)) * np.float32(
+                        1.0 / (2.0 * math.pi)
+                    ) * _pow_safe_k(
+                        ldx * gmx + ldy * gmy + ldz * gmz, gl
+                    )
+                    w_d_g = w_geo_k * brdf_g * jnp.maximum(
+                        ldx * nx + ldy * ny + ldz * nz, 0.0
+                    )
+                    if multi:
+                        w_d_g = w_d_g / q_sel
+                    w_nee = jnp.where(glm, w_d_g, w_nee)
                 if mis_est:
                     # w_light = p_light/(p_light + p_bsdf) at the SAMPLED
                     # direction (complement of the pickup's w_bsdf);
@@ -1391,6 +1499,15 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     p_b_s = jnp.maximum(dot_sn, 0.0) * np.float32(
                         1.0 / math.pi
                     )
+                    if has_glos:
+                        # GLOS: the competing continuation density is the
+                        # Phong-lobe pdf (sampling.phong_pdf).
+                        p_b_g = (gl + np.float32(1.0)) * np.float32(
+                            1.0 / (2.0 * math.pi)
+                        ) * _pow_safe_k(
+                            ldx * gmx + ldy * gmy + ldz * gmz, gl
+                        )
+                        p_b_s = jnp.where(glm, p_b_g, p_b_s)
                     w_nee = w_nee * (p_l_s / (p_l_s + p_b_s))
                 if textbook or mis_est:
                     # Direct term with the PRE-update throughput; cosine
@@ -1509,6 +1626,16 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     wgt = jnp.where(rf, w_refr, wgt)
                     probes = probes * jnp.where(rf, np.float32(0.0), np.float32(1.0))
 
+            if has_glos:
+                # GLOS override: Phong-lobe continuation; below-horizon
+                # samples (gw == 0) are absorbed — the lane dies and
+                # regenerates (mirrors _bounce_core's alive_out kill).
+                ndx = jnp.where(glm, glx, ndx)
+                ndy = jnp.where(glm, gly, ndy)
+                ndz = jnp.where(glm, glz, ndz)
+                wgt = jnp.where(glm, gw, wgt)
+                alive_next = alive_next & ~(glm & (gw <= 0.0))
+
             f_scale = inv_p * wgt
             tr_n = tr_ * h["alb"][0] * f_scale
             tg_n = tg * h["alb"][1] * f_scale
@@ -1606,9 +1733,22 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 # spec/refr (delta — full pickup) and fresh respawns.
                 is_diff_m = ~(h["is_spec"] | h["is_refr"])
                 cos_c = ndx * nx + ndy * ny + ndz * nz
+                pdf_cont = jnp.maximum(cos_c, 0.0) * np.float32(1.0 / math.pi)
+                if has_glos:
+                    # GLOS: the continuation is the Phong lobe — carry its
+                    # pdf at the sampled direction (sampling.phong_pdf).
+                    pdf_cont = jnp.where(
+                        glm,
+                        (gl + np.float32(1.0))
+                        * np.float32(1.0 / (2.0 * math.pi))
+                        * _pow_safe_k(
+                            ndx * gmx + ndy * gmy + ndz * gmz, gl
+                        ),
+                        pdf_cont,
+                    )
                 mpdf = jnp.where(
                     alive_next & is_diff_m & ~respawn,
-                    jnp.maximum(cos_c, 0.0) * np.float32(1.0 / math.pi),
+                    pdf_cont,
                     np.float32(0.0),
                 )
                 return (ox, oy, oz, dx, dy, dz, tr_, tg, tb, Lr, Lg, Lb,
@@ -1674,8 +1814,8 @@ def _geom_hash_structure(scene: Scene, cam: CameraParams) -> str:
     h = hashlib.sha256()
     r, q, s = scene.rects, scene.quads, scene.spheres
     static_leaves = (
-        r.axis, r.k, r.lo, r.hi, r.refl,
-        q.corner, q.edge_u, q.edge_v, q.refl,
+        r.axis, r.k, r.lo, r.hi, r.refl, r.gloss,
+        q.corner, q.edge_u, q.edge_v, q.refl, q.gloss,
         s.refl,
         scene.light,
         scene.lights if scene.lights is not None else (),

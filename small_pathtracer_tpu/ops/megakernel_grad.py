@@ -142,6 +142,12 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             "(grad/adjoint.py), which differentiates mis directly"
         )
     textbook = est == "nee_textbook"
+    if any(o["refl"] == 3 for o in all_objs):
+        raise ValueError(
+            "the adjoint megakernel does not implement GLOS (glossy) "
+            "materials; use the jnp adjoint (grad/adjoint.py), which "
+            "differentiates the glossy scatter directly"
+        )
     glibc = cfg.light_sample_mode == "glibc_overflow"
     # Multi-emitter light list: same per-lane selection replay as the
     # forward kernel. q is stop_gradient'ed in the jnp estimator

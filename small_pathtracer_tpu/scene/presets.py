@@ -22,7 +22,7 @@ import math
 import jax.numpy as jnp
 
 from .types import (
-    DIFF, REFR, SPEC, LightList, LightSampler, Scene, make_scene,
+    DIFF, GLOS, REFR, SPEC, LightList, LightSampler, Scene, make_scene,
 )
 
 # Axis codes
@@ -226,12 +226,89 @@ def cornell_twolights() -> Scene:
     )
 
 
+def cornell_glossy() -> Scene:
+    """Cornell walls + light with a GLOSSY (modified-Phong, exponent 60)
+    sphere next to a diffuse one — the minimal scene for the GLOS material
+    extension (no reference analogue: Refl_t stops at REFR,
+    smallpt.cpp:72-74). Renders under the BSDF-sampling estimators
+    (cosine / nee_textbook / mis)."""
+    spheres = [
+        ((27.0, 16.5, 47.0), 16.5, (0.999, 0.999, 0.999), _ZERO, GLOS, 60.0),
+        ((73.0, 16.5, 78.0), 16.5, _WHITE75, _ZERO, DIFF),
+    ]
+    return make_scene(_cornell_walls(), spheres, _cornell_light_sampler())
+
+
+def veach_mis() -> Scene:
+    """Veach's multiple-importance-sampling test scene (Veach & Guibas 95,
+    fig. 9.6), rebuilt in Cornell units for the default camera: four
+    glossy plates of increasing Phong exponent viewed at grazing angle,
+    lit by four emitters whose areas span ~150x at roughly equal power.
+
+    Light sampling alone is good for the small bright lights but terrible
+    for the big light reflected in a sharp lobe; BSDF sampling is the
+    reverse — estimator="mis" (balance heuristic) is the scene's point.
+    Object ids: floor 0, back wall 1, plates 2-5 (quads), lights 6-9
+    (quads). scene.light marks the big light; NEE runs over the list."""
+    rects = [
+        (AX_Y, 0.0, (1.0, 0.0), (99.0, 170.0), (0.45, 0.45, 0.45), _ZERO, DIFF),
+        (AX_Z, 0.0, (1.0, 0.0), (99.0, 120.0), (0.18, 0.18, 0.22), _ZERO, DIFF),
+    ]
+    # Plates: amphitheater of 70x12 strips pitched ~20 degrees (rising
+    # toward the back) so they reflect the light row into the camera;
+    # exponent ladder front-to-back 30 -> 2000.
+    pitch = math.radians(20.0)
+    dv = (0.0, 12.0 * math.sin(pitch), -12.0 * math.cos(pitch))
+    plate_alb = (0.85, 0.85, 0.85)
+    plates = []
+    for i, n_exp in enumerate((30.0, 120.0, 500.0, 2000.0)):
+        corner = (15.0, 4.0 + 11.0 * i, 101.0 - 18.0 * i)
+        plates.append(
+            (corner, (70.0, 0.0, 0.0), dv, plate_alb, _ZERO, GLOS, n_exp)
+        )
+    # Lights: areas 144 / 29 / 5.8 / 1.0 at ~equal total power (emission
+    # scaled by 1/area), with the subtle color ramp of Veach's figure.
+    sizes = (12.0, 5.4, 2.4, 1.0)
+    centers_x = (20.0, 40.0, 60.0, 80.0)
+    tints = (
+        (1.0, 0.85, 0.6), (1.0, 1.0, 0.8), (0.8, 1.0, 0.9), (0.7, 0.85, 1.0)
+    )
+    power = 150.0
+    lights_q = []
+    ll_corner, ll_eu, ll_ev = [], [], []
+    for s, cx, tint in zip(sizes, centers_x, tints):
+        corner = (cx - s / 2.0, 70.0, 20.0 - s / 2.0)
+        eu, ev = (s, 0.0, 0.0), (0.0, 0.0, s)
+        e = tuple(power / (s * s) * t for t in tint)
+        lights_q.append((corner, eu, ev, _ZERO, e, DIFF))
+        ll_corner.append(corner)
+        ll_eu.append(eu)
+        ll_ev.append(ev)
+    light = LightSampler(
+        corner=jnp.asarray(ll_corner[0], jnp.float32),
+        edge_u=jnp.asarray(ll_eu[0], jnp.float32),
+        edge_v=jnp.asarray(ll_ev[0], jnp.float32),
+        light_obj_id=jnp.asarray(6, jnp.int32),
+    )
+    lights = LightList(
+        corner=jnp.asarray(ll_corner, jnp.float32),
+        edge_u=jnp.asarray(ll_eu, jnp.float32),
+        edge_v=jnp.asarray(ll_ev, jnp.float32),
+        obj_id=jnp.asarray([6, 7, 8, 9], jnp.int32),
+    )
+    return make_scene(
+        rects, [], light, quads=plates + lights_q, lights=lights
+    )
+
+
 PRESETS = {
     "cornell_box": cornell_box,
     "cornell_spheres": cornell_spheres,
     "smallpt_original": smallpt_original,
     "cornell_tilted_light": cornell_tilted_light,
     "cornell_twolights": cornell_twolights,
+    "cornell_glossy": cornell_glossy,
+    "veach_mis": veach_mis,
     "sphere_grid": sphere_grid,
     # Scalability ladder for the megakernel's looped sphere table
     # (ops/megakernel.py sphere_tab; PERF.md "scalable scenes"): unrolling

@@ -23,10 +23,14 @@ import numpy as np
 import jax.numpy as jnp
 
 # Material / reflection types, matching the reference enum Refl_t
-# (smallpt.cpp:72-74).
+# (smallpt.cpp:72-74). GLOS is an EXTENSION beyond the reference's three
+# codes: a modified-Phong glossy lobe (energy-conserving power-cosine around
+# the mirror direction, exponent = the primitive's ``gloss`` field) — the
+# material family the Veach MIS test scene needs (scene/presets.veach_mis).
 DIFF = 0
 SPEC = 1
 REFR = 2
+GLOS = 3
 
 
 class Rects(NamedTuple):
@@ -40,7 +44,8 @@ class Rects(NamedTuple):
         (yz-rect: (y, z); xz-rect: (x, z); xy-rect: (x, y)), matching the
         constructor argument order in the reference.
     albedo, emission: (R, 3).
-    refl: (R,) int32 in {DIFF, SPEC, REFR}.
+    refl: (R,) int32 in {DIFF, SPEC, REFR, GLOS}.
+    gloss: (R,) Phong exponent (used when refl == GLOS, else ignored).
     """
 
     axis: jnp.ndarray
@@ -50,6 +55,7 @@ class Rects(NamedTuple):
     albedo: jnp.ndarray
     emission: jnp.ndarray
     refl: jnp.ndarray
+    gloss: jnp.ndarray
 
 
 class Quads(NamedTuple):
@@ -64,6 +70,7 @@ class Quads(NamedTuple):
     albedo: jnp.ndarray
     emission: jnp.ndarray
     refl: jnp.ndarray
+    gloss: jnp.ndarray
 
 
 class Spheres(NamedTuple):
@@ -74,6 +81,7 @@ class Spheres(NamedTuple):
     albedo: jnp.ndarray
     emission: jnp.ndarray
     refl: jnp.ndarray
+    gloss: jnp.ndarray
 
 
 class LightSampler(NamedTuple):
@@ -148,7 +156,17 @@ def make_scene(
     rects: list of (axis, k, (lo0, lo1), (hi0, hi1), albedo3, emission3, refl)
     spheres: list of (center3, radius, albedo3, emission3, refl)
     quads: list of (corner3, edge_u3, edge_v3, albedo3, emission3, refl)
+
+    Each tuple may carry one OPTIONAL trailing element: the Phong exponent
+    ``gloss`` for refl == GLOS primitives (defaults to 0 — ignored for the
+    reference's three material codes).
     """
+
+    def _gloss(items, n_base):
+        return jnp.asarray(
+            [float(x[n_base]) if len(x) > n_base else 0.0 for x in items],
+            dtype=dtype,
+        )
     if rects:
         r = Rects(
             axis=jnp.asarray([x[0] for x in rects], dtype=jnp.int32),
@@ -158,6 +176,7 @@ def make_scene(
             albedo=jnp.asarray([x[4] for x in rects], dtype=dtype),
             emission=jnp.asarray([x[5] for x in rects], dtype=dtype),
             refl=jnp.asarray([x[6] for x in rects], dtype=jnp.int32),
+            gloss=_gloss(rects, 7),
         )
     else:
         r = Rects(
@@ -168,6 +187,7 @@ def make_scene(
             albedo=jnp.zeros((0, 3), dtype),
             emission=jnp.zeros((0, 3), dtype),
             refl=jnp.zeros((0,), jnp.int32),
+            gloss=jnp.zeros((0,), dtype),
         )
     if quads:
         q = Quads(
@@ -177,6 +197,7 @@ def make_scene(
             albedo=jnp.asarray([x[3] for x in quads], dtype=dtype),
             emission=jnp.asarray([x[4] for x in quads], dtype=dtype),
             refl=jnp.asarray([x[5] for x in quads], dtype=jnp.int32),
+            gloss=_gloss(quads, 6),
         )
     else:
         q = Quads(
@@ -186,6 +207,7 @@ def make_scene(
             albedo=jnp.zeros((0, 3), dtype),
             emission=jnp.zeros((0, 3), dtype),
             refl=jnp.zeros((0,), jnp.int32),
+            gloss=jnp.zeros((0,), dtype),
         )
     if spheres:
         s = Spheres(
@@ -194,6 +216,7 @@ def make_scene(
             albedo=jnp.asarray([x[2] for x in spheres], dtype=dtype),
             emission=jnp.asarray([x[3] for x in spheres], dtype=dtype),
             refl=jnp.asarray([x[4] for x in spheres], dtype=jnp.int32),
+            gloss=_gloss(spheres, 5),
         )
     else:
         s = Spheres(
@@ -202,6 +225,7 @@ def make_scene(
             albedo=jnp.zeros((0, 3), dtype),
             emission=jnp.zeros((0, 3), dtype),
             refl=jnp.zeros((0,), jnp.int32),
+            gloss=jnp.zeros((0,), dtype),
         )
     return Scene(rects=r, quads=q, spheres=s, light=light, lights=lights)
 
@@ -227,6 +251,24 @@ def object_arrays(scene: Scene):
         [scene.rects.refl, scene.quads.refl, scene.spheres.refl], axis=0
     )
     return albedo, emission, refl
+
+
+def gloss_arrays(scene: Scene) -> jnp.ndarray:
+    """Concatenated per-object Phong exponent in global-id order (the GLOS
+    extension's per-object parameter; 0 for non-glossy objects)."""
+    return jnp.concatenate(
+        [scene.rects.gloss, scene.quads.gloss, scene.spheres.gloss], axis=0
+    )
+
+
+def scene_has_glos(scene: Scene) -> bool:
+    """Host-side: does the scene contain any GLOS primitive? Used by entry
+    points to gate the glossy scatter path (and to reject the
+    reference-parity estimators, which have no glossy semantics)."""
+    for refl in (scene.rects.refl, scene.quads.refl, scene.spheres.refl):
+        if np.any(np.asarray(refl) == GLOS):
+            return True
+    return False
 
 
 # In-plane axis pairs for each normal axis, ascending order. For normal axis
