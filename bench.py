@@ -8,9 +8,10 @@ Baseline: the C++ reference measured at 2.5 Mrays/s on one CPU core
 /root/reference/src/smallpt.cpp:323-335.
 
 Implementations (fastest first):
-  pallas — fused Pallas megakernel (ops/megakernel.py), ~670 Mrays/s on a
-           v5e, but ~3-5 min Mosaic compile (no cross-process cache under
-           the remote-compile tunnel);
+  pallas — fused Pallas megakernel (ops/megakernel.py), ~2950 Mrays/s at
+           the north-star config on a v5e (PERF.md ladder); cold Mosaic
+           compiles are minutes but the terminal-side cache makes warm
+           compiles ~4 s;
   regen  — jnp lane-regenerating wavefront, ~36 Mrays/s, ~1 min compile;
   scan   — jnp fixed-slot wavefront (the semantics reference), ~8 Mrays/s.
 

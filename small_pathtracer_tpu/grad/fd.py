@@ -135,7 +135,10 @@ def fit_fd(scene: Scene, cam: CameraParams, cfg: RenderConfig, target,
             s = best_s
             cap_geo *= 0.5
             cap_mat *= 0.5
-            losses.append(loss)
+            # Record the BEST loss so far, not the rejected proposal's —
+            # the function returns best_s, so losses[-1] must describe the
+            # returned iterate (ADVICE r3; cmd_fit reports losses[-1]).
+            losses.append(best_loss)
             if log is not None:
                 print(f"step {i}: loss {loss:.6f} rejected "
                       f"(cap -> {cap_geo:.3f})", file=log or sys.stderr)

@@ -943,6 +943,15 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 "sphere_tab=True requires the light to be an unrolled "
                 "rect/quad, not a table sphere"
             )
+        if scene.lights is not None and any(
+            int(i) >= base_tab
+            for i in np.asarray(scene.lights.obj_id).reshape(-1)
+        ):
+            raise ValueError(
+                "sphere_tab=True requires every light-list emitter to be "
+                "an unrolled rect/quad, not a table sphere (the table scan "
+                "strips spheres from the selection CDF's object list)"
+            )
         spheres = []
     guided = guide_cfg is not None
     if guided:
@@ -1788,8 +1797,34 @@ def _geom_hash(scene: Scene, cam: CameraParams) -> str:
     return h.hexdigest()
 
 
+def _table_compatible(scene: Scene) -> bool:
+    """True iff the scene satisfies build_kernel's sphere_tab constraints:
+    no GLOS table spheres, at least one unrolled rect/quad, and no light
+    (primary or list entry) living in the table."""
+    base_tab = (int(np.asarray(scene.rects.k).shape[0])
+                + int(np.asarray(scene.quads.corner).shape[0]))
+    if base_tab == 0:
+        return False
+    if any(int(r) == 3 for r in np.asarray(scene.spheres.refl).reshape(-1)):
+        return False
+    if int(np.asarray(scene.light.light_obj_id)) >= base_tab:
+        return False
+    if scene.lights is not None and any(
+        int(i) >= base_tab
+        for i in np.asarray(scene.lights.obj_id).reshape(-1)
+    ):
+        return False
+    return True
+
+
 def _use_sphere_table(scene: Scene, cfg: RenderConfig) -> bool:
-    """Resolve cfg.sphere_table ("auto"/"on"/"off") for this scene."""
+    """Resolve cfg.sphere_table ("auto"/"on"/"off") for this scene.
+
+    Auto mode only turns the table on when the scene also satisfies the
+    build constraints (_table_compatible) — a big scene with a GLOS
+    sphere, a sphere light, or no unrolled object renders via the
+    unrolled path instead of hard-erroring (ADVICE r3); explicit "on"
+    keeps the hard error so the caller learns why the table can't build."""
     S = int(np.asarray(scene.spheres.radius).shape[0])
     mode = getattr(cfg, "sphere_table", "auto")
     if mode == "on":
@@ -1800,7 +1835,7 @@ def _use_sphere_table(scene: Scene, cfg: RenderConfig) -> bool:
         raise ValueError(f"sphere_table must be auto/on/off, got {mode!r}")
     from ..config import SPHERE_TABLE_AUTO_MIN
 
-    return S >= SPHERE_TABLE_AUTO_MIN
+    return S >= SPHERE_TABLE_AUTO_MIN and _table_compatible(scene)
 
 
 def _geom_hash_structure(scene: Scene, cam: CameraParams) -> str:

@@ -36,6 +36,28 @@ def test_launcher_retries_then_raises(monkeypatch):
     assert calls["n"] == 3
 
 
+def test_launcher_programming_errors_fail_fast(monkeypatch):
+    """Deterministic errors (bad config/arguments) must NOT be retried —
+    a retry fails identically and wastes max_retries * delay (VERDICT r3
+    weak #8). Only transient-looking failures re-enter the loop."""
+    import small_pathtracer_tpu.parallel.launcher as L
+
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise ValueError("bad estimator")
+
+    monkeypatch.setattr(L, "render_sharded", boom)
+    cfg = spt.RenderConfig(width=8, height=8, spp=8)
+    with pytest.raises(ValueError, match="bad estimator"):
+        L.distributed_render(
+            spt.get_scene("cornell_box"), spt.make_camera(), cfg,
+            max_retries=2, retry_delay_s=0.0,
+        )
+    assert calls["n"] == 1
+
+
 def test_launcher_retry_resumes_from_checkpoint(tmp_path, monkeypatch):
     """Elastic recovery v2 (round-1 VERDICT weak #4): a failed attempt no
     longer re-renders from scratch — the retry RESUMES the checkpoint. The

@@ -413,6 +413,47 @@ class TestSphereTable:
         with pytest.raises(ValueError, match="mat_refs"):
             build_kernel(many, cam, cfg, sphere_tab=True)
 
+    def test_auto_falls_back_when_table_incompatible(self):
+        """auto mode must NOT select the table for scenes that violate the
+        build constraints (ADVICE r3): a GLOS sphere above the threshold
+        renders via the unrolled path instead of hard-erroring; explicit
+        "on" still errors with the diagnostic."""
+        import dataclasses
+
+        from small_pathtracer_tpu.ops.megakernel import (
+            _use_sphere_table,
+            build_kernel,
+        )
+
+        cam = make_camera()
+        many = get_scene("sphere_grid")
+        cfg = RenderConfig(width=8, height=8, spp=1, estimator="cosine")
+        # Make one sphere glossy: table now incompatible.
+        glos = many._replace(spheres=many.spheres._replace(
+            refl=many.spheres.refl.at[0].set(3)))
+        assert _use_sphere_table(many, cfg)
+        assert not _use_sphere_table(glos, cfg)
+        with pytest.raises(ValueError, match="GLOS"):
+            build_kernel(glos, cam,
+                         dataclasses.replace(cfg, sphere_table="on"),
+                         mat_refs=True, sphere_tab=True)
+        # A light-list entry pointing at a table sphere is rejected with a
+        # clear message, not a downstream IndexError (ADVICE r3 #2).
+        from small_pathtracer_tpu.scene.types import LightList
+
+        base = (int(np.asarray(many.rects.k).shape[0])
+                + int(np.asarray(many.quads.corner).shape[0]))
+        ll = LightList(
+            obj_id=jnp.asarray([base], jnp.int32),
+            corner=jnp.zeros((1, 3), jnp.float32),
+            edge_u=jnp.eye(3, dtype=jnp.float32)[:1],
+            edge_v=jnp.eye(3, dtype=jnp.float32)[1:2],
+        )
+        bad = many._replace(lights=ll)
+        assert not _use_sphere_table(bad, cfg)
+        with pytest.raises(ValueError, match="light-list"):
+            build_kernel(bad, cam, cfg, mat_refs=True, sphere_tab=True)
+
     def test_large_scene_renders(self):
         """256 spheres through the table: finite image, light visible, and
         the jnp wavefront agrees statistically (same estimator + RNG)."""
