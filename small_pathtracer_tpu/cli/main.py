@@ -783,6 +783,61 @@ def cmd_fit(args) -> int:
                                      steps=args.steps)))
         return 0
 
+    if cfg.use_pallas and (
+        {"center", "radius"} & set(args.train.split(","))
+    ):
+        # Chip-speed GEOMETRY fitting: the geometry-adjoint megakernel
+        # (ops/megakernel_geom.py) — pathwise interior cotangents for
+        # every table sphere's center/radius (+ materials) in one kernel
+        # launch per step, cost independent of the parameter count
+        # (vs 2P+1 renders for fit --fd-sphere).
+        import dataclasses as _dc
+
+        from ..ops.megakernel_geom import fit_pallas_geom, geom_run
+
+        fields = tuple(args.train.split(","))
+        bad = [f for f in fields
+               if f not in ("center", "radius", "albedo", "emission")]
+        if bad or args.optimizer != "sgd":
+            raise SystemExit(
+                "fit --pallas --train center,... supports --optimizer sgd "
+                "on center/radius/albedo/emission "
+                f"(got optimizer={args.optimizer}, fields={fields})"
+            )
+        si = args.fd_sphere if args.fd_sphere >= 0 else None
+        n_sph = int(scene.spheres.center.shape[0])
+        if n_sph == 0:
+            raise SystemExit("scene has no spheres to fit")
+        if si is not None and si >= n_sph:
+            raise SystemExit(f"--fd-sphere {si} out of range ({n_sph})")
+        cfg_g = _dc.replace(cfg, sphere_table="on")
+        if args.target:
+            target = jnp.asarray(
+                film.srgb_from_u8(film.read_ppm(args.target)), jnp.float32
+            )
+        else:
+            # Self-test: independent-seed target, then displace + recover
+            # (same protocol as fit --fd-sphere for comparability).
+            s0 = si if si is not None else 0
+            img_sum, _, _, _ = geom_run(scene, cam, cfg_g, cfg.seed + 1)
+            target = img_sum / cfg.spp
+            scene = scene._replace(spheres=scene.spheres._replace(
+                center=scene.spheres.center.at[s0].add(
+                    jnp.asarray([4.0, 0.0, -3.0])),
+                radius=scene.spheres.radius.at[s0].multiply(1.1),
+            ))
+        s, losses = fit_pallas_geom(
+            scene, cam, cfg_g, target, sphere_idx=si, fields=fields,
+            steps=args.steps, lr=args.lr, seed=cfg.seed, log=sys.stderr,
+        )
+        out = _fit_result(losses[-1] if losses else float("nan"),
+                          ran_steps=bool(losses), steps=args.steps)
+        ri = si if si is not None else 0
+        out["center"] = [float(v) for v in s.spheres.center[ri]]
+        out["radius"] = float(s.spheres.radius[ri])
+        print(json.dumps(out))
+        return 0
+
     if cfg.use_pallas:
         # Chip-speed material fitting: forward + adjoint megakernels with
         # runtime material tables (ops/megakernel_grad.py) — one compile,

@@ -424,9 +424,10 @@ def _table_sphere_hit(tab_ref, i, ox, oy, oz, dx, dy, dz):
     sdet = jnp.sqrt(jnp.where(det_pos, det, 1.0))
     t_near = bq - sdet
     t_far = bq + sdet
-    t_i = jnp.where(t_near > np.float32(SPHERE_EPS), t_near, t_far)
+    near = t_near > np.float32(SPHERE_EPS)
+    t_i = jnp.where(near, t_near, t_far)
     valid = det_pos & (t_i > np.float32(SPHERE_EPS))
-    return t_i, valid, (cx, cy, cz), b
+    return t_i, valid, (cx, cy, cz), b, near
 
 
 def _probe_unrolled(rects, quads, spheres, light_id: int,
@@ -461,7 +462,7 @@ def _probe_unrolled(rects, quads, spheres, light_id: int,
         tab_ref, S, _ = sphere_tab
 
         def body(i, occ_i):
-            t_i, valid, _, _ = _table_sphere_hit(
+            t_i, valid, _, _, _ = _table_sphere_hit(
                 tab_ref, i, ox, oy, oz, dx, dy, dz
             )
             blk = valid & (t_i < t_l)
@@ -476,7 +477,8 @@ def _probe_unrolled(rects, quads, spheres, light_id: int,
 
 def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
                     want_shading: bool, want_obj: bool = False,
-                    sphere_tab=None, want_glos: bool = False):
+                    sphere_tab=None, want_glos: bool = False,
+                    want_geom: bool = False):
     """Unrolled nearest-hit over all primitives.
 
     Returns dict with t, hit, is_light and (if want_shading) the winning
@@ -489,7 +491,15 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
     light_id: a single global object id, or a tuple of ids (multi-emitter
     scenes) — is_light then marks a hit on ANY listed light (the textbook
     double-count guard over a light list, integrator/wavefront.py
-    _bounce_core)."""
+    _bounce_core).
+
+    want_geom (sphere_tab shading scans only): additionally return the
+    winning TABLE sphere's differentiable geometry — "wc" center (3),
+    "wr" radius, "wnear" near-root choice (i32 1/0) — for the geometry
+    adjoint kernel (ops/megakernel_geom.py), which re-expresses the
+    winner's t/normal as functions of (center, radius) and pulls
+    cotangents back through them. Values are only meaningful where the
+    winner is a table sphere (obj >= base_id)."""
     light_ids = (
         (light_id,) if isinstance(light_id, (int, np.integer))
         else tuple(light_id)
@@ -585,16 +595,22 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
                 as_i32(is_spec), as_i32(is_refr),
                 obj_best if want_obj else i32z,
             )
+            if want_geom:
+                carry = carry + (jnp.ones_like(ox), i32z)  # radius, near
 
             def body(i, c):
-                (t_b, won, a0, a1, a2, e0, e1, e2, cbx, cby, cbz,
-                 msp, mrf, ob) = c
-                t_i, valid, (cx, cy, cz), b = _table_sphere_hit(
+                if want_geom:
+                    (t_b, won, a0, a1, a2, e0, e1, e2, cbx, cby, cbz,
+                     msp, mrf, ob, rb, nrb) = c
+                else:
+                    (t_b, won, a0, a1, a2, e0, e1, e2, cbx, cby, cbz,
+                     msp, mrf, ob) = c
+                t_i, valid, (cx, cy, cz), b, near_i = _table_sphere_hit(
                     tab_ref, i, ox, oy, oz, dx, dy, dz
                 )
                 win = valid & (t_i < t_b)
                 r_i = tab_ref[b + 10]
-                return (
+                out = (
                     jnp.where(win, t_i, t_b),
                     jnp.where(win, np.int32(1), won),
                     jnp.where(win, tab_ref[b + 4], a0),
@@ -612,9 +628,21 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
                                              np.int32(1), np.int32(0)), mrf),
                     jnp.where(win, (base_id + i).astype(jnp.int32), ob),
                 )
+                if want_geom:
+                    out = out + (
+                        jnp.where(win, tab_ref[b + 3], rb),
+                        jnp.where(win, jnp.where(near_i, np.int32(1),
+                                                 np.int32(0)), nrb),
+                    )
+                return out
 
-            (t_best, won_i, a0, a1, a2, e0, e1, e2, cbx, cby, cbz,
-             msp, mrf, ob) = _table_scan(S, body, carry)
+            scanned = _table_scan(S, body, carry)
+            if want_geom:
+                (t_best, won_i, a0, a1, a2, e0, e1, e2, cbx, cby, cbz,
+                 msp, mrf, ob, rad_b, near_b) = scanned
+            else:
+                (t_best, won_i, a0, a1, a2, e0, e1, e2, cbx, cby, cbz,
+                 msp, mrf, ob) = scanned
             won = won_i > 0
             alb = [a0, a1, a2]
             emi = [e0, e1, e2]
@@ -645,7 +673,7 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
 
             def body(i, c):
                 t_b, won, ob = c
-                t_i, valid, _, _ = _table_sphere_hit(
+                t_i, valid, _, _, _ = _table_sphere_hit(
                     tab_ref, i, ox, oy, oz, dx, dy, dz
                 )
                 win = valid & (t_i < t_b)
@@ -668,6 +696,10 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
                    is_refr=is_refr)
         if want_glos:
             out.update(is_glos=is_glos, glos=glos)
+        if want_geom:
+            if sphere_tab is None:
+                raise ValueError("want_geom requires sphere_tab")
+            out.update(wc=(cbx, cby, cbz), wr=rad_b, wnear=near_b)
     return out
 
 

@@ -225,20 +225,26 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
         gacc[...] = jnp.zeros((2 * n_obj * 3, TILE_ROWS, 128), jnp.float32)
 
         pid0 = pid_base + s0
-        o0, d0 = spawn(seed, px, py, pid0)
         zero = jnp.zeros_like(px)
         one = jnp.ones_like(px)
         izero = jnp.zeros_like(px, dtype=jnp.int32)
 
+        # Lanes start PENDING (alive == 2) and take their first primary
+        # ray from the in-body spawn: a spawn evaluated outside the while
+        # loop can differ by an ulp (XLA contraction context), which
+        # would make pass B's replay of each lane's FIRST sample trace a
+        # slightly different primary ray than pass A's — enough to flip
+        # a discrete path event and corrupt the tail recovery (observed
+        # in the geometry kernel, ops/megakernel_geom.py; one canonical
+        # spawn site makes pass A == pass B by construction).
         carry0 = (
-            # o0 entries are scalars (pinhole) or per-lane arrays (lens).
-            o0[0] + zero, o0[1] + zero, o0[2] + zero,
-            d0[0], d0[1], d0[2],
+            zero, zero, zero,
+            zero, zero, zero,
             one, one, one,              # T (prefix throughput)
             zero, zero, zero,           # acc (emission partial / pass-A L)
             zero, zero, zero,           # LA (pass-A radiance of the sample)
             izero,                      # phase: 0 = pass A, 1 = pass B
-            jnp.where(s0 < s_stop, np.int32(1), np.int32(0)),  # alive
+            jnp.where(s0 < s_stop, np.int32(2), np.int32(0)),  # alive
             izero,                      # depth
             s0,                         # sample idx
             pid0,                       # path id
@@ -251,7 +257,8 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
         def body(c):
             (ox, oy, oz, dx, dy, dz, tr_, tg, tb, ar, ag, ab,
              lar, lag, lab, ph, alive_i, depth, s, pid, ne) = c
-            alive = alive_i > 0
+            alive = alive_i == 1
+            pending = alive_i == 2
             depth = jnp.where(alive, depth + 1, depth)
 
             h = _trace_unrolled(
@@ -632,8 +639,8 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             adv = died & phB            # pass B done -> next sample
             s_next = s + jnp.where(adv, np.uint32(1), np.uint32(0))
             respawn_a = adv & (s_next < s_stop)
-            reborn = to_b | respawn_a
-            pid_sel = jnp.where(to_b, pid, pid_base + s_next)
+            reborn = to_b | respawn_a | pending
+            pid_sel = jnp.where(to_b | pending, pid, pid_base + s_next)
             o_sp, d_sp = spawn(seed, px, py, pid_sel)
 
             live = alive_next

@@ -416,6 +416,36 @@ def test_fit_fd_sphere(capsys):
     assert len(out["center"]) == 3 and out["radius"] > 0
 
 
+def test_fit_pallas_geometry(capsys):
+    """fit --pallas --train center,radius: the geometry-adjoint
+    megakernel path (one adjoint launch per step; self-test mode
+    displaces sphere 0 and descends)."""
+    rc = main([
+        "fit", "--scene", "cornell_spheres", "--width", "16",
+        "--height", "12", "--spp", "2", "--steps", "2",
+        "--pallas", "--train", "center,radius", "--fd-sphere", "0",
+        "--lr", "1.5",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["steps"] == 2
+    assert isinstance(out["final_loss"], float)
+    assert len(out["center"]) == 3 and out["radius"] > 0
+
+
+def test_fit_pallas_geometry_whole_table(capsys):
+    """fit --pallas geometry without --fd-sphere trains EVERY table
+    sphere at once (the cost-independence property FD can't have)."""
+    rc = main([
+        "fit", "--scene", "cornell_spheres", "--width", "16",
+        "--height", "12", "--spp", "2", "--steps", "2",
+        "--pallas", "--train", "center", "--lr", "1.0",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["final_loss"])
+
+
 def test_fit_soft_geometry(capsys):
     rc = main([
         "fit", "--scene", "cornell_spheres", "--width", "24", "--height", "16",
