@@ -189,10 +189,10 @@ def _render_guided_cli(args, scene, cam, cfg):
         train_guide,
     )
 
-    if args.checkpoint or args.mesh:
+    if (args.checkpoint or args.mesh or args.preview) and not cfg.use_pallas:
         raise SystemExit(
-            "--guided does not compose with --checkpoint/--mesh yet; "
-            "drop those flags for guided renders"
+            "--guided composes with --checkpoint/--mesh/--preview through "
+            "the guided megakernel only; add --pallas"
         )
     if cfg.estimator not in ("cosine", "nee_textbook"):
         raise SystemExit(
@@ -212,6 +212,24 @@ def _render_guided_cli(args, scene, cam, cfg):
     n_guided = int(jnp.asarray(guide[1]).sum())
     print(f"guide table trained: {n_guided} guided voxels", file=sys.stderr)
     if cfg.use_pallas:
+        if args.checkpoint or args.mesh or args.preview:
+            # Guided spans through render_with_checkpoints: resumable
+            # accumulation, progressive previews, and/or the device mesh
+            # (render_pallas_guided_sharded) — the previously-gated
+            # composition cells.
+            from ..utils.checkpoint import render_with_checkpoints
+
+            mesh = _mesh_from_arg(args)
+            every = args.checkpoint_every
+            if args.preview:
+                every = (args.preview_every or args.checkpoint_every
+                         or max(1, cfg.spp // 8))
+            img, traces = render_with_checkpoints(
+                scene, cam, cfg, args.checkpoint, every, mesh=mesh,
+                preview_path=args.preview, guide=guide,
+                guide_beta=args.guide_beta, guide_k=args.guide_k,
+            )
+            return img, traces
         from ..ops.megakernel import render_pallas_guided
 
         img, traces = render_pallas_guided(
@@ -299,8 +317,6 @@ def cmd_render(args) -> int:
                 )),
             )
     elif getattr(args, "guided", False):
-        if args.preview:
-            raise SystemExit("--preview does not compose with --guided")
         img, traces = _render_guided_cli(args, scene, cam, cfg)
     elif args.checkpoint or args.preview:
         from ..utils.checkpoint import render_with_checkpoints

@@ -31,6 +31,11 @@ walls/boxes are not the geometry-fitting targets); indirect bounces stay
 hard/ignored — use this as the geometry-fitting loss and the full path
 tracer for appearance. Cost is O(K_candidates x K_objects) per path.
 
+Multi-emitter scenes (scene.lights): the direct term draws a per-path
+light index with the stop-gradient'ed selection probabilities
+(sampling.light_select_probs) and importance-weights by 1/q_k — the
+soft render then matches the wavefront's light-list NEE semantics.
+
 Typical use (tests/test_soft.py): recover a sphere's position by Adam on
 mse(soft_render(scene), soft_render(target_scene)) — the pathwise-only
 gradient cannot do this at all when the sphere starts non-overlapping.
@@ -97,11 +102,6 @@ def soft_render(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
 
     Returns the unclamped linear (h, w, 3) mean image; smooth in all scene
     geometry parameters for tau > 0."""
-    if scene.lights is not None:
-        raise NotImplementedError(
-            "soft_render estimates direct light from the single scene.light "
-            "sampler; multi-emitter scenes (scene.lights) are not supported"
-        )
     w, h, spp = cfg.width, cfg.height, cfg.spp
     uniform = rng.make_uniform_fn(cfg.rng_backend)
     pix = jnp.arange(w * h, dtype=jnp.uint32)
@@ -131,18 +131,44 @@ def soft_render(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
     t_safe = jnp.where(valid, ts, 1.0)
     x = o[:, None, :] + t_safe[..., None] * d[:, None, :]  # (N, K, 3)
 
-    # Direct light at each candidate hit: one light sample shared per path.
-    light = scene.light
+    # Direct light at each candidate hit: one light sample shared per
+    # path. Multi-emitter scenes (scene.lights): per-path selection draw
+    # with probability q_k (stop-gradient'ed, light_select_probs), the
+    # chosen light point-sampled exactly like the single-light case, and
+    # the estimate importance-weighted by 1/q_k — the soft-visibility
+    # analogue of the wavefront's _select_light, unbiased for the SUM of
+    # direct light over the list.
+    multi = scene.lights is not None
     lu = uniform(seed, path_id, jnp.uint32(2))
     lv = uniform(seed, path_id, jnp.uint32(3))
-    lp = sampling.sample_light_point(light, lu, lv)  # (N, 3)
+    if multi:
+        probs = sampling.light_select_probs(
+            scene.lights, emission, cfg.light_select
+        )
+        usel = uniform(seed, path_id, jnp.uint32(4))
+        lidx = sampling.sample_light_index(probs, usel)       # (N,)
+        lsamp = sampling.gather_light(scene.lights, lidx)
+        lp = sampling.sample_light_point(lsamp, lu, lv)       # (N, 3)
+        area, n_light = sampling.light_area_normal(lsamp)
+        sel_obj = jnp.asarray(scene.lights.obj_id, jnp.int32)[lidx]
+        inv_q = 1.0 / probs[lidx]                             # (N,)
+    else:
+        light = scene.light
+        lp = sampling.sample_light_point(light, lu, lv)       # (N, 3)
+        area, n_light = sampling.light_area_normal(light)
+        sel_obj = jnp.broadcast_to(
+            jnp.asarray(scene.light.light_obj_id, jnp.int32),
+            (o.shape[0],),
+        )
+        inv_q = jnp.ones((o.shape[0],), o.dtype)
     wvec = lp[:, None, :] - x
     dist2 = jnp.sum(wvec * wvec, axis=-1)
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
     ldir = wvec / dist[..., None]
-    area, n_light = sampling.light_area_normal(light)
+    n_light_b = n_light[:, None, :] if multi else n_light[None, None, :]
+    area_b = area[:, None] if multi else area
     cos_s = jnp.maximum(jnp.sum(ldir * n, axis=-1), 0.0)
-    cos_l = jnp.abs(jnp.sum(ldir * n_light, axis=-1))
+    cos_l = jnp.abs(jnp.sum(ldir * n_light_b, axis=-1))
 
     # Shadow transmittance per CANDIDATE hit (v2, module docstring):
     # hard visibility vs rects/quads, soft (sigmoid-boundary) vs spheres.
@@ -153,14 +179,16 @@ def soft_render(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
     xf = x.reshape(N * K, 3)
     lf = ldir.reshape(N * K, 3)
     distf = dist.reshape(N * K)
+    # Per-candidate sampled-light id: only the light the path TARGETS is
+    # transparent to its own shadow probe; other emitters in a list
+    # occlude like any geometry (matching _diff_scatter's per-lane
+    # success test).
+    self_light = jnp.repeat(sel_obj, K)                     # (N*K,)
     eps = 1e-3
     vis = jnp.ones((N * K,), o.dtype)
     if R:
         t_r = intersect_rects(scene.rects, xf, lf)          # (N*K, R)
-        is_light_obj = (
-            jnp.arange(R)[None, :]
-            == jnp.asarray(light.light_obj_id, jnp.int32)
-        )
+        is_light_obj = jnp.arange(R)[None, :] == self_light[:, None]
         blocked = jnp.any(
             (t_r > eps) & (t_r < distf[:, None] - eps) & ~is_light_obj,
             axis=1,
@@ -169,8 +197,7 @@ def soft_render(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
     if Q:
         t_q = intersect_quads(scene.quads, xf, lf)
         is_light_obj = (
-            R + jnp.arange(Q)[None, :]
-            == jnp.asarray(light.light_obj_id, jnp.int32)
+            (R + jnp.arange(Q))[None, :] == self_light[:, None]
         )
         blocked = jnp.any(
             (t_q > eps) & (t_q < distf[:, None] - eps) & ~is_light_obj,
@@ -199,11 +226,12 @@ def soft_render(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
         vis = vis * jnp.prod(1.0 - occ, axis=1)
     lit = vis.reshape(N, K)
 
-    e_light = emission[jnp.asarray(light.light_obj_id, jnp.int32)]
+    e_light = emission[sel_obj]                      # (N, 3)
     direct = (
         albedo[None] / jnp.pi
-        * e_light[None, None]
-        * (cos_s * cos_l * area / jnp.maximum(dist2, 1e-6))[..., None]
+        * e_light[:, None, :]
+        * (cos_s * cos_l * area_b * inv_q[:, None]
+           / jnp.maximum(dist2, 1e-6))[..., None]
         * lit[..., None]
     )
     shade = emission[None] + direct                  # (N, K, 3)

@@ -55,12 +55,16 @@ from ..scene.types import DIFF, Scene
 from ..geometry.intersect import MISS_T, SELF_HIT_EPS, SPHERE_EPS
 from ..integrator.sampling import SHADOW_EPS
 
-# Lane tile: (TILE_ROWS, 128) f32. 64 sublanes x 128 lanes = 8192 lanes per
-# grid step — enough ILP to hide VPU latencies, ~0.6 MB VMEM of state.
-# Env-overridable for tuning sweeps (SPT_TILE_ROWS).
+# Lane tile: (TILE_ROWS, 128) f32 — 4096 lanes per grid step.
+# Env-overridable for tuning sweeps (SPT_TILE_ROWS). The north-star sweep
+# (PERF.md round 4: 8/16/32/64 rows -> 2084/2637/3036/2966 Mrays/s)
+# picked 32: a tile's while loop runs to its SLOWEST lane, and the
+# per-tile tail (max over lanes of total path work) shrinks with fewer
+# lanes per tile, beating 64 rows by ~2.3%; below 32 rows the fixed
+# per-iteration overhead and lost ILP dominate.
 import os as _os
 
-TILE_ROWS = int(_os.environ.get("SPT_TILE_ROWS", 64))
+TILE_ROWS = int(_os.environ.get("SPT_TILE_ROWS", 32))
 TILE = TILE_ROWS * 128
 
 
@@ -2211,7 +2215,8 @@ def dequantize_guide(guide):
 
 def render_pallas_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                          seed, guide, beta: float = 0.5, k: float = 8.0,
-                         interpret: bool = False):
+                         interpret: bool = False, s0=0,
+                         n_s: int | None = None):
     """Guided megakernel render (experiment/path_guiding.py semantics at
     chip speed): the voxel lobe table rides in VMEM and every diffuse
     bounce importance-samples the defensive mixture in-register.
@@ -2222,7 +2227,10 @@ def render_pallas_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     unbiased for any table, dequantize_guide gives the effective lobes.
     cfg.estimator must be "cosine" or "nee_textbook".
 
-    Returns ((h, w, 3) radiance SUM over spp, traces (2,) [extend,
+    s0/n_s render the sample span [s0, s0+n_s) only (checkpoint/preview
+    spans, utils/checkpoint.py; n_s defaults to cfg.spp, s0 is traced).
+
+    Returns ((h, w, 3) radiance SUM over the span, traces (2,) [extend,
     probe])."""
     if not interpret and jax.devices()[0].platform != "tpu":
         interpret = True
@@ -2232,27 +2240,30 @@ def render_pallas_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             "pass sphere_table='off' (the scene will be fully unrolled — "
             "practical below ~100 spheres) or drop --guided"
         )
+    n_s = cfg.spp if n_s is None else int(n_s)
     plane = pack_guide_planes(guide)
     key = (
-        _geom_hash(scene, cam), cfg, cfg.spp, float(beta), float(k),
+        _geom_hash(scene, cam), cfg, n_s, float(beta), float(k),
         plane.shape, interpret, "guided",
     )
     fn = _CACHE.get(key)
     if fn is None:
         fn = _build_render_guided(
             scene, cam, cfg, float(beta), float(k), plane.shape,
-            interpret,
+            interpret, n_s,
         )
         _CACHE[key] = fn
-    return fn(jnp.asarray(seed, jnp.uint32), jnp.asarray(plane))
+    return fn(jnp.asarray(seed, jnp.uint32), jnp.asarray(s0, jnp.uint32),
+              jnp.asarray(plane))
 
 
 def _build_render_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
-                         beta: float, k: float, plane_shape, interpret: bool):
+                         beta: float, k: float, plane_shape, interpret: bool,
+                         n_s: int | None = None):
     from ..integrator.wavefront import lane_groups
 
     n_pix = cfg.width * cfg.height
-    n_s = cfg.spp
+    n_s = cfg.spp if n_s is None else int(n_s)
     g = lane_groups(n_pix, n_s, 1 << 18, cfg.regen_groups)
     per = n_s // g
     n_lanes = n_pix * g
@@ -2269,12 +2280,12 @@ def _build_render_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     )
 
     @jax.jit
-    def run(seed, gpk):
+    def run(seed, s0, gpk):
         pix = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), g)
         px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
         py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
         pid_base = pix * jnp.uint32(cfg.spp)
-        s_start = jnp.tile(
+        s_start = s0 + jnp.tile(
             jnp.arange(g, dtype=jnp.uint32) * jnp.uint32(per), n_pix
         )
         s_stop = s_start + jnp.uint32(per)
@@ -2321,6 +2332,146 @@ def _build_render_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         return img, traces[0]
 
     return run
+
+
+def render_pallas_guided_sharded(scene: Scene, cam: CameraParams,
+                                 cfg: RenderConfig, mesh, seed, guide,
+                                 beta: float = 0.5, k: float = 8.0,
+                                 interpret: bool = False,
+                                 s0=0, n_s: int | None = None):
+    """Guided megakernel + device mesh: the packed lobe table replicates
+    on every device (it is a few hundred KB of VMEM) and each device runs
+    the SAME guided kernel over its (pixel-block x sample-range) lanes
+    inside shard_map; per-pixel sums reduce over the dp axis with one
+    psum — the guided analogue of render_pallas_sharded, closing the
+    --guided x --mesh composition cell.
+
+    Returns ((h*w, 3) radiance SUM sharded over sp, traces (2,)
+    psum-reduced)."""
+    if not interpret and jax.devices()[0].platform != "tpu":
+        interpret = True
+    if _use_sphere_table(scene, cfg):
+        raise ValueError(
+            "the guided megakernel does not support sphere_table mode; "
+            "pass sphere_table='off' or drop --guided"
+        )
+    n_s = cfg.spp if n_s is None else int(n_s)
+    plane = pack_guide_planes(guide)
+    key = (
+        _geom_hash(scene, cam), cfg, mesh, n_s, float(beta), float(k),
+        plane.shape, interpret, "guided_sharded",
+    )
+    fn = _CACHE.get(key)
+    if fn is None:
+        fn = _build_render_guided_sharded(
+            scene, cam, cfg, mesh, float(beta), float(k), plane.shape,
+            interpret, n_s,
+        )
+        _CACHE[key] = fn
+    return fn(jnp.asarray(seed, jnp.uint32), jnp.asarray(s0, jnp.uint32),
+              jnp.asarray(plane))
+
+
+def _build_render_guided_sharded(scene: Scene, cam: CameraParams,
+                                 cfg: RenderConfig, mesh, beta: float,
+                                 k: float, plane_shape, interpret: bool,
+                                 n_s: int):
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS_PIXEL, AXIS_SAMPLE
+
+    n_sp = mesh.shape[AXIS_PIXEL]
+    n_dp = mesh.shape[AXIS_SAMPLE]
+    n_pix = cfg.width * cfg.height
+    if n_pix % n_sp or n_s % n_dp:
+        raise ValueError(f"{n_pix=} % {n_sp=} or {n_s=} % {n_dp=} != 0")
+    n_pix_loc = n_pix // n_sp
+    n_s_loc = n_s // n_dp
+
+    from ..integrator.wavefront import lane_groups
+
+    g = lane_groups(n_pix_loc, n_s_loc, 1 << 18, cfg.regen_groups)
+    per = n_s_loc // g
+    n_lanes = n_pix_loc * g
+    pad = (-n_lanes) % TILE
+    n_tiles = (n_lanes + pad) // TILE
+
+    kernel = build_kernel(scene, cam, cfg, guide_cfg=(beta, k))
+    block = pl.BlockSpec(
+        (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    gblock = pl.BlockSpec(
+        plane_shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    def local(seed, s0, gpk):
+        pix0 = (jax.lax.axis_index(AXIS_PIXEL) * n_pix_loc).astype(
+            jnp.uint32
+        )
+        samp0 = s0 + (
+            jax.lax.axis_index(AXIS_SAMPLE) * n_s_loc
+        ).astype(jnp.uint32)
+        pix = pix0 + jnp.repeat(jnp.arange(n_pix_loc, dtype=jnp.uint32), g)
+        px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
+        py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
+        pid_base = pix * jnp.uint32(cfg.spp)
+        s_start = samp0 + jnp.tile(
+            jnp.arange(g, dtype=jnp.uint32) * jnp.uint32(per), n_pix_loc
+        )
+        s_stop = s_start + jnp.uint32(per)
+
+        def padto(x, fill):
+            return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+                n_tiles * TILE_ROWS, 128
+            )
+
+        lr, lg, lb, traces = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                gblock,
+                block, block, block, block, block,
+            ],
+            out_specs=[
+                block, block, block,
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            seed.reshape(1),
+            gpk,
+            padto(px, 0.0), padto(py, 0.0), padto(pid_base, 0),
+            padto(s_start, 0), padto(s_stop, 0),
+        )
+        L = jnp.stack(
+            [lr.reshape(-1)[:n_lanes], lg.reshape(-1)[:n_lanes],
+             lb.reshape(-1)[:n_lanes]],
+            axis=-1,
+        )
+        img_loc = L.reshape(n_pix_loc, g, 3).sum(axis=1)
+        img_loc = jax.lax.psum(img_loc, AXIS_SAMPLE)
+        return img_loc, jax.lax.psum(
+            traces[0], (AXIS_PIXEL, AXIS_SAMPLE)
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P()),  # guide table replicated
+            out_specs=(P(AXIS_PIXEL), P()), check_vma=False,
+        )
+    )
 
 
 def render_pallas_sharded(scene: Scene, cam: CameraParams, cfg: RenderConfig,

@@ -134,19 +134,14 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     light_id = light["light_obj_id"]
     uni = _uniform_for(cfg.rng_backend)
     est = cfg.estimator
-    if est == "mis":
-        raise ValueError(
-            "the adjoint megakernel does not implement estimator='mis' "
-            "yet; fit with estimator='nee_textbook' (same strategies, "
-            "all-or-nothing weights) or use the jnp adjoint "
-            "(grad/adjoint.py), which differentiates mis directly"
-        )
     textbook = est == "nee_textbook"
-    if any(o["refl"] == 3 for o in all_objs):
+    mis_est = est == "mis"
+    has_glos = any(o["refl"] == 3 for o in all_objs)
+    if has_glos and est not in ("cosine", "nee_textbook", "mis"):
         raise ValueError(
-            "the adjoint megakernel does not implement GLOS (glossy) "
-            "materials; use the jnp adjoint (grad/adjoint.py), which "
-            "differentiates the glossy scatter directly"
+            f"estimator {est!r} has no glossy (GLOS) semantics; use "
+            "cosine / nee_textbook / mis (same rule as the forward "
+            "kernel, ops/megakernel.build_kernel)"
         )
     glibc = cfg.light_sample_mode == "glibc_overflow"
     # Multi-emitter light list: same per-lane selection replay as the
@@ -250,13 +245,23 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             pid0,                       # path id
             izero,                      # no_emit (nee_textbook guard)
         )
+        if mis_est:
+            # + the balance-heuristic pdf carry (previous diffuse
+            # vertex's cos/pi of this ray), replayed exactly like the
+            # forward kernel's mpdf plane.
+            carry0 = carry0 + (zero,)
 
         def cond(c):
             return jnp.max(c[16]) > 0
 
         def body(c):
-            (ox, oy, oz, dx, dy, dz, tr_, tg, tb, ar, ag, ab,
-             lar, lag, lab, ph, alive_i, depth, s, pid, ne) = c
+            if mis_est:
+                (ox, oy, oz, dx, dy, dz, tr_, tg, tb, ar, ag, ab,
+                 lar, lag, lab, ph, alive_i, depth, s, pid, ne, mpdf) = c
+            else:
+                (ox, oy, oz, dx, dy, dz, tr_, tg, tb, ar, ag, ab,
+                 lar, lag, lab, ph, alive_i, depth, s, pid, ne) = c
+                mpdf = None
             alive = alive_i == 1
             pending = alive_i == 2
             depth = jnp.where(alive, depth + 1, depth)
@@ -265,6 +270,7 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 rects_k, quads_k, spheres_k,
                 light_ids_all if multi else light_id, ox, oy, oz,
                 dx, dy, dz, want_shading=True, want_obj=True,
+                want_glos=has_glos,
             )
             alive_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
 
@@ -277,6 +283,37 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 suppress = (ne > 0) & h["is_light"]
                 emit_f = jnp.where(alive & ~suppress, np.float32(1.0),
                                    np.float32(0.0))
+            elif mis_est:
+                # Balance heuristic on BSDF-sampled light hits (replay of
+                # the forward kernel's mis pickup block).
+                if multi:
+                    q_h = _q_l[0]
+                    a_h = ml[0]["area"]
+                    n_h = list(ml[0]["n"])
+                    for k in range(1, K_L):
+                        is_k = h["obj"] == np.int32(ml[k]["id"])
+                        q_h = jnp.where(is_k, _q_l[k], q_h)
+                        a_h = jnp.where(is_k, ml[k]["area"], a_h)
+                        for c_ in range(3):
+                            n_h[c_] = jnp.where(is_k, ml[k]["n"][c_],
+                                                n_h[c_])
+                    cos_lh = jnp.abs(
+                        dx * n_h[0] + dy * n_h[1] + dz * n_h[2]
+                    )
+                    p_l_h = q_h * (h["t"] * h["t"]) / (
+                        a_h * jnp.maximum(cos_lh, np.float32(1e-6))
+                    )
+                else:
+                    cos_lh = jnp.abs(
+                        dx * ln[0] + dy * ln[1] + dz * ln[2]
+                    )
+                    p_l_h = (h["t"] * h["t"]) / (
+                        area * jnp.maximum(cos_lh, np.float32(1e-6))
+                    )
+                w_b = mpdf / (mpdf + p_l_h)
+                emit_f = alive_f * jnp.where(
+                    h["is_light"] & (mpdf > 0.0), w_b, np.float32(1.0)
+                )
             else:
                 emit_f = alive_f
             ar_n = ar + emit_f * tr_ * h["emi"][0]
@@ -331,7 +368,52 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             inv_sl = jax.lax.rsqrt(sxr * sxr + syr * syr + szr * szr)
             scx, scy, scz = sxr * inv_sl, syr * inv_sl, szr * inv_sl
 
-            if est in ("nee", "mixture", "nee_textbook"):
+            if has_glos:
+                # GLOS modified-Phong lobe replay (forward kernel's
+                # has_glos scatter block, bit-identical expressions).
+                gl = h["glos"]
+                glm = h["is_glos"]
+                nd_o = nx * dx + ny * dy + nz * dz
+                gmx = dx - nx * (np.float32(2.0) * nd_o)
+                gmy = dy - ny * (np.float32(2.0) * nd_o)
+                gmz = dz - nz * (np.float32(2.0) * nd_o)
+                cos_ga = u2 ** (np.float32(1.0) / (gl + np.float32(1.0)))
+                sin_ga = jnp.sqrt(
+                    jnp.maximum(np.float32(1.0) - cos_ga * cos_ga, 0.0)
+                )
+                pickg = jnp.abs(gmx) > np.float32(0.1)
+                guxr = jnp.where(pickg, gmz, 0.0)
+                guyr = jnp.where(pickg, 0.0, -gmz)
+                guzr = jnp.where(pickg, -gmx, gmy)
+                inv_gul = jax.lax.rsqrt(
+                    guxr * guxr + guyr * guyr + guzr * guzr
+                )
+                gux, guy, guz = (guxr * inv_gul, guyr * inv_gul,
+                                 guzr * inv_gul)
+                gvx = gmy * guz - gmz * guy
+                gvy = gmz * gux - gmx * guz
+                gvz = gmx * guy - gmy * gux
+                glxr = (gux * (cr1 * sin_ga) + gvx * (sr1 * sin_ga)
+                        + gmx * cos_ga)
+                glyr = (guy * (cr1 * sin_ga) + gvy * (sr1 * sin_ga)
+                        + gmy * cos_ga)
+                glzr = (guz * (cr1 * sin_ga) + gvz * (sr1 * sin_ga)
+                        + gmz * cos_ga)
+                inv_gll = jax.lax.rsqrt(
+                    glxr * glxr + glyr * glyr + glzr * glzr
+                )
+                glx, gly, glz = (glxr * inv_gll, glyr * inv_gll,
+                                 glzr * inv_gll)
+                gw = ((gl + np.float32(2.0)) / (gl + np.float32(1.0))) * (
+                    jnp.maximum(glx * nx + gly * ny + glz * nz, 0.0)
+                )
+
+                def _pow_safe_k(base, n_exp):
+                    pos = base > 0.0
+                    safe = jnp.where(pos, base, 1.0)
+                    return jnp.where(pos, safe**n_exp, 0.0)
+
+            if est in ("nee", "mixture", "nee_textbook", "mis"):
                 lu = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_U))
                 lv = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_V))
                 if multi:
@@ -427,7 +509,41 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 ) * (cos_s * np.float32(1.0 / math.pi))
                 if multi:
                     w_nee = w_nee / q_sel
-                if textbook:
+                if has_glos:
+                    # GLOS lanes: Phong lobe at the shadow direction
+                    # (forward kernel's w_d_glos select).
+                    w_geo_k = jnp.abs(area_use * cos_l) / (t_safe * t_safe)
+                    brdf_g = (gl + np.float32(2.0)) * np.float32(
+                        1.0 / (2.0 * math.pi)
+                    ) * _pow_safe_k(
+                        ldx * gmx + ldy * gmy + ldz * gmz, gl
+                    )
+                    w_d_g = w_geo_k * brdf_g * jnp.maximum(
+                        ldx * nx + ldy * ny + ldz * nz, 0.0
+                    )
+                    if multi:
+                        w_d_g = w_d_g / q_sel
+                    w_nee = jnp.where(glm, w_d_g, w_nee)
+                if mis_est:
+                    # Balance weight at the sampled direction (replay).
+                    p_l_s = (t_safe * t_safe) / (
+                        area_use * jnp.maximum(cos_l, np.float32(1e-6))
+                    )
+                    if multi:
+                        p_l_s = p_l_s * q_sel
+                    dot_sn = ldx * nx + ldy * ny + ldz * nz
+                    p_b_s = jnp.maximum(dot_sn, 0.0) * np.float32(
+                        1.0 / math.pi
+                    )
+                    if has_glos:
+                        p_b_g = (gl + np.float32(1.0)) * np.float32(
+                            1.0 / (2.0 * math.pi)
+                        ) * _pow_safe_k(
+                            ldx * gmx + ldy * gmy + ldz * gmz, gl
+                        )
+                        p_b_s = jnp.where(glm, p_b_g, p_b_s)
+                    w_nee = w_nee * (p_l_s / (p_l_s + p_b_s))
+                if textbook or mis_est:
                     # Unbiased shadow-ray direct term with the PRE-update
                     # throughput; continuation is plain cosine (wgt = 1).
                     # Mirrors build_kernel's textbook block exactly.
@@ -535,6 +651,15 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                     ndz = jnp.where(rf, jnp.where(pick_refl, rfz, tdz), ndz)
                     wgt = jnp.where(rf, w_refr, wgt)
 
+            if has_glos:
+                # GLOS override: Phong continuation; below-horizon samples
+                # are absorbed (the lane dies), mirroring the forward.
+                ndx = jnp.where(glm, glx, ndx)
+                ndy = jnp.where(glm, gly, ndy)
+                ndz = jnp.where(glm, glz, ndz)
+                wgt = jnp.where(glm, gw, wgt)
+                alive_next = alive_next & ~(glm & (gw <= 0.0))
+
             f_scale = inv_p * wgt
             f_ch = (
                 h["alb"][0] * f_scale,
@@ -586,11 +711,14 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
             val_alb_tot = [
                 val_alb[chn] + am_w[chn] * s_am for chn in range(3)
             ]
-            if textbook:
+            if textbook or mis_est:
                 # Direct-term cotangents: b_dir = gate*T*c*e_light, so
                 # d/dc picks up gate*T*e_light on the hit object and
                 # d/de_light picks up gate*T*c on the (per-lane sampled)
-                # LIGHT's emission row.
+                # LIGHT's emission row. For mis, gate already carries the
+                # balance weight (a materials-constant — p_l, p_b, and q
+                # are all geometry/selection quantities; q is
+                # stop-gradient'ed per sampling.light_select_probs).
                 val_alb_tot = [
                     val_alb_tot[chn]
                     + g_ct[chn] * gate * T_ch[chn] * e_l_use[chn]
@@ -610,7 +738,7 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                     gacc[ia] = gacc[ia] + m * val_alb_tot[chn]
                     ie = n_obj * 3 + ia
                     gacc[ie] = gacc[ie] + m * val_emi[chn]
-            if textbook and multi:
+            if (textbook or mis_est) and multi:
                 # Route the direct-term emission cotangent to the per-lane
                 # SAMPLED light's row (gate is zero off-success, so the
                 # lidx mask only picks the routing).
@@ -624,7 +752,7 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                             mk * g_ct[chn] * gate * T_ch[chn]
                             * h["alb"][chn]
                         )
-            elif textbook:
+            elif textbook or mis_est:
                 for chn in range(3):
                     ie_l = n_obj * 3 + light_id * 3 + chn
                     gacc[ie_l] = gacc[ie_l] + (
@@ -684,6 +812,33 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
                 )
             else:
                 ne = jnp.zeros_like(ne)
+            if mis_est:
+                # Balance carry for the next pickup (forward kernel's
+                # mpdf block): cosine (or Phong) continuation pdf for
+                # surviving diffuse lanes, 0 for spec/refr and reborn.
+                is_diff_m = ~(h["is_spec"] | h["is_refr"])
+                cos_c = ndx * nx + ndy * ny + ndz * nz
+                pdf_cont = jnp.maximum(cos_c, 0.0) * np.float32(
+                    1.0 / math.pi
+                )
+                if has_glos:
+                    pdf_cont = jnp.where(
+                        glm,
+                        (gl + np.float32(1.0))
+                        * np.float32(1.0 / (2.0 * math.pi))
+                        * _pow_safe_k(
+                            ndx * gmx + ndy * gmy + ndz * gmz, gl
+                        ),
+                        pdf_cont,
+                    )
+                mpdf = jnp.where(
+                    alive_next & is_diff_m & ~reborn,
+                    pdf_cont,
+                    np.float32(0.0),
+                )
+                return (ox, oy, oz, dx, dy, dz, tr_, tg, tb, ar, ag, ab,
+                        lar, lag, lab, ph, alive_i, depth, s, pid, ne,
+                        mpdf)
             return (ox, oy, oz, dx, dy, dz, tr_, tg, tb, ar, ag, ab,
                     lar, lag, lab, ph, alive_i, depth, s, pid, ne)
 
@@ -906,6 +1061,159 @@ def _build_vjp(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         return galb, gemi
 
     return run
+
+
+def material_train_step_sharded(scene: Scene, cam: CameraParams,
+                                cfg: RenderConfig, mesh, target,
+                                interpret: bool = False):
+    """Sharded chip-speed material-fit step: ONE shard_map in which every
+    device (a) renders its (pixel-block x sample-range) lanes through the
+    runtime-material forward kernel, (b) psums the partial image over the
+    sample axis, (c) derives its local loss cotangent from its own pixel
+    rows of ``target``, and (d) runs the adjoint kernel on the same
+    lanes, psum-reducing the (K, 3) material cotangents over the whole
+    mesh (ICI) — the multi-chip form of loss_and_material_grads, so
+    ``fit --pallas`` scales like the forward renderer.
+
+    Returns step(albedo, emission, seed) -> (loss, galb, gemi); compiled
+    once per (geometry, cfg, mesh)."""
+    import math as _math
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS_PIXEL, AXIS_SAMPLE
+
+    if not interpret and jax.devices()[0].platform != "tpu":
+        interpret = True
+    n_sp = mesh.shape[AXIS_PIXEL]
+    n_dp = mesh.shape[AXIS_SAMPLE]
+    n_pix = cfg.width * cfg.height
+    spp = cfg.spp
+    if n_pix % n_sp or spp % n_dp:
+        raise ValueError(f"{n_pix=} % {n_sp=} or {spp=} % {n_dp=} != 0")
+    n_pix_loc = n_pix // n_sp
+    n_s_loc = spp // n_dp
+
+    from ..integrator.wavefront import lane_groups
+
+    g = lane_groups(n_pix_loc, n_s_loc, 1 << 18, cfg.regen_groups)
+    per = n_s_loc // g
+    n_lanes = n_pix_loc * g
+    pad = (-n_lanes) % TILE
+    n_tiles = (n_lanes + pad) // TILE
+
+    fwd_kernel = build_kernel(scene, cam, cfg, mat_refs=True)
+    grad_kernel, n_obj = build_grad_kernel(scene, cam, cfg)
+    block = pl.BlockSpec(
+        (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    target = jnp.asarray(target, jnp.float32).reshape(n_pix, 3)
+    inv_n = np.float32(2.0 / (n_pix * 3 * spp))
+
+    def local(albedo, emission, seed, tgt_loc):
+        pix0 = (jax.lax.axis_index(AXIS_PIXEL) * n_pix_loc).astype(
+            jnp.uint32
+        )
+        samp0 = (
+            jax.lax.axis_index(AXIS_SAMPLE) * n_s_loc
+        ).astype(jnp.uint32)
+        pix = pix0 + jnp.repeat(jnp.arange(n_pix_loc, dtype=jnp.uint32), g)
+        px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
+        py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
+        pid_base = pix * jnp.uint32(cfg.spp)
+        s_start = samp0 + jnp.tile(
+            jnp.arange(g, dtype=jnp.uint32) * jnp.uint32(per), n_pix_loc
+        )
+        s_stop = s_start + jnp.uint32(per)
+
+        def padto(x, fill):
+            return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+                n_tiles * TILE_ROWS, 128
+            )
+
+        lanes = (
+            padto(px, 0.0), padto(py, 0.0), padto(pid_base, 0),
+            padto(s_start, 0), padto(s_stop, 0),
+        )
+        lr, lg, lb, _tr = pl.pallas_call(
+            fwd_kernel,
+            grid=(n_tiles,),
+            in_specs=[smem, smem, smem, block, block, block, block, block],
+            out_specs=[
+                block, block, block,
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            ],
+            interpret=interpret,
+        )(seed.reshape(1), albedo, emission, *lanes)
+        L = jnp.stack(
+            [lr.reshape(-1)[:n_lanes], lg.reshape(-1)[:n_lanes],
+             lb.reshape(-1)[:n_lanes]],
+            axis=-1,
+        )
+        img_loc = L.reshape(n_pix_loc, g, 3).sum(axis=1)
+        img_loc = jax.lax.psum(img_loc, AXIS_SAMPLE)  # sum over spp
+        diff = img_loc / np.float32(spp) - tgt_loc
+        loss_loc = jnp.sum(diff * diff) / np.float32(n_pix * 3)
+        loss = jax.lax.psum(loss_loc, AXIS_PIXEL) / np.float32(n_dp)
+        # d loss / d img_sum rows for THIS device's pixels.
+        g_lane = (diff * inv_n)[
+            jnp.repeat(jnp.arange(n_pix_loc, dtype=jnp.int32), g)
+        ]
+        galb, gemi = pl.pallas_call(
+            grad_kernel,
+            grid=(n_tiles,),
+            in_specs=[smem, smem, smem,
+                      block, block, block, block, block,
+                      block, block, block],
+            out_specs=[
+                pl.BlockSpec((n_obj, 3), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_obj, 3), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_obj, 3), jnp.float32),
+                jax.ShapeDtypeStruct((n_obj, 3), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2 * n_obj * 3, TILE_ROWS, 128), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            seed.reshape(1), albedo, emission, *lanes,
+            padto(g_lane[:, 0], 0.0), padto(g_lane[:, 1], 0.0),
+            padto(g_lane[:, 2], 0.0),
+        )
+        galb = jax.lax.psum(galb, (AXIS_PIXEL, AXIS_SAMPLE))
+        gemi = jax.lax.psum(gemi, (AXIS_PIXEL, AXIS_SAMPLE))
+        return loss, galb, gemi
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS_PIXEL)),
+        out_specs=(P(), P(), P()), check_vma=False,
+    )
+
+    @jax.jit
+    def step(albedo, emission, seed):
+        return sharded(
+            jnp.asarray(albedo, jnp.float32),
+            jnp.asarray(emission, jnp.float32),
+            jnp.asarray(seed, jnp.uint32), target,
+        )
+
+    return step
 
 
 def loss_and_material_grads(scene: Scene, cam: CameraParams,

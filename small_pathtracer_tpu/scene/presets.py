@@ -150,6 +150,62 @@ def cornell_tilted_light() -> Scene:
     return make_scene(walls + box_rects, [], light, quads=quads)
 
 
+def cornell_alcove() -> Scene:
+    """HARD-TRANSPORT preset: the only light sits recessed in a baffled
+    ceiling alcove, visible from the room solely through a 10x33 slot in
+    the ceiling (x in [45,55], z in [63,96]).
+
+    Purpose (round-3 VERDICT item 6): a scene where path guiding has
+    real work to do. BSDF-sampled transport (cosine / nee_textbook
+    continuations) almost never finds the slot from the floor — the slot
+    subtends ~1e-2 sr from most of the room — and NEE shadow probes to
+    the light are occluded except from points nearly under the opening,
+    so unguided variance is dominated by rare lucky paths. A guide lobe
+    aimed at the slot converts those into common paths.
+
+    Object ids: 0-4 front/back/left/right/floor, 5-8 ceiling pieces
+    around the slot, 9-12 alcove cavity walls, 13 = LIGHT (y=94, the
+    alcove top), 14-23 the two standard boxes."""
+    walls = _cornell_walls()[:5]
+    ceiling = [
+        (AX_Y, 81.6, (1.0, 0.0), (45.0, 170.0), _WHITE75, _ZERO, DIFF),
+        (AX_Y, 81.6, (55.0, 0.0), (99.0, 170.0), _WHITE75, _ZERO, DIFF),
+        (AX_Y, 81.6, (45.0, 0.0), (55.0, 63.0), _WHITE75, _ZERO, DIFF),
+        (AX_Y, 81.6, (45.0, 96.0), (55.0, 170.0), _WHITE75, _ZERO, DIFF),
+    ]
+    cavity = [
+        (AX_X, 45.0, (81.6, 63.0), (94.0, 96.0), _WHITE75, _ZERO, DIFF),
+        (AX_X, 55.0, (81.6, 63.0), (94.0, 96.0), _WHITE75, _ZERO, DIFF),
+        (AX_Z, 63.0, (45.0, 81.6), (55.0, 94.0), _WHITE75, _ZERO, DIFF),
+        (AX_Z, 96.0, (45.0, 81.6), (55.0, 94.0), _WHITE75, _ZERO, DIFF),
+    ]
+    light_rect = [
+        (AX_Y, 94.0, (45.0, 63.0), (55.0, 96.0), _ZERO,
+         (40.0, 40.0, 40.0), DIFF),
+    ]
+    box_rects = [
+        (AX_Z, 32.0, (12.0, 0.0), (42.0, 50.0), _ONE, _ZERO, DIFF),
+        (AX_Z, 62.0, (12.0, 0.0), (42.0, 50.0), _ONE, _ZERO, DIFF),
+        (AX_X, 12.0, (0.0, 32.0), (50.0, 62.0), _ONE, _ZERO, DIFF),
+        (AX_X, 42.0, (0.0, 32.0), (50.0, 62.0), _ONE, _ZERO, DIFF),
+        (AX_Y, 50.0, (12.0, 32.0), (42.0, 62.0), _ONE, _ZERO, DIFF),
+        (AX_Z, 63.0, (63.0, 0.0), (88.0, 25.0), _ONE, _ZERO, DIFF),
+        (AX_Z, 88.0, (63.0, 0.0), (88.0, 25.0), _ONE, _ZERO, DIFF),
+        (AX_X, 63.0, (0.0, 63.0), (25.0, 88.0), _ONE, _ZERO, DIFF),
+        (AX_X, 88.0, (0.0, 63.0), (25.0, 88.0), _ONE, _ZERO, DIFF),
+        (AX_Y, 25.0, (63.0, 63.0), (88.0, 88.0), _ONE, _ZERO, DIFF),
+    ]
+    light = LightSampler(
+        corner=jnp.asarray((45.0, 94.0, 63.0), jnp.float32),
+        edge_u=jnp.asarray((10.0, 0.0, 0.0), jnp.float32),
+        edge_v=jnp.asarray((0.0, 0.0, 33.0), jnp.float32),
+        light_obj_id=jnp.asarray(13, jnp.int32),
+    )
+    return make_scene(
+        walls + ceiling + cavity + light_rect + box_rects, [], light
+    )
+
+
 def sphere_grid(n: int = 64, seed: int = 0) -> Scene:
     """Scalability stress preset: the Cornell walls + light + an n-sphere
     grid of varied albedos (some SPEC mirrors). The reference tops out at 17
@@ -306,6 +362,7 @@ PRESETS = {
     "cornell_spheres": cornell_spheres,
     "smallpt_original": smallpt_original,
     "cornell_tilted_light": cornell_tilted_light,
+    "cornell_alcove": cornell_alcove,
     "cornell_twolights": cornell_twolights,
     "cornell_glossy": cornell_glossy,
     "veach_mis": veach_mis,

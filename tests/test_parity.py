@@ -210,7 +210,8 @@ def test_estimator_cross_consistency():
     assert b.mean() < 0.8 * a.mean()
 
 
-def _ours_samples(estimator, spp, seed, light_mode="intended"):
+def _ours_samples(estimator, spp, seed, light_mode="intended",
+                  scene_name="cornell_box", max_bounces=64):
     """Per-sample radiance (n_pix, spp, 3) from the fixed-slot wavefront —
     gives the UNCLAMPED per-pixel mean and the per-pixel sample variance
     the SURVEY 4.3 parity bound needs."""
@@ -224,16 +225,45 @@ def _ours_samples(estimator, spp, seed, light_mode="intended"):
 
     cfg = spt.RenderConfig(
         width=W, height=H, spp=spp, estimator=estimator, seed=seed,
-        light_sample_mode=light_mode, max_bounces=64,
+        light_sample_mode=light_mode, max_bounces=max_bounces,
     )
-    scene = spt.get_scene("cornell_box")
+    scene = spt.get_scene(scene_name)
     cam = spt.make_camera()
     o, d, pid = _chunk_paths(cam, cfg, jnp.uint32(seed), jnp.uint32(0), spp)
     L, _ = path_trace(scene, cfg, jnp.uint32(seed), o, d, pid)
     return np.asarray(L, np.float64).reshape(W * H, spp, 3)
 
 
-def test_parity_per_pixel_zscore():
+# (estimator, light_mode, oracle scene, our scene, our bounce cap, tail
+# slack) — the VERDICT round-3 item: the variance-aware bound used to
+# cover one estimator on one scene; it now spans the continuation
+# estimators, the glibc C13a mode, and the sphere scene. Config notes:
+#  - sphere scenes run a 192-bounce cap: their 0.999-albedo spheres give
+#    cosine transport a deep RR tail (reference tail measured to 88 on
+#    the DARKER box scene, SURVEY section 6), and a 64-bounce truncation
+#    leaves a scene-wide ~1% energy deficit that the z>4 tail statistic
+#    detects even though mean-z passes.
+#  - glibc_overflow carries a 2.0x tail slack: the mode reproduces the
+#    overflow's VALUE mapping bit-faithfully, but the reference's LCG
+#    rand() stream is serially correlated while our counter RNG is not,
+#    which perturbs the tail of the corner-patch estimator's
+#    distribution (the documented ~2% residual, oracle_harness notes).
+ZSCORE_CONFIGS = [
+    ("nee", "intended", "box", "cornell_box", 64, 1.5),
+    ("cosine", "intended", "box", "cornell_box", 64, 1.5),
+    ("mixture", "intended", "box", "cornell_box", 64, 1.5),
+    ("nee", "glibc_overflow", "box", "cornell_box", 64, 2.0),
+    ("nee", "intended", "spheres", "cornell_spheres", 192, 1.5),
+    ("cosine", "intended", "spheres", "cornell_spheres", 192, 1.5),
+]
+
+
+@pytest.mark.parametrize(
+    "estimator,light_mode,o_scene,m_scene,mb,slack", ZSCORE_CONFIGS,
+    ids=[f"{e}-{lm}-{os_}" for e, lm, os_, _, _, _ in ZSCORE_CONFIGS],
+)
+def test_parity_per_pixel_zscore(estimator, light_mode, o_scene, m_scene,
+                                 mb, slack):
     """SURVEY 4.3's variance-aware per-pixel bound, replacing the
     whole-image mean-|diff| criterion. Radiance is heavy-tailed (rare
     large NEE 1/t^2 samples), so per-pixel sample variance UNDERestimates
@@ -243,30 +273,37 @@ def test_parity_per_pixel_zscore():
     3-seed oracle ensemble must be no worse than a held-out oracle
     seed's own z-distribution — a spatially-structured bias in our
     renderer inflates z_ours but not z_oracle."""
+    kw = dict(estimator=estimator, light_mode=light_mode, scene=o_scene,
+              self_hit_eps=1e-3, linear=True)
     ens = np.stack([
-        oh.render_oracle(W, H, SPP, seed=s, estimator="nee",
-                         self_hit_eps=1e-3, linear=True)
-        for s in (2, 3, 4)
+        oh.render_oracle(W, H, SPP, seed=s, **kw) for s in (2, 3, 4)
     ])
     o_mean = ens.mean(axis=0).reshape(W * H, 3)
-    o_hold = oh.render_oracle(W, H, SPP, seed=1, estimator="nee",
-                              self_hit_eps=1e-3, linear=True).reshape(-1, 3)
+    # The ensemble-mean term uses the ORACLE's own empirical cross-seed
+    # spread, not our per-sample variance: for sparse-event estimators
+    # (cosine: light hits are rare), a pixel where the ensemble caught a
+    # rare bright path that our 128 samples missed would otherwise get a
+    # tiny our-variance denominator and a spurious z >> 4 (measured: 98%
+    # of such pixels one-sided, mean shift < 0.2% — a denominator
+    # artifact, not bias).
+    var3 = ens.var(axis=0, ddof=1).reshape(W * H, 3) / 3
+    o_hold = oh.render_oracle(W, H, SPP, seed=1, **kw).reshape(-1, 3)
 
-    samples = _ours_samples("nee", 128, seed=5)
+    samples = _ours_samples(estimator, 128, seed=5, light_mode=light_mode,
+                            scene_name=m_scene, max_bounces=mb)
     mine = samples.mean(axis=1)
     svar = samples.var(axis=1, ddof=1)
-    # Same-estimator per-sample variance on all sides.
-    denom_ours = np.sqrt(svar / samples.shape[1] + svar / (SPP * 3) + 1e-12)
-    denom_orc = np.sqrt(svar / SPP + svar / (SPP * 3) + 1e-12)
+    denom_ours = np.sqrt(svar / samples.shape[1] + var3 + 1e-12)
+    denom_orc = np.sqrt(svar / SPP + var3 + 1e-12)
     z_ours = np.abs(mine - o_mean) / denom_ours
     z_orc = np.abs(o_hold - o_mean) / denom_orc
     # Our render has 2x the oracle's spp, so with matched estimators our
     # z should be somewhat BETTER than the oracle's own; allow 15% slack.
     assert z_ours.mean() < 1.15 * z_orc.mean(), (z_ours.mean(), z_orc.mean())
     f_ours, f_orc = (z_ours > 4).mean(), (z_orc > 4).mean()
-    assert f_ours < 1.5 * f_orc + 1e-3, (f_ours, f_orc)
+    assert f_ours < slack * f_orc + 1e-3, (f_ours, f_orc)
     f6_ours, f6_orc = (z_ours > 6).mean(), (z_orc > 6).mean()
-    assert f6_ours < 1.5 * f6_orc + 1e-3, (f6_ours, f6_orc)
+    assert f6_ours < slack * f6_orc + 1e-3, (f6_ours, f6_orc)
 
 
 @pytest.mark.parametrize("estimator", ["nee", "cosine", "uniform",
@@ -316,10 +353,15 @@ def test_committed_ppm_sanity():
 
     a = pool(ref)
     b = pool(mine_u8)
-    # Brightness within 35% and downsampled structure correlated.
+    # Brightness within 35%, and downsampled structure strongly
+    # correlated AFTER exposure normalization (VERDICT r3 weak #3: the
+    # old gate was corr > 0.6 on raw pools — loose enough to pass with
+    # gross structural drift).
     assert abs(a.mean() - b.mean()) < 0.35 * max(a.mean(), b.mean())
-    corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
-    assert corr > 0.6, corr
+    an = a / a.mean()
+    bn = b / b.mean()
+    corr = np.corrcoef(an.reshape(-1), bn.reshape(-1))[0, 1]
+    assert corr > 0.8, corr
 
 
 def test_nee_textbook_unbiased_and_lower_variance():

@@ -140,3 +140,73 @@ def test_pathwise_is_blind_where_soft_is_not(scene, cam):
     # larger than noise. Compare signal quality via sign * magnitude on x.
     sx = float(np.asarray(g_soft.spheres.center)[0, 0])
     assert sx > 0
+
+
+def test_multilight_soft_matches_per_light_sum():
+    """Multi-emitter soft render (round-3 VERDICT composition item: the
+    single-light guard in grad/soft.py is gone): the light-list estimate
+    must converge to single-warm + single-cool - emission-only (each
+    term rendered with the same machinery and seed), and geometry
+    gradients must flow through the selected-light direct term.
+
+    Compared on the BOTTOM half of the image only: pixels adjacent to
+    the ceiling lights carry 1/dist^2 fireflies whose realization
+    changes completely when the selection draw reshuffles paths between
+    lights — heavy-tailed MC noise, not bias."""
+    from small_pathtracer_tpu.grad.soft import soft_loss_and_grad
+    from small_pathtracer_tpu.scene.types import LightSampler, Spheres
+
+    scene = spt.get_scene("cornell_twolights")
+    scene = scene._replace(spheres=Spheres(
+        center=jnp.asarray([[50.0, 16.5, 60.0]], jnp.float32),
+        radius=jnp.asarray([16.5], jnp.float32),
+        albedo=jnp.asarray([[0.8, 0.8, 0.8]], jnp.float32),
+        emission=jnp.zeros((1, 3), jnp.float32),
+        refl=jnp.zeros((1,), jnp.int32),
+        gloss=jnp.zeros((1,), jnp.float32),
+    ))
+    cam = spt.make_camera()
+    ll = scene.lights
+    cfg = spt.RenderConfig(width=16, height=16, spp=512, estimator="nee",
+                           light_select="uniform")
+
+    def bottom(img):
+        return np.asarray(img)[8:].mean(axis=(0, 1))
+
+    acc_m = np.zeros(3)
+    acc_s = np.zeros(3)
+    for seed in (3, 11):
+        m = soft_render(scene, cam, cfg, jnp.uint32(seed), tau=0.5)
+        parts = []
+        for k in range(2):
+            ls = LightSampler(corner=ll.corner[k], edge_u=ll.edge_u[k],
+                              edge_v=ll.edge_v[k],
+                              light_obj_id=ll.obj_id[k])
+            parts.append(soft_render(
+                scene._replace(light=ls, lights=None), cam, cfg,
+                jnp.uint32(seed), tau=0.5,
+            ))
+        dark = scene._replace(
+            rects=scene.rects._replace(albedo=scene.rects.albedo * 0),
+            quads=scene.quads._replace(albedo=scene.quads.albedo * 0),
+            spheres=scene.spheres._replace(
+                albedo=scene.spheres.albedo * 0),
+        )
+        em = soft_render(dark._replace(lights=None), cam, cfg,
+                         jnp.uint32(seed), tau=0.5)
+        acc_m += bottom(m) / 2
+        acc_s += (bottom(parts[0]) + bottom(parts[1]) - bottom(em)) / 2
+    np.testing.assert_allclose(acc_m, acc_s, rtol=0.12, atol=5e-3)
+    # Both selection heuristics estimate the same image (unbiasedness in
+    # the selection distribution).
+    import dataclasses
+
+    cfg_p = dataclasses.replace(cfg, light_select="power")
+    mp = soft_render(scene, cam, cfg_p, jnp.uint32(3), tau=0.5)
+    m3 = soft_render(scene, cam, cfg, jnp.uint32(3), tau=0.5)
+    np.testing.assert_allclose(bottom(mp), bottom(m3), rtol=0.15,
+                               atol=5e-3)
+    # Geometry gradient flows from the multi-light direct term.
+    tgt = np.zeros((16, 16, 3), np.float32)
+    _, g = soft_loss_and_grad(scene, cam, cfg, jnp.uint32(3), tgt, 0.5)
+    assert np.abs(np.asarray(g.spheres.center)).max() > 0
