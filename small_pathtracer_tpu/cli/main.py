@@ -96,6 +96,13 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="spp of the guide-training pre-pass (at 1/8 res)")
     p.add_argument("--guide-bounces", type=int, default=8,
                    help="bounce depth for guide training and guided render")
+    p.add_argument("--guide-online", type=int, default=0, metavar="R",
+                   help="ONLINE guiding (requires --pallas): render in R "
+                        "progressive sample spans, refining the lobe "
+                        "table between spans from concurrent low-res "
+                        "training passes (the table is a runtime VMEM "
+                        "input — no recompile); 0 = one pre-trained "
+                        "table for the whole render")
     p.add_argument("--aov", default="",
                    help="also render first-hit feature buffers "
                         "(utils/aov.py) and write PREFIX.{albedo,normal,"
@@ -194,11 +201,16 @@ def _render_guided_cli(args, scene, cam, cfg):
             "--guided composes with --checkpoint/--mesh/--preview through "
             "the guided megakernel only; add --pallas"
         )
-    if cfg.estimator not in ("cosine", "nee_textbook"):
+    if cfg.estimator not in ("cosine", "nee_textbook", "mis"):
         raise SystemExit(
-            "--guided requires --estimator cosine or nee_textbook "
+            "--guided requires --estimator cosine, nee_textbook, or mis "
             "(C13-continuation estimators replace the bounce with the "
             "light sample, leaving nothing to guide)"
+        )
+    if cfg.estimator == "mis" and not cfg.use_pallas:
+        raise SystemExit(
+            "--guided with --estimator mis runs through the megakernel "
+            "(mixture-aware balance weights); add --pallas"
         )
     tcfg = RenderConfig(
         width=max(args.width // 8, 16), height=max(args.height // 8, 16),
@@ -211,6 +223,21 @@ def _render_guided_cli(args, scene, cam, cfg):
     )
     n_guided = int(jnp.asarray(guide[1]).sum())
     print(f"guide table trained: {n_guided} guided voxels", file=sys.stderr)
+    if cfg.use_pallas and args.guide_online > 0:
+        if args.checkpoint or args.mesh or args.preview:
+            raise SystemExit(
+                "--guide-online does not compose with "
+                "--checkpoint/--mesh/--preview yet (the span schedule is "
+                "owned by the online loop); drop one of the flags"
+            )
+        from ..experiment.path_guiding import render_guided_online_pallas
+
+        img, traces = render_guided_online_pallas(
+            scene, cam, cfg, cfg.seed, args.guide_beta, args.guide_k,
+            rounds=args.guide_online, train_spp=args.guide_train_spp,
+            train_bounces=args.guide_bounces,
+        )
+        return img / cfg.spp, float(jnp.asarray(traces).sum())
     if cfg.use_pallas:
         if args.checkpoint or args.mesh or args.preview:
             # Guided spans through render_with_checkpoints: resumable

@@ -167,18 +167,33 @@ def _train_guide(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     T = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones((n,), jnp.bool_)
     moments = jnp.zeros((N_VOXELS, 3), jnp.float32)
-    # Last diffuse vertex a segment left, and the direction it left with.
-    diff_x = o
-    diff_d = d
-    diff_valid = jnp.zeros((n,), jnp.bool_)  # camera vertex doesn't guide
+    # Ring of the last K_CREDIT diffuse vertices a path left (position +
+    # outgoing direction). Depositing pickup credit at EVERY ring entry —
+    # not just the last diffuse vertex — teaches MULTI-BOUNCE transport:
+    # with last-vertex-only credit, a voxel two diffuse bounces from the
+    # emitter never learns anything (round-4 finding on cornell_alcove:
+    # the floor's lobes stayed empty because the light is only reachable
+    # floor -> slot -> lit cavity wall -> emitter).
+    K_CREDIT = 3
+    diff_x = [o for _ in range(K_CREDIT)]
+    diff_d = [d for _ in range(K_CREDIT)]
+    diff_valid = [jnp.zeros((n,), jnp.bool_) for _ in range(K_CREDIT)]
 
     for b in range(n_bounces):
         depth = jnp.full((n,), b + 1, jnp.int32)
         hit = trace(scene, o, d)
         sh = shade_info(scene, o, d, hit)
         pick = jnp.sum(T * sh.emission, axis=-1) * alive
-        dep = pick * diff_valid
-        moments = moments.at[voxel_id(diff_x)].add(diff_d * dep[:, None])
+        for kk in range(K_CREDIT):
+            # Older ring slots get geometrically less credit: a direction
+            # two diffuse bounces before the pickup is weaker evidence of
+            # "where the light is" than the last one, and equal credit
+            # measurably blurs the lobes on easy scenes (round-4 box
+            # regression while bootstrapping the alcove presets).
+            dep = pick * diff_valid[kk] * np.float32(0.5 ** kk)
+            moments = moments.at[voxel_id(diff_x[kk])].add(
+                diff_d[kk] * dep[:, None]
+            )
 
         ctr = depth.astype(jnp.uint32) * jnp.uint32(rng.DRAWS_PER_BOUNCE)
         u_rr = uniform(seed, path_id, ctr + jnp.uint32(rng.P_RR))
@@ -191,9 +206,18 @@ def _train_guide(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         new_d, w = _material_mix(sh, d, u_refr, cos_dir, cos_w)
         T = T * sh.albedo * (inv_p * w)[:, None]
         is_diff = sh.refl == DIFF
-        diff_x = jnp.where((alive & is_diff)[:, None], sh.x, diff_x)
-        diff_d = jnp.where((alive & is_diff)[:, None], new_d, diff_d)
-        diff_valid = alive & (diff_valid | is_diff)
+        shift = (alive & is_diff)[:, None]
+        shift1 = alive & is_diff
+        # Ring shift: slot 0 = most recent diffuse vertex.
+        for kk in range(K_CREDIT - 1, 0, -1):
+            diff_x[kk] = jnp.where(shift, diff_x[kk - 1], diff_x[kk])
+            diff_d[kk] = jnp.where(shift, diff_d[kk - 1], diff_d[kk])
+            diff_valid[kk] = jnp.where(
+                shift1, diff_valid[kk - 1], diff_valid[kk]
+            )
+        diff_x[0] = jnp.where(shift, sh.x, diff_x[0])
+        diff_d[0] = jnp.where(shift, new_d, diff_d[0])
+        diff_valid[0] = alive & (diff_valid[0] | is_diff)
         o = jnp.where(alive[:, None], sh.x, o)
         d = jnp.where(alive[:, None], new_d, d)
     return moments

@@ -991,10 +991,10 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         spheres = []
     guided = guide_cfg is not None
     if guided:
-        if cfg.estimator not in ("cosine", "nee_textbook"):
+        if cfg.estimator not in ("cosine", "nee_textbook", "mis"):
             raise ValueError(
                 "guided megakernel composes with the cosine-continuation "
-                "estimators ('cosine', 'nee_textbook') only; "
+                "estimators ('cosine', 'nee_textbook', 'mis') only; "
                 f"got estimator={cfg.estimator!r}"
             )
         from ..experiment.path_guiding import _LO as G_LO, _NVOX as G_NVOX
@@ -1544,6 +1544,21 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     p_b_s = jnp.maximum(dot_sn, 0.0) * np.float32(
                         1.0 / math.pi
                     )
+                    if guided:
+                        # Guided continuation: the competing density is
+                        # the MIXTURE pdf at the shadow direction
+                        # (beta_eff = 0 on unguided voxels reduces this
+                        # to the cosine pdf bit-for-bit).
+                        cos_mu_l = (
+                            ldx * mux + ldy * muy + ldz * muz
+                        )
+                        p_lobe_l = g_norm * jnp.maximum(
+                            cos_mu_l, 0.0
+                        ) ** g_k
+                        p_b_s = (
+                            beta_eff * p_lobe_l
+                            + (np.float32(1.0) - beta_eff) * p_b_s
+                        )
                     if has_glos:
                         # GLOS: the competing continuation density is the
                         # Phong-lobe pdf (sampling.phong_pdf).
@@ -1779,6 +1794,12 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 is_diff_m = ~(h["is_spec"] | h["is_refr"])
                 cos_c = ndx * nx + ndy * ny + ndz * nz
                 pdf_cont = jnp.maximum(cos_c, 0.0) * np.float32(1.0 / math.pi)
+                if guided:
+                    # The continuation was drawn from the guided mixture;
+                    # its density at the chosen direction is pdf_mix
+                    # (already computed in the guided block — equals the
+                    # cosine pdf wherever beta_eff == 0).
+                    pdf_cont = jnp.where(is_diff_m, pdf_mix, pdf_cont)
                 if has_glos:
                     # GLOS: the continuation is the Phong lobe — carry its
                     # pdf at the sampled direction (sampling.phong_pdf).

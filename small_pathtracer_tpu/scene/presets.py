@@ -206,6 +206,74 @@ def cornell_alcove() -> Scene:
     )
 
 
+def cornell_alcove_baffled() -> Scene:
+    """cornell_alcove with the emitter moved onto the alcove's SIDE wall
+    (x = 45, facing +x): no floor/left-room position has a direct
+    sightline to it through the slot, and NEE shadow probes succeed only
+    from a small right-of-slot region — the image is dominated by
+    2-bounce transport (room -> slot -> brightly lit x = 55 cavity wall
+    -> emitter), whose variance is "which directions find the glowing
+    slot".
+
+    Purpose: the regime NEE/MIS cannot fix (the glowing wall is not an
+    emitter) but path guiding can; the multi-vertex training-credit ring
+    in train_guide exists for exactly this preset (last-vertex-only
+    credit never teaches the floor voxels).
+
+    Object ids: 0-4 walls/floor, 5-8 ceiling around the slot, 9-11
+    cavity walls (x=55, z=63, z=96), 12 cavity top, 13 = LIGHT (the
+    x=45 cavity wall, y in [81.6,94] x z in [63,96]), 14-23 boxes."""
+    _D = (0.35, 0.35, 0.35)   # dark room: kills the smooth
+    _B = (0.45, 0.45, 0.45)   # inter-reflection component, so the
+    # slot-direct term dominates pixel variance (the transport guiding
+    # targets; with 0.75/0.999 albedos the diffuse bath swamps it and
+    # guiding measures as a wash).
+    walls = [
+        (AX_Z, 0.0, (1.0, 0.0), (99.0, 81.6), _D, _ZERO, DIFF),
+        (AX_Z, 170.0, (1.0, 0.0), (99.0, 81.6), _D, _ZERO, DIFF),
+        (AX_X, 1.0, (0.0, 0.0), (81.6, 170.0), (0.15, 0.45, 0.15), _ZERO, DIFF),
+        (AX_X, 99.0, (0.0, 0.0), (81.6, 170.0), (0.45, 0.15, 0.15), _ZERO, DIFF),
+        (AX_Y, 0.0, (1.0, 0.0), (99.0, 170.0), _D, _ZERO, DIFF),
+    ]
+    ceiling = [
+        (AX_Y, 81.6, (1.0, 0.0), (45.0, 170.0), _D, _ZERO, DIFF),
+        (AX_Y, 81.6, (55.0, 0.0), (99.0, 170.0), _D, _ZERO, DIFF),
+        (AX_Y, 81.6, (45.0, 0.0), (55.0, 63.0), _D, _ZERO, DIFF),
+        (AX_Y, 81.6, (45.0, 96.0), (55.0, 170.0), _D, _ZERO, DIFF),
+    ]
+    cavity = [
+        (AX_X, 55.0, (81.6, 63.0), (94.0, 96.0), _WHITE75, _ZERO, DIFF),
+        (AX_Z, 63.0, (45.0, 81.6), (55.0, 94.0), _WHITE75, _ZERO, DIFF),
+        (AX_Z, 96.0, (45.0, 81.6), (55.0, 94.0), _WHITE75, _ZERO, DIFF),
+        (AX_Y, 94.0, (45.0, 63.0), (55.0, 96.0), _WHITE75, _ZERO, DIFF),
+    ]
+    light_rect = [
+        (AX_X, 45.0, (81.6, 63.0), (94.0, 96.0), _ZERO,
+         (40.0, 40.0, 40.0), DIFF),
+    ]
+    box_rects = [
+        (AX_Z, 32.0, (12.0, 0.0), (42.0, 50.0), _B, _ZERO, DIFF),
+        (AX_Z, 62.0, (12.0, 0.0), (42.0, 50.0), _B, _ZERO, DIFF),
+        (AX_X, 12.0, (0.0, 32.0), (50.0, 62.0), _B, _ZERO, DIFF),
+        (AX_X, 42.0, (0.0, 32.0), (50.0, 62.0), _B, _ZERO, DIFF),
+        (AX_Y, 50.0, (12.0, 32.0), (42.0, 62.0), _B, _ZERO, DIFF),
+        (AX_Z, 63.0, (63.0, 0.0), (88.0, 25.0), _B, _ZERO, DIFF),
+        (AX_Z, 88.0, (63.0, 0.0), (88.0, 25.0), _B, _ZERO, DIFF),
+        (AX_X, 63.0, (0.0, 63.0), (25.0, 88.0), _B, _ZERO, DIFF),
+        (AX_X, 88.0, (0.0, 63.0), (25.0, 88.0), _B, _ZERO, DIFF),
+        (AX_Y, 25.0, (63.0, 63.0), (88.0, 88.0), _B, _ZERO, DIFF),
+    ]
+    light = LightSampler(
+        corner=jnp.asarray((45.0, 81.6, 63.0), jnp.float32),
+        edge_u=jnp.asarray((0.0, 12.4, 0.0), jnp.float32),
+        edge_v=jnp.asarray((0.0, 0.0, 33.0), jnp.float32),
+        light_obj_id=jnp.asarray(13, jnp.int32),
+    )
+    return make_scene(
+        walls + ceiling + cavity + light_rect + box_rects, [], light
+    )
+
+
 def sphere_grid(n: int = 64, seed: int = 0) -> Scene:
     """Scalability stress preset: the Cornell walls + light + an n-sphere
     grid of varied albedos (some SPEC mirrors). The reference tops out at 17
@@ -363,6 +431,7 @@ PRESETS = {
     "smallpt_original": smallpt_original,
     "cornell_tilted_light": cornell_tilted_light,
     "cornell_alcove": cornell_alcove,
+    "cornell_alcove_baffled": cornell_alcove_baffled,
     "cornell_twolights": cornell_twolights,
     "cornell_glossy": cornell_glossy,
     "veach_mis": veach_mis,

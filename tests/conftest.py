@@ -2,6 +2,20 @@
 
 Distributed tests (SURVEY.md section 4.3) run against a virtual 8-device CPU
 mesh; TPU-only tests skip themselves when no TPU is attached.
+
+THE SUPPORTED FULL-SUITE COMMAND IS
+
+    python tests/run_suite.py
+
+(fresh interpreter per test file, 2 parallel workers). A monolithic
+single-process `pytest tests/` run intermittently crashed the XLA CPU
+compiler in past rounds (aborts/segfaults at varying tests — giant
+differentiated-scan programs pushing compiler recursion); two
+mitigations are now in place: per-file process isolation (run_suite.py,
+the contract) and jax.checkpoint rematerialization on the AD scan body
+(integrator/wavefront.path_trace_fixed), which shrinks the transposed
+program by O(bounces). The stack-limit lift below remains as
+belt-and-braces for single-file runs.
 """
 
 import os

@@ -92,7 +92,7 @@ def test_render_guided(tmp_path, extra):
 
 
 def test_render_guided_rejects_nee(tmp_path):
-    with pytest.raises(SystemExit, match="cosine or nee_textbook"):
+    with pytest.raises(SystemExit, match="cosine, nee_textbook, or mis"):
         main([
             "render", "--width", "32", "--height", "24", "--spp", "4",
             "--estimator", "nee", "--guided",

@@ -293,7 +293,11 @@ class TestGlossyGuards:
         with pytest.raises(ValueError, match="GLOS|glossy"):
             build_kernel(s, cam, cfg)
 
-    def test_adjoint_kernel_rejects(self, cam):
+    def test_adjoint_kernel_supports_glos(self, cam):
+        # Round 4: the material adjoint kernel implements GLOS for the
+        # glossy estimators (validated bit-level in
+        # test_megakernel_grad.py::test_vjp_matches_jnp_adjoint_glos);
+        # non-glossy estimators still reject with the semantic error.
         from small_pathtracer_tpu.ops.megakernel_grad import (
             build_grad_kernel,
         )
@@ -301,8 +305,13 @@ class TestGlossyGuards:
         cfg = RenderConfig(
             width=8, height=8, spp=1, estimator="nee_textbook"
         )
-        with pytest.raises(ValueError, match="GLOS"):
-            build_grad_kernel(s, cam, cfg)
+        kernel, n_obj = build_grad_kernel(s, cam, cfg)
+        assert callable(kernel) and n_obj > 0
+        with pytest.raises(ValueError, match="glossy"):
+            build_grad_kernel(
+                s, cam,
+                RenderConfig(width=8, height=8, spp=1, estimator="nee"),
+            )
 
     def test_guided_rejects(self, cam):
         from small_pathtracer_tpu.experiment.path_guiding import train_guide

