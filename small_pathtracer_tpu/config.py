@@ -94,7 +94,12 @@ class RenderConfig:
     # statistically identical renders (grazing-hit t can differ by ulps —
     # FMA contraction, see build_kernel); unrolling runs faster for small
     # scenes, the table wins compile time + scalability for large ones
-    # (PERF.md).
+    # (PERF.md). "cluster" additionally groups the table's spheres into
+    # Morton-ordered bounding-sphere clusters and skips each cluster's
+    # 16-row scan whenever NO lane in the tile enters the bound — the
+    # TPU-native acceleration structure (per-lane grids/BVHs cannot pay
+    # under lockstep vector execution; per-TILE pruning can — measured
+    # crossover ladder in PERF.md round 4).
     sphere_table: str = "auto"
 
     def __post_init__(self):
@@ -102,9 +107,10 @@ class RenderConfig:
             raise ValueError(
                 f"unknown estimator {self.estimator!r}; one of {ESTIMATORS}"
             )
-        if self.sphere_table not in ("auto", "on", "off"):
+        if self.sphere_table not in ("auto", "on", "off", "cluster"):
             raise ValueError(
-                f"sphere_table must be auto/on/off, got {self.sphere_table!r}"
+                "sphere_table must be auto/on/off/cluster, got "
+                f"{self.sphere_table!r}"
             )
         if self.sampler not in ("random", "sobol"):
             raise ValueError(

@@ -434,6 +434,111 @@ def _table_sphere_hit(tab_ref, i, ox, oy, oz, dx, dy, dz):
     return t_i, valid, (cx, cy, cz), b, near
 
 
+# Bounding-sphere clusters: the TPU-native acceleration structure for
+# the sphere table (round-3 VERDICT item 5). Per-LANE pruning (grids/
+# BVHs) cannot pay on a VPU — lanes execute in lockstep, and a per-lane
+# random access into an N-entry table costs O(N/128) select-chain work
+# (_gather_vmem_table), so a DDA's "visit only your cells" never skips
+# anything the tile as a whole still executes. What CAN skip work is
+# TILE-granularity pruning: group spheres into Morton-ordered clusters
+# of CLUSTER_SIZE with bounding spheres in SMEM, and scan each cluster
+# under a SCALAR lax.cond on "does ANY lane's ray enter the bound" —
+# when no lane does, the whole 16-sphere inner scan is skipped by every
+# lane at once. Coherent ray packets (primaries, shadow probes toward
+# one light) prune well; decorrelated diffuse bounces degrade to the
+# linear scan plus the cheap bound tests. Measured ladder in PERF.md.
+CLUSTER_SIZE = 16
+
+
+def cluster_scene_spheres(scene: Scene, group: int = CLUSTER_SIZE):
+    """Morton-order the scene's spheres and group them into clusters.
+
+    Returns (scene with spheres PERMUTED into cluster order — the same
+    sphere set, so renders are estimator-identical; bounds_flat f32
+    (K*4,) rows [bx, by, bz, br]; meta_flat i32 (K*2,) rows
+    [start, count] into the packed sphere table)."""
+    import numpy as _np
+
+    c = _np.asarray(scene.spheres.center, _np.float64)
+    r = _np.asarray(scene.spheres.radius, _np.float64)
+    S = c.shape[0]
+    if S == 0:
+        raise ValueError("cluster_scene_spheres: no spheres")
+    lo = c.min(axis=0)
+    ext = _np.maximum(c.max(axis=0) - lo, 1e-6)
+    q = _np.clip(((c - lo) / ext * 1023).astype(_np.int64), 0, 1023)
+
+    def _spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    morton = _spread(q[:, 0]) | (_spread(q[:, 1]) << 1) | (
+        _spread(q[:, 2]) << 2
+    )
+    perm = _np.argsort(morton, kind="stable")
+    sp = scene.spheres
+    scene_p = scene._replace(spheres=sp._replace(
+        center=sp.center[perm], radius=sp.radius[perm],
+        albedo=sp.albedo[perm], emission=sp.emission[perm],
+        refl=sp.refl[perm], gloss=sp.gloss[perm],
+    ))
+    cp = c[perm]
+    rp = r[perm]
+    bounds = []
+    meta = []
+    for s0 in range(0, S, group):
+        s1 = min(s0 + group, S)
+        cc = cp[s0:s1]
+        rr = rp[s0:s1]
+        ctr = cc.mean(axis=0)
+        br = float(_np.sqrt(((cc - ctr) ** 2).sum(axis=1)).max()
+                   + rr.max())
+        bounds.append([ctr[0], ctr[1], ctr[2], br])
+        meta.append([s0, s1 - s0])
+    return (
+        scene_p,
+        jnp.asarray(_np.asarray(bounds, _np.float32).reshape(-1)),
+        jnp.asarray(_np.asarray(meta, _np.int32).reshape(-1)),
+    )
+
+
+def _cluster_scan(cluster, body, carry, ox, oy, oz, dx, dy, dz):
+    """carry = body(i, carry) for each table row i, cluster by cluster,
+    with each cluster's inner scan under a scalar any-lane-hits-bound
+    cond. Replaces _table_scan when cluster pruning is on; `body` is the
+    SAME per-row closure, so expression trees (and renders) match the
+    plain table scan exactly for the rows that do run — and a skipped
+    cluster, by the bound's conservativeness, contains no row that could
+    have won the nearest-hit chain for ANY lane."""
+    bounds_ref, meta_ref, K = cluster
+
+    def outer(k, c):
+        b = k * np.int32(4)
+        bx = bounds_ref[b]
+        by = bounds_ref[b + 1]
+        bz = bounds_ref[b + 2]
+        br = bounds_ref[b + 3]
+        opx, opy, opz = bx - ox, by - oy, bz - oz
+        bq = opx * dx + opy * dy + opz * dz
+        d2 = opx * opx + opy * opy + opz * opz - bq * bq
+        # Enter test: closest approach inside the bound and the bound not
+        # entirely behind the origin (bq + br > 0 keeps origins inside).
+        hitb = (d2 < br * br) & ((bq + br) > 0.0)
+        any_ = jnp.max(jnp.where(hitb, np.int32(1), np.int32(0)))
+        start = meta_ref[k * np.int32(2)]
+        cnt = meta_ref[k * np.int32(2) + 1]
+
+        def scan(cc):
+            return jax.lax.fori_loop(start, start + cnt, body, cc)
+
+        return jax.lax.cond(any_ > 0, scan, lambda cc: cc, c)
+
+    return jax.lax.fori_loop(0, np.int32(K), outer, carry)
+
+
 def _probe_unrolled(rects, quads, spheres, light_id: int,
                     ox, oy, oz, dx, dy, dz, sphere_tab=None):
     """Any-occluder shadow probe: (t_light, success).
@@ -463,7 +568,8 @@ def _probe_unrolled(rects, quads, spheres, light_id: int,
         # Looped table spheres sit AFTER every unrolled id, so they block
         # with the strict compare (t_i < t_l), exactly like an unrolled
         # sphere at the same position in the scan order.
-        tab_ref, S, _ = sphere_tab
+        tab_ref, S, _ = sphere_tab[:3]
+        cluster = sphere_tab[3] if len(sphere_tab) > 3 else None
 
         def body(i, occ_i):
             t_i, valid, _, _, _ = _table_sphere_hit(
@@ -472,9 +578,15 @@ def _probe_unrolled(rects, quads, spheres, light_id: int,
             blk = valid & (t_i < t_l)
             return occ_i | jnp.where(blk, np.int32(1), np.int32(0))
 
-        occ_t = _table_scan(
-            S, body, jnp.zeros_like(ox, dtype=jnp.int32)
-        )
+        if cluster is not None:
+            occ_t = _cluster_scan(
+                cluster, body, jnp.zeros_like(ox, dtype=jnp.int32),
+                ox, oy, oz, dx, dy, dz,
+            )
+        else:
+            occ_t = _table_scan(
+                S, body, jnp.zeros_like(ox, dtype=jnp.int32)
+            )
         success = success & (occ_t == 0)
     return t_l, success
 
@@ -585,7 +697,8 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
         # equality is statistical, not bitwise (FMA contraction differs
         # for constants vs loop scalars — see build_kernel docstring).
         # Table spheres are never the light.
-        tab_ref, S, base_id = sphere_tab
+        tab_ref, S, base_id = sphere_tab[:3]
+        cluster = sphere_tab[3] if len(sphere_tab) > 3 else None
         i32z = jnp.zeros_like(ox, dtype=jnp.int32)
 
         def as_i32(b):
@@ -640,7 +753,11 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
                     )
                 return out
 
-            scanned = _table_scan(S, body, carry)
+            if cluster is not None:
+                scanned = _cluster_scan(cluster, body, carry,
+                                        ox, oy, oz, dx, dy, dz)
+            else:
+                scanned = _table_scan(S, body, carry)
             if want_geom:
                 (t_best, won_i, a0, a1, a2, e0, e1, e2, cbx, cby, cbz,
                  msp, mrf, ob, rad_b, near_b) = scanned
@@ -687,7 +804,12 @@ def _trace_unrolled(rects, quads, spheres, light_id, ox, oy, oz, dx, dy, dz,
                     jnp.where(win, (base_id + i).astype(jnp.int32), ob),
                 )
 
-            t_best, won_i, ob = _table_scan(S, body, carry)
+            if cluster is not None:
+                t_best, won_i, ob = _cluster_scan(
+                    cluster, body, carry, ox, oy, oz, dx, dy, dz
+                )
+            else:
+                t_best, won_i, ob = _table_scan(S, body, carry)
             is_light = is_light & ~(won_i > 0)
             if want_obj:
                 obj_best = ob
@@ -892,7 +1014,8 @@ def _oct_decode(packed):
 def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                  mat_refs: bool = False,
                  guide_cfg: tuple[float, float] | None = None,
-                 sphere_tab: bool = False):
+                 sphere_tab: bool = False,
+                 cluster_tab: bool = False):
     """Returns the Pallas kernel body closed over scene/cam/cfg constants.
 
     mat_refs=True: the kernel takes two extra leading refs (alb_ref,
@@ -963,6 +1086,9 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         )
     S_tab = len(spheres)
     base_tab = len(rects) + len(quads)
+    n_clusters = -(-S_tab // CLUSTER_SIZE) if S_tab else 0
+    if cluster_tab and not sphere_tab:
+        raise ValueError("cluster_tab=True requires sphere_tab=True")
     if sphere_tab:
         if not mat_refs:
             raise ValueError(
@@ -1115,8 +1241,15 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         if sphere_tab:
             # Packed per-sphere rows (TAB_STRIDE f32 each) — geometry AND
             # materials; the scan never touches the (K*3) material tables.
-            tab = (refs[0], S_tab, base_tab)
-            refs = refs[1:]
+            if cluster_tab:
+                # + bounding-sphere cluster tables (cluster_scene_spheres
+                # order): bounds f32 (K*4,), meta i32 (K*2,).
+                tab = (refs[0], S_tab, base_tab,
+                       (refs[1], refs[2], n_clusters))
+                refs = refs[3:]
+            else:
+                tab = (refs[0], S_tab, base_tab)
+                refs = refs[1:]
         else:
             tab = None
         if multi:
@@ -1874,6 +2007,25 @@ def _table_compatible(scene: Scene) -> bool:
     return True
 
 
+def _sphere_mode(scene: Scene, cfg: RenderConfig) -> str:
+    """Resolve cfg.sphere_table to "off" | "table" | "cluster".
+
+    "cluster" = the table scan with bounding-sphere tile pruning
+    (cluster_scene_spheres/_cluster_scan; measured ladder in PERF.md)."""
+    S = int(np.asarray(scene.spheres.radius).shape[0])
+    mode = getattr(cfg, "sphere_table", "auto")
+    if mode == "cluster":
+        if S == 0:
+            return "off"
+        if not _table_compatible(scene):
+            raise ValueError(
+                "sphere_table='cluster' needs a table-compatible scene "
+                "(no GLOS/light spheres, at least one unrolled object)"
+            )
+        return "cluster"
+    return "table" if _use_sphere_table(scene, cfg) else "off"
+
+
 def _use_sphere_table(scene: Scene, cfg: RenderConfig) -> bool:
     """Resolve cfg.sphere_table ("auto"/"on"/"off") for this scene.
 
@@ -1888,8 +2040,12 @@ def _use_sphere_table(scene: Scene, cfg: RenderConfig) -> bool:
         return S > 0
     if mode == "off":
         return False
+    if mode == "cluster":
+        return S > 0
     if mode != "auto":
-        raise ValueError(f"sphere_table must be auto/on/off, got {mode!r}")
+        raise ValueError(
+            f"sphere_table must be auto/on/off/cluster, got {mode!r}"
+        )
     from ..config import SPHERE_TABLE_AUTO_MIN
 
     return S >= SPHERE_TABLE_AUTO_MIN and _table_compatible(scene)
@@ -1977,20 +2133,23 @@ def render_pallas_span(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     if not interpret and jax.devices()[0].platform != "tpu":
         interpret = True
 
-    use_tab = _use_sphere_table(scene, cfg)
+    mode = _sphere_mode(scene, cfg)
+    use_tab = mode != "off"
     ghash = (_geom_hash_structure(scene, cam) if use_tab
              else _geom_hash(scene, cam))
-    key = (ghash, use_tab, cfg, int(n_s), interpret, _fold_enabled())
+    key = (ghash, mode, cfg, int(n_s), interpret, _fold_enabled())
     fn = _CACHE.get(key)
     if fn is None:
-        fn = _build_render(scene, cam, cfg, int(n_s), interpret, use_tab)
+        fn = _build_render(scene, cam, cfg, int(n_s), interpret, use_tab,
+                           use_cluster=(mode == "cluster"))
         _CACHE[key] = fn
     return fn(scene, jnp.asarray(seed, jnp.uint32),
               jnp.asarray(s0, jnp.uint32))
 
 
 def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
-                  n_s: int, interpret: bool, use_tab: bool = False):
+                  n_s: int, interpret: bool, use_tab: bool = False,
+                  use_cluster: bool = False):
     from ..integrator.wavefront import lane_groups
 
     n_pix = cfg.width * cfg.height
@@ -2006,15 +2165,42 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     n_tiles = n_total // TILE
 
     kernel = build_kernel(scene, cam, cfg, mat_refs=use_tab,
-                          sphere_tab=use_tab)
+                          sphere_tab=use_tab, cluster_tab=use_cluster)
     block = pl.BlockSpec(
         (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    n_tab_refs = (5 if use_cluster else 3) if use_tab else 0
+    if use_cluster:
+        # Cluster pruning only fires when a TILE's rays are spatially
+        # coherent: the default lane order maps a tile to several full
+        # image ROWS, which always contain a ray toward every cluster.
+        # Swizzle lanes into 64x64 pixel blocks (block-major) so primary
+        # packets share frusta. Per-sample radiance is pixel-keyed
+        # (path_id = pixel*spp + s), so the image is IDENTICAL — only
+        # which lane computes which pixel changes.
+        import numpy as _np
+
+        _xs = _np.arange(n_pix) % cfg.width
+        _ys = _np.arange(n_pix) // cfg.width
+        _B = 64
+        _nbx = -(-cfg.width // _B)
+        _key = (
+            ((_ys // _B) * _nbx + (_xs // _B)) * (_B * _B)
+            + (_ys % _B) * _B + (_xs % _B)
+        )
+        _order = _np.argsort(_key, kind="stable").astype(_np.uint32)
+        pix_of_lane = jnp.asarray(_order)         # lane-group -> pixel
+    else:
+        pix_of_lane = None
 
     @jax.jit
     def run(seed, s0, *tables):
-        pix = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), g)
+        if pix_of_lane is not None:
+            lane_pix = pix_of_lane
+        else:
+            lane_pix = jnp.arange(n_pix, dtype=jnp.uint32)
+        pix = jnp.repeat(lane_pix, g)
         px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
         py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
         pid_base = pix * jnp.uint32(cfg.spp)
@@ -2034,8 +2220,9 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             in_specs=[
                 smem,  # seed (1,)
                 # Table mode: flat alb/emi material tables + the
-                # packed per-sphere rows (see _sphere_tables).
-                *([smem, smem, smem] if use_tab else []),
+                # packed per-sphere rows (see _sphere_tables)
+                # (+ cluster bounds/meta when pruning is on).
+                *([smem] * n_tab_refs),
                 block, block, block, block, block,
             ],
             out_specs=[
@@ -2062,12 +2249,16 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
              lb.reshape(-1)[:n_lanes]],
             axis=-1,
         )
-        img = L.reshape(n_pix, g, 3).sum(axis=1).reshape(
-            cfg.height, cfg.width, 3
-        )
+        sums = L.reshape(n_pix, g, 3).sum(axis=1)
+        if pix_of_lane is not None:
+            sums = jnp.zeros_like(sums).at[pix_of_lane].set(sums)
+        img = sums.reshape(cfg.height, cfg.width, 3)
         return img, traces[0]
 
     def fn(scene_now: Scene, seed, s0):
+        if use_cluster:
+            scene_p, bflat, mflat = cluster_scene_spheres(scene_now)
+            return run(seed, s0, *_sphere_tables(scene_p), bflat, mflat)
         if use_tab:
             return run(seed, s0, *_sphere_tables(scene_now))
         return run(seed, s0)

@@ -413,6 +413,58 @@ class TestSphereTable:
         with pytest.raises(ValueError, match="mat_refs"):
             build_kernel(many, cam, cfg, sphere_tab=True)
 
+    def test_cluster_mode_matches_table(self):
+        """sphere_table="cluster" (bounding-sphere tile pruning +
+        block-swizzled lanes, round-4 VERDICT item 5): the SAME sphere
+        set in Morton order scanned cluster-by-cluster must reproduce
+        the plain table render — the skip condition is conservative (a
+        pruned cluster contains no row any lane's ray could hit), the
+        per-row expression trees are shared, and per-sample radiance is
+        pixel-keyed so the lane swizzle is invisible."""
+        import dataclasses
+
+        scene = get_scene("sphere_grid")
+        cam = make_camera()
+        cfg_t = RenderConfig(width=24, height=16, spp=4, estimator="nee",
+                             seed=2, sphere_table="on")
+        cfg_c = dataclasses.replace(cfg_t, sphere_table="cluster")
+        a, ta = render_pallas(scene, cam, cfg_t, 2, interpret=True)
+        b, tb = render_pallas(scene, cam, cfg_c, 2, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+        assert float(np.asarray(ta).sum()) == float(np.asarray(tb).sum())
+        # Also at an image larger than one 64x64 swizzle block.
+        cfg_t2 = dataclasses.replace(cfg_t, width=80, height=72, spp=2)
+        cfg_c2 = dataclasses.replace(cfg_t2, sphere_table="cluster")
+        a2, _ = render_pallas(scene, cam, cfg_t2, 3, interpret=True)
+        b2, _ = render_pallas(scene, cam, cfg_c2, 3, interpret=True)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_cluster_scene_spheres_roundtrip(self):
+        from small_pathtracer_tpu.ops.megakernel import (
+            CLUSTER_SIZE,
+            cluster_scene_spheres,
+        )
+
+        scene = get_scene("sphere_grid")
+        sp, bounds, meta = cluster_scene_spheres(scene)
+        S = int(np.asarray(scene.spheres.radius).shape[0])
+        K = -(-S // CLUSTER_SIZE)
+        assert bounds.shape == (K * 4,) and meta.shape == (K * 2,)
+        m = np.asarray(meta).reshape(K, 2)
+        assert m[:, 1].sum() == S  # every sphere in exactly one cluster
+        # The permuted scene holds the same sphere multiset.
+        assert sorted(np.asarray(scene.spheres.radius).tolist()) ==             sorted(np.asarray(sp.spheres.radius).tolist())
+        # Every sphere is inside its cluster's bound.
+        b = np.asarray(bounds).reshape(K, 4)
+        c = np.asarray(sp.spheres.center)
+        r = np.asarray(sp.spheres.radius)
+        for k in range(K):
+            s0, cnt = m[k]
+            d = np.linalg.norm(c[s0:s0 + cnt] - b[k, :3], axis=1)
+            assert np.all(d + r[s0:s0 + cnt] <= b[k, 3] + 1e-4)
+
     def test_auto_falls_back_when_table_incompatible(self):
         """auto mode must NOT select the table for scenes that violate the
         build constraints (ADVICE r3): a GLOS sphere above the threshold
