@@ -220,9 +220,9 @@ def cornell_alcove_baffled() -> Scene:
     in train_guide exists for exactly this preset (last-vertex-only
     credit never teaches the floor voxels).
 
-    Object ids: 0-4 walls/floor, 5-8 ceiling around the slot, 9-11
-    cavity walls (x=55, z=63, z=96), 12 cavity top, 13 = LIGHT (the
-    x=45 cavity wall, y in [81.6,94] x z in [63,96]), 14-23 boxes."""
+    Object ids: 0-4 walls/floor, 5-8 ceiling around the slot, 9-13
+    cavity walls + top, 14 = LIGHT (x = 45.5 inside the cavity, facing
+    +x, y in [81.6,94] x z in [63,96]), 15-24 boxes."""
     _D = (0.35, 0.35, 0.35)   # dark room: kills the smooth
     _B = (0.45, 0.45, 0.45)   # inter-reflection component, so the
     # slot-direct term dominates pixel variance (the transport guiding
@@ -242,13 +242,20 @@ def cornell_alcove_baffled() -> Scene:
         (AX_Y, 81.6, (45.0, 96.0), (55.0, 170.0), _D, _ZERO, DIFF),
     ]
     cavity = [
+        (AX_X, 45.0, (81.6, 63.0), (94.0, 96.0), _WHITE75, _ZERO, DIFF),
         (AX_X, 55.0, (81.6, 63.0), (94.0, 96.0), _WHITE75, _ZERO, DIFF),
         (AX_Z, 63.0, (45.0, 81.6), (55.0, 94.0), _WHITE75, _ZERO, DIFF),
         (AX_Z, 96.0, (45.0, 81.6), (55.0, 94.0), _WHITE75, _ZERO, DIFF),
         (AX_Y, 94.0, (45.0, 63.0), (55.0, 96.0), _WHITE75, _ZERO, DIFF),
     ]
     light_rect = [
-        (AX_X, 45.0, (81.6, 63.0), (94.0, 96.0), _ZERO,
+        # INSIDE the cavity (x = 45.5, just off the x = 45 wall), facing
+        # +x. Rects are two-sided emitters with |cos| NEE weights, so a
+        # light placed ON the open attic boundary would be reachable by
+        # unobstructed probes from the whole ceiling's upper half-space
+        # (observed: floodlit ceiling); the 0.5-unit inset puts the x=45
+        # wall behind it and closes the leak.
+        (AX_X, 45.5, (81.6, 63.0), (94.0, 96.0), _ZERO,
          (40.0, 40.0, 40.0), DIFF),
     ]
     box_rects = [
@@ -264,10 +271,10 @@ def cornell_alcove_baffled() -> Scene:
         (AX_Y, 25.0, (63.0, 63.0), (88.0, 88.0), _B, _ZERO, DIFF),
     ]
     light = LightSampler(
-        corner=jnp.asarray((45.0, 81.6, 63.0), jnp.float32),
+        corner=jnp.asarray((45.5, 81.6, 63.0), jnp.float32),
         edge_u=jnp.asarray((0.0, 12.4, 0.0), jnp.float32),
         edge_v=jnp.asarray((0.0, 0.0, 33.0), jnp.float32),
-        light_obj_id=jnp.asarray(13, jnp.int32),
+        light_obj_id=jnp.asarray(14, jnp.int32),
     )
     return make_scene(
         walls + ceiling + cavity + light_rect + box_rects, [], light
