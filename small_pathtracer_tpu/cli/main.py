@@ -10,7 +10,11 @@ import time
 
 def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scene", default="cornell_box",
-                   help="scene preset (cornell_box | cornell_spheres | smallpt_original)")
+                   help="scene preset (cornell_box | cornell_spheres | "
+                        "smallpt_original | cornell_twolights | "
+                        "cornell_tilted_light | cornell_glossy | "
+                        "cornell_alcove | cornell_alcove_baffled | "
+                        "veach_mis | sphere_grid[_256|_1024])")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--spp", type=int, default=16)
@@ -44,10 +48,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pallas", action="store_true", dest="use_pallas",
                    help="use the fused Pallas megakernel (all materials "
                    "incl. SPEC/REFR and all estimators; requires "
-                   "rng mix/mix_packed, and bakes the scene geometry at "
-                   "compile time — fit --pallas updates materials without "
-                   "recompiling; other scene-optimization loops use the "
-                   "jnp wavefront)")
+                   "rng mix/mix_packed). fit --pallas runs the adjoint "
+                   "kernels: materials (albedo/emission) and, with "
+                   "--train center,radius, sphere geometry over the "
+                   "runtime sphere table — no recompile per step")
     p.add_argument("--rng", default="mix",
                    choices=["mix", "mix_packed", "threefry"],
                    dest="rng_backend")
