@@ -21,6 +21,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import small_pathtracer_tpu as spt
 from small_pathtracer_tpu.grad.adjoint import (
     make_sharded_train_step,

@@ -17,6 +17,11 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import small_pathtracer_tpu as spt
 from small_pathtracer_tpu.ops.megakernel import render_pallas
 from small_pathtracer_tpu.ops.megakernel_grad import fit_pallas

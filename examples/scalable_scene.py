@@ -18,6 +18,11 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import small_pathtracer_tpu as spt
 from small_pathtracer_tpu.core import film
 from small_pathtracer_tpu.grad.fd import _render_mean, _table_cfg, fit_fd

@@ -56,12 +56,15 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    choices=["mix", "mix_packed", "threefry"],
                    dest="rng_backend")
     p.add_argument("--sphere-table", default="auto",
-                   choices=["auto", "on", "off"],
+                   choices=["auto", "on", "off", "cluster"],
                    help="megakernel scalable-scene mode: loop the spheres "
                         "through runtime SMEM tables instead of unrolling "
                         "them (O(1) compiled code size at any sphere "
                         "count; geometry edits never recompile). auto = "
-                        "table at >= 48 spheres")
+                        "table at >= 48 spheres; cluster = the table "
+                        "with bounding-sphere tile pruning (measured "
+                        "SLOWER at <= 4k spheres — PERF.md; kept as the "
+                        "A/B knob)")
     p.add_argument("--sampler", default="random",
                    choices=["random", "sobol"],
                    help="sample sequences for the jitter/lens/light/scatter "
