@@ -62,9 +62,13 @@ fitting practical (grad/fd.py got it from the same table).
 Scope (hard-validated in build_geom_grad_kernel): sphere_tab scenes
 (all spheres in the table, light an unrolled rect/quad, single light),
 estimators nee / mixture / nee_textbook / cosine / uniform /
-uniform_corrected, DIFF/SPEC/REFR materials, hash RNG (the samplers'
-documented behavior: gradient paths sample their own forward with the
-hash RNG — config.py ``sampler``). mis and GLOS use the jnp adjoint.
+uniform_corrected / mis (the balance weights add two adjoint flows: the
+pickup weight w_b(t, d, mpdf) rides diff_step as an extra in/out pair,
+and a lambda_mpdf carry register routes its cotangent one bounce BACK
+onto the previous bounce's continuation-pdf output), DIFF/SPEC/REFR
+materials, hash RNG (the samplers' documented behavior: gradient paths
+sample their own forward with the hash RNG — config.py ``sampler``).
+GLOS and light lists use the jnp adjoint.
 """
 
 from __future__ import annotations
@@ -111,7 +115,7 @@ G_COLS = 10
 
 SUPPORTED_ESTIMATORS = (
     "nee", "mixture", "nee_textbook", "cosine", "uniform",
-    "uniform_corrected",
+    "uniform_corrected", "mis",
 )
 
 
@@ -123,7 +127,7 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
     if est not in SUPPORTED_ESTIMATORS:
         raise ValueError(
             f"the geometry adjoint kernel implements {SUPPORTED_ESTIMATORS}"
-            f"; got estimator={est!r} (mis/GLOS: use the jnp adjoint, "
+            f"; got estimator={est!r} (GLOS: use the jnp adjoint, "
             "grad/adjoint.py + grad/edge.py)"
         )
     if lightlist is not None:
@@ -156,8 +160,9 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
 
     uni = _uniform_for(cfg.rng_backend)
     textbook = est == "nee_textbook"
+    mis_est = est == "mis"
     glibc = cfg.light_sample_mode == "glibc_overflow"
-    nee_like = est in ("nee", "mixture", "nee_textbook")
+    nee_like = est in ("nee", "mixture", "nee_textbook", "mis")
 
     spawn, _origin = make_spawn(cam, cfg)
 
@@ -268,6 +273,8 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
             pid0,                                           # 26 pid
             izero,                                          # 27 ne (textbook)
             zero, zero, zero,                               # 28-30 image sum
+            zero,                                           # 31 mpdf (mis)
+            zero,                                           # 32 lambda_mpdf
         )
 
         def cond(c):
@@ -277,7 +284,7 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
             (ox, oy, oz, dx, dy, dz, tr_, tg, tb, ar, ag, ab,
              lar, lag, lab, lox, loy, loz, lqx, lqy, lqz,
              ph, jtgt, alive_i, depth, s, pid, ne,
-             imr, img_, imb) = c
+             imr, img_, imb, mpdf, lmp) = c
             alive = alive_i == 1
             pending = alive_i == 2
             depth = jnp.where(alive, depth + 1, depth)
@@ -289,12 +296,24 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 want_shading=True, want_obj=True, sphere_tab=tab,
                 want_geom=True,
             )
+            alive_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
             if textbook:
                 suppress = (ne > 0) & h["is_light"]
                 emit_f = jnp.where(alive & ~suppress, np.float32(1.0),
                                    np.float32(0.0))
+            elif mis_est:
+                # Balance heuristic on BSDF-sampled light hits (replay of
+                # the forward kernel's mis pickup; single light).
+                cos_lh = jnp.abs(dx * ln[0] + dy * ln[1] + dz * ln[2])
+                p_l_h = (h["t"] * h["t"]) / (
+                    area * jnp.maximum(cos_lh, np.float32(1e-6))
+                )
+                w_b = mpdf / (mpdf + p_l_h)
+                pick_gate = h["is_light"] & (mpdf > 0.0)
+                emit_f = alive_f * jnp.where(pick_gate, w_b,
+                                             np.float32(1.0))
             else:
-                emit_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
+                emit_f = alive_f
             ar_n = ar + emit_f * tr_ * h["emi"][0]
             ag_n = ag + emit_f * tg * h["emi"][1]
             ab_n = ab + emit_f * tb * h["emi"][2]
@@ -375,7 +394,19 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 w_nee = (
                     jnp.abs(area * cos_l) / (t_safe * t_safe)
                 ) * (cos_s * np.float32(1.0 / math.pi))
-                if textbook:
+                if mis_est:
+                    # Light-strategy balance weight at the sampled
+                    # direction (forward kernel's mis block, single
+                    # light).
+                    p_l_s = (t_safe * t_safe) / (
+                        area * jnp.maximum(cos_l, np.float32(1e-6))
+                    )
+                    dot_sn = ldx * nx + ldy * ny + ldz * nz
+                    p_b_s = jnp.maximum(dot_sn, 0.0) * np.float32(
+                        1.0 / math.pi
+                    )
+                    w_nee = w_nee * (p_l_s / (p_l_s + p_b_s))
+                if textbook or mis_est:
                     is_diff_tb = ~(h["is_spec"] | h["is_refr"])
                     gate = jnp.where(
                         alive & is_diff_tb & success, w_nee,
@@ -508,10 +539,11 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 + g_ct[2] * TS[2] * h["alb"][2]
             ) * inv_p
             sigma_w = jnp.where(is_vjp, sigma_w, 0.0)
-            if textbook:
-                # Cotangent of the direct term's w_nee: the add was
-                # gate * T * c * e_light per channel, gate = w_nee on the
-                # gated lanes.
+            if textbook or mis_est:
+                # Cotangent of the direct term's weight: the add was
+                # gate * T * c * e_light per channel (gate carries the
+                # balance factor for mis — it lives inside diff_step's
+                # w_tb output, so the same sigma applies).
                 gate_mask = alive & is_diff_tb & success
                 sigma_tb = jnp.where(
                     is_vjp & gate_mask,
@@ -522,6 +554,21 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 )
             else:
                 sigma_tb = zero
+            if mis_est:
+                # Cotangent of the pickup weight w_b (the balance factor
+                # on BSDF-sampled light hits): pickup_ch = w_b*T_ch*e_ch
+                # for gated lanes.
+                sigma_pk = jnp.where(
+                    is_vjp & alive & pick_gate,
+                    g_ct[0] * tr_ * h["emi"][0]
+                    + g_ct[1] * tg * h["emi"][1]
+                    + g_ct[2] * tb * h["emi"][2],
+                    0.0,
+                )
+                lmp_in = jnp.where(is_vjp, lmp, 0.0)
+            else:
+                sigma_pk = zero
+                lmp_in = zero
 
             # Winner-conditioned detached data for diff_step.
             win = h["obj"]
@@ -558,11 +605,16 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
             if has_refr:
                 rf_m = h["is_refr"]
 
-            def diff_step(o1, o2, o3, d1, d2, d3, c1, c2, c3, rr_):
-                """The bounce's continuous map (o, d, center, radius) ->
-                (o', d', w_cont, w_tb) with all discrete choices closed
-                over as detached constants. Evaluated at the primal point;
-                only its VJP is used."""
+            def diff_step(o1, o2, o3, d1, d2, d3, c1, c2, c3, rr_, mp_):
+                """The bounce's continuous map (o, d, center, radius,
+                mpdf) -> (o', d', w_cont, w_tb, w_pick, pdf_cont) with
+                all discrete choices closed over as detached constants.
+                Evaluated at the primal point; only its VJP is used.
+                mp_ (the mis balance carry) is an INPUT whose cotangent
+                the state machine routes one bounce BACK (lambda_mpdf),
+                where it lands on the pdf_cont output — the one
+                cross-bounce dependency the (o, d) lambda pair does not
+                cover."""
                 # Winner t.
                 dn_p = d1 * pnx + d2 * pny + d3 * pnz
                 ok_p = jnp.abs(dn_p) > np.float32(1e-20)
@@ -629,7 +681,15 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                     wn = (
                         jnp.abs(area * cls) / (tpr * tpr)
                     ) * (css * np.float32(1.0 / math.pi))
-                    if textbook:
+                    if mis_est:
+                        p_l_d = (tpr * tpr) / (
+                            area * jnp.maximum(cls, np.float32(1e-6))
+                        )
+                        p_b_d = jnp.maximum(
+                            l1 * nx_ + l2 * ny_ + l3 * nz_, 0.0
+                        ) * np.float32(1.0 / math.pi)
+                        wn = wn * (p_l_d / (p_l_d + p_b_d))
+                    if textbook or mis_est:
                         w_tb = wn
                         e1, e2, e3 = sdx, sdy, sdz
                         w_c = one + zero
@@ -706,10 +766,33 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                         e3 = jnp.where(rf_m,
                                        jnp.where(pick_refl, rz, tz), e3)
                         w_c = jnp.where(rf_m, wr_, w_c)
-                return (x1, x2, x3, e1, e2, e3, w_c, w_tb)
+                if mis_est:
+                    # Pickup balance weight at THIS hit (w_b): flows via
+                    # t_w and d; mp_ is its other input.
+                    cos_lh_d = jnp.abs(
+                        d1 * ln[0] + d2 * ln[1] + d3 * ln[2]
+                    )
+                    p_lh_d = (t_w * t_w) / (
+                        area * jnp.maximum(cos_lh_d, np.float32(1e-6))
+                    )
+                    w_pk = mp_ / (mp_ + p_lh_d)
+                    w_pk = jnp.where(pick_gate, w_pk, 1.0)
+                    # Continuation pdf the NEXT bounce's pickup uses.
+                    pdfc = jnp.where(
+                        is_diff_tb,
+                        jnp.maximum(
+                            e1 * nx_ + e2 * ny_ + e3 * nz_, 0.0
+                        ) * np.float32(1.0 / math.pi),
+                        0.0,
+                    )
+                else:
+                    w_pk = one + zero
+                    pdfc = zero
+                return (x1, x2, x3, e1, e2, e3, w_c, w_tb, w_pk, pdfc)
 
             _, vjp_fn = jax.vjp(
-                diff_step, ox, oy, oz, dx, dy, dz, wcx, wcy, wcz, wr
+                diff_step, ox, oy, oz, dx, dy, dz, wcx, wcy, wcz, wr,
+                mpdf,
             )
             cot = (
                 jnp.where(is_vjp, lox, 0.0),
@@ -720,9 +803,11 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 jnp.where(is_vjp, lqz, 0.0),
                 sigma_w,
                 sigma_tb,
+                sigma_pk,
+                lmp_in,
             )
             (g_o1, g_o2, g_o3, g_d1, g_d2, g_d3,
-             g_c1, g_c2, g_c3, g_rr) = vjp_fn(cot)
+             g_c1, g_c2, g_c3, g_rr, g_mp) = vjp_fn(cot)
 
             # ------------- material cotangents (megakernel_grad pass B) --
             val_alb = [g_ct[chn] * TS[chn] * f_scale for chn in range(3)]
@@ -746,7 +831,9 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
             val_alb_tot = [
                 val_alb[chn] + am_w[chn] * s_am for chn in range(3)
             ]
-            if textbook:
+            if textbook or mis_est:
+                # Direct-term albedo pickup (gate carries the balance
+                # weight for mis).
                 val_alb_tot = [
                     val_alb_tot[chn]
                     + g_ct[chn] * gate * T_ch[chn] * e_light_k[chn]
@@ -764,7 +851,7 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                     ia = o * 6 + chn
                     gacc[ia] = gacc[ia] + m * val_alb_tot[chn]
                     gacc[ia + 3] = gacc[ia + 3] + m * val_emi[chn]
-            if textbook:
+            if textbook or mis_est:
                 # Direct-term light-emission cotangent (light is unrolled).
                 for chn in range(3):
                     ie_l = light_id * 6 + 3 + chn
@@ -874,10 +961,23 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 )
             else:
                 ne = jnp.zeros_like(ne)
+            if mis_est:
+                # Balance carry replay (forward kernel's mpdf block):
+                # cosine pdf of the chosen continuation for surviving
+                # diffuse lanes; 0 for spec/refr and reborn.
+                cos_c = ndx * nx + ndy * ny + ndz * nz
+                pdf_cont_p = jnp.maximum(cos_c, 0.0) * np.float32(
+                    1.0 / math.pi
+                )
+                mpdf = jnp.where(
+                    cont & is_diff_tb, pdf_cont_p, np.float32(0.0)
+                )
+                lmp = jnp.where(to_backward, 0.0,
+                                jnp.where(is_vjp, g_mp, lmp))
             return (ox, oy, oz, dx, dy, dz, tr_, tg, tb, ar, ag, ab,
                     lar, lag, lab, lox, loy, loz, lqx, lqy, lqz,
                     ph, jtgt, alive_i, depth, s, pid, ne,
-                    imr, img_, imb)
+                    imr, img_, imb, mpdf, lmp)
 
         out = jax.lax.while_loop(cond, body, carry0)
         ir_ref[...] = out[28]

@@ -184,6 +184,49 @@ def test_geometry_grads_match_jnp_on_stable_paths(scene, cam):
     assert checked >= 1
 
 
+def test_geometry_grads_match_jnp_mis(scene, cam):
+    """estimator="mis" in the geometry kernel (round-4 extension): the
+    balance weights introduce two flows the other estimators lack — the
+    pickup weight w_b(t, d, mpdf) and the cross-bounce mpdf chain
+    (lambda_mpdf routes the pickup weight's carry-cotangent back to the
+    PREVIOUS bounce's continuation-pdf output). Stable paths must match
+    jax.grad through the jnp wavefront to ~1e-3 across center, radius,
+    AND albedo (the direct-term material pickup shares the gate)."""
+    from small_pathtracer_tpu.grad.adjoint import render_linear
+
+    cfg = _cfg(estimator="mis")
+    seed = 9
+    pixels = _stable_pixel_grads(scene, cam, cfg, seed)
+    assert pixels, "no stable interior sphere pixels at this config/seed"
+    for (x, y) in pixels[:2]:
+        g_img = np.zeros((H, W, 3), np.float32)
+        g_img[y, x, :] = 1.0
+        gtab, galb, gemi = mg.geom_vjp(scene, cam, cfg, seed, g_img,
+                                       interpret=True)
+        gk = mg.grads_to_scene(scene, gtab, galb, gemi)
+
+        def val(cen, rad, alb):
+            s2 = scene._replace(spheres=scene.spheres._replace(
+                center=cen, radius=rad, albedo=alb))
+            img = render_linear(s2, cam, cfg, jnp.uint32(seed),
+                                cfg.max_bounces)
+            return img[y, x, :].sum() * cfg.spp
+
+        gc, gr, ga = jax.grad(val, argnums=(0, 1, 2))(
+            scene.spheres.center, scene.spheres.radius,
+            scene.spheres.albedo,
+        )
+        a = np.concatenate([np.asarray(gk.spheres.center).ravel(),
+                            np.asarray(gk.spheres.radius).ravel(),
+                            np.asarray(gk.spheres.albedo).ravel()])
+        b = np.concatenate([np.asarray(gc).ravel(),
+                            np.asarray(gr).ravel(),
+                            np.asarray(ga).ravel()])
+        scale = np.abs(b).max()
+        assert scale > 0
+        assert np.abs(a - b).max() / scale < 2e-3, (x, y, a, b)
+
+
 def test_whole_image_grads_statistical(scene, cam):
     """Whole-image center/radius gradients vs jnp AD: agree within a
     loose statistical tolerance (flip-class paths perturb both sides)."""
@@ -219,7 +262,8 @@ def test_whole_image_grads_statistical(scene, cam):
 
 
 @pytest.mark.parametrize("est", ["cosine", "mixture", "uniform",
-                                 "uniform_corrected", "nee_textbook"])
+                                 "uniform_corrected", "nee_textbook",
+                                 "mis"])
 def test_estimators_finite_and_consistent(scene, cam, est):
     """Every supported estimator: finite gradients; the forward image
     matches the estimator's table-kernel render statistically."""
@@ -309,8 +353,6 @@ def test_no_recompile_across_geometry(scene, cam):
 def test_validation_errors(scene, cam):
     from small_pathtracer_tpu.scene.types import LightList
 
-    with pytest.raises(ValueError, match="mis"):
-        mg.build_geom_grad_kernel(scene, cam, _cfg(estimator="mis"))
     box = get_scene("cornell_box")
     with pytest.raises(ValueError, match="no spheres"):
         mg.build_geom_grad_kernel(box, cam, _cfg())
