@@ -66,9 +66,13 @@ uniform_corrected / mis (the balance weights add two adjoint flows: the
 pickup weight w_b(t, d, mpdf) rides diff_step as an extra in/out pair,
 and a lambda_mpdf carry register routes its cotangent one bounce BACK
 onto the previous bounce's continuation-pdf output), DIFF/SPEC/REFR
-materials, hash RNG (the samplers' documented behavior: gradient paths
-sample their own forward with the hash RNG — config.py ``sampler``).
-GLOS and light lists use the jnp adjoint.
+materials, multi-emitter light lists (scene.lights: the per-lane
+selection draw is replayed, NEE weights carry 1/q_k, the per-hit pickup
+density folds q, the SHADOW_EPS-lifted probe origin rides the
+differentiable normal, and the direct-term emission cotangent routes to
+the per-lane SAMPLED light's row), hash RNG (the samplers' documented
+behavior: gradient paths sample their own forward with the hash RNG —
+config.py ``sampler``). GLOS uses the jnp adjoint.
 """
 
 from __future__ import annotations
@@ -88,10 +92,13 @@ from ..config import RenderConfig
 from ..core import rng
 from ..core import vecmath as vm
 from ..scene.types import Scene
+from ..integrator.sampling import SHADOW_EPS
 from .megakernel import (
     TAB_STRIDE,
     _FlatRows,
     _geom_hash_structure,
+    _light_list_consts,
+    _light_select_cdf,
     _probe_unrolled,
     _runtime_materials,
     _scene_consts,
@@ -130,11 +137,7 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
             f"; got estimator={est!r} (GLOS: use the jnp adjoint, "
             "grad/adjoint.py + grad/edge.py)"
         )
-    if lightlist is not None:
-        raise ValueError(
-            "the geometry adjoint kernel is single-light (scene.lights "
-            "must be None); use the jnp adjoint for light lists"
-        )
+    multi = lightlist is not None  # multi-emitter list (scene.lights)
     if any(o["refl"] == 3 for o in rects + quads + spheres):
         raise ValueError(
             "the geometry adjoint kernel does not implement GLOS; use "
@@ -151,6 +154,20 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
     light_id = light["light_obj_id"]
     if light_id >= base:
         raise ValueError("the light must be an unrolled rect/quad")
+    if multi:
+        # Multi-emitter light lists (scene.lights): the per-lane selection
+        # draw is replayed exactly as megakernel_grad does; every emitter
+        # must be an unrolled rect/quad (table spheres cannot emit in
+        # sphere-table mode — build_kernel enforces the same).
+        ml = _light_list_consts(lightlist)
+        K_L = len(ml)
+        light_ids_all = tuple(m["id"] for m in ml)
+        for m in ml:
+            if int(m["id"]) >= base:
+                raise ValueError(
+                    "geometry adjoint: every light-list emitter must be "
+                    "an unrolled rect/quad, not a table sphere"
+                )
     has_spec = any(o["refl"] == 1 for o in rects + quads + spheres)
     has_refr = any(o["refl"] == 2 for o in rects + quads + spheres)
     # Spheres ride the runtime table; only rects/quads stay unrolled.
@@ -230,6 +247,13 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
         quads_k = _runtime_materials(quads, alb_ref, emi_ref, len(rects))
         tab = (tab_ref, S, base)
         e_light_k = tuple(emi_ref[light_id, c] for c in range(3))
+        if multi:
+            # Selection q/cdf/e from the RUNTIME emission table, exactly
+            # as the forward mat_refs kernel computes them (values only;
+            # q is stop-gradient'ed per sampling.light_select_probs).
+            _q_l, _cdf_l, _e_lights = _light_select_cdf(
+                ml, unrolled, cfg.light_select, emi_ref
+            )
 
         seed = seed_ref[0]
         do_bk = bk_ref[0] > 0
@@ -291,7 +315,8 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
 
             # ---------------- primal bounce (bit-exact replay) -----------
             h = _trace_unrolled(
-                rects_k, quads_k, spheres_unrolled, light_id,
+                rects_k, quads_k, spheres_unrolled,
+                light_ids_all if multi else light_id,
                 ox, oy, oz, dx, dy, dz,
                 want_shading=True, want_obj=True, sphere_tab=tab,
                 want_geom=True,
@@ -303,11 +328,33 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                                    np.float32(0.0))
             elif mis_est:
                 # Balance heuristic on BSDF-sampled light hits (replay of
-                # the forward kernel's mis pickup; single light).
-                cos_lh = jnp.abs(dx * ln[0] + dy * ln[1] + dz * ln[2])
-                p_l_h = (h["t"] * h["t"]) / (
-                    area * jnp.maximum(cos_lh, np.float32(1e-6))
-                )
+                # the forward kernel's mis pickup).
+                if multi:
+                    # Per-hit-light selection density: q_k * t^2/(A_k cos)
+                    # for whichever list emitter the ray struck.
+                    q_h = zero + _q_l[0]
+                    a_h = zero + ml[0]["area"]
+                    n_h = [zero + ml[0]["n"][c] for c in range(3)]
+                    for k in range(1, K_L):
+                        is_k = h["obj"] == np.int32(ml[k]["id"])
+                        q_h = jnp.where(is_k, _q_l[k], q_h)
+                        a_h = jnp.where(is_k, ml[k]["area"], a_h)
+                        for c_ in range(3):
+                            n_h[c_] = jnp.where(is_k, ml[k]["n"][c_],
+                                                n_h[c_])
+                    cos_lh = jnp.abs(
+                        dx * n_h[0] + dy * n_h[1] + dz * n_h[2]
+                    )
+                    p_l_h = q_h * (h["t"] * h["t"]) / (
+                        a_h * jnp.maximum(cos_lh, np.float32(1e-6))
+                    )
+                else:
+                    cos_lh = jnp.abs(
+                        dx * ln[0] + dy * ln[1] + dz * ln[2]
+                    )
+                    p_l_h = (h["t"] * h["t"]) / (
+                        area * jnp.maximum(cos_lh, np.float32(1e-6))
+                    )
                 w_b = mpdf / (mpdf + p_l_h)
                 pick_gate = h["is_light"] & (mpdf > 0.0)
                 emit_f = alive_f * jnp.where(pick_gate, w_b,
@@ -367,54 +414,127 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
             if nee_like:
                 lu = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_U))
                 lv = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_V))
-                if glibc and not textbook:
-                    off_u = glibc_offset(lu)
-                    off_v = glibc_offset(lv)
-                    lpx = lc[0] + off_u * leu_hat[0] + off_v * lev_hat[0]
-                    lpy = lc[1] + off_u * leu_hat[1] + off_v * lev_hat[1]
-                    lpz = lc[2] + off_u * leu_hat[2] + off_v * lev_hat[2]
+                if multi:
+                    # Bit-exact replay of the forward kernel's per-lane
+                    # light selection: inverse-CDF draw + chained K-way
+                    # select (megakernel_grad's multi block verbatim).
+                    usel = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_SEL))
+                    lidx = jnp.zeros_like(depth)
+                    for k in range(K_L - 1):
+                        lidx = lidx + jnp.where(
+                            usel >= _cdf_l[k], np.int32(1), np.int32(0)
+                        )
+
+                    def _sel_f(vals):
+                        acc = zero + vals[0]
+                        for k in range(1, K_L):
+                            acc = jnp.where(
+                                lidx == np.int32(k), vals[k], acc
+                            )
+                        return acc
+
+                    lcx = _sel_f([m["c"][0] for m in ml])
+                    lcy = _sel_f([m["c"][1] for m in ml])
+                    lcz = _sel_f([m["c"][2] for m in ml])
+                    leux = _sel_f([m["eu"][0] for m in ml])
+                    leuy = _sel_f([m["eu"][1] for m in ml])
+                    leuz = _sel_f([m["eu"][2] for m in ml])
+                    levx = _sel_f([m["ev"][0] for m in ml])
+                    levy = _sel_f([m["ev"][1] for m in ml])
+                    levz = _sel_f([m["ev"][2] for m in ml])
+                    ln_use = tuple(
+                        _sel_f([m["n"][c] for m in ml]) for c in range(3)
+                    )
+                    area_use = _sel_f([m["area"] for m in ml])
+                    q_sel = _sel_f(_q_l)
+                    sel_id = jnp.full_like(depth, np.int32(ml[0]["id"]))
+                    for k in range(1, K_L):
+                        sel_id = jnp.where(
+                            lidx == np.int32(k),
+                            np.int32(ml[k]["id"]), sel_id,
+                        )
+                    lpx = lcx + lu * leux + lv * levx
+                    lpy = lcy + lu * leuy + lv * levy
+                    lpz = lcz + lu * leuz + lv * levz
                 else:
-                    lpx = lc[0] + lu * leu[0] + lv * lev[0]
-                    lpy = lc[1] + lu * leu[1] + lv * lev[1]
-                    lpz = lc[2] + lu * leu[2] + lv * lev[2]
-                # Single-light probe fires from the exact hit point (the
-                # forward kernel's non-multi branch).
-                wx_, wy_, wz_ = lpx - hx, lpy - hy, lpz - hz
+                    ln_use, area_use = ln, area
+                    if glibc and not textbook:
+                        off_u = glibc_offset(lu)
+                        off_v = glibc_offset(lv)
+                        lpx = lc[0] + off_u * leu_hat[0] + off_v * lev_hat[0]
+                        lpy = lc[1] + off_u * leu_hat[1] + off_v * lev_hat[1]
+                        lpz = lc[2] + off_u * leu_hat[2] + off_v * lev_hat[2]
+                    else:
+                        lpx = lc[0] + lu * leu[0] + lv * lev[0]
+                        lpy = lc[1] + lu * leu[1] + lv * lev[1]
+                        lpz = lc[2] + lu * leu[2] + lv * lev[2]
+                if multi:
+                    # SHADOW_EPS-lifted probe origin (forward kernel's NEE
+                    # block — list samplers target the true light plane).
+                    eps_sh = np.float32(SHADOW_EPS)
+                    pox = hx + eps_sh * nx
+                    poy = hy + eps_sh * ny
+                    poz = hz + eps_sh * nz
+                else:
+                    # Single-light probe fires from the exact hit point
+                    # (the forward kernel's non-multi branch).
+                    pox, poy, poz = hx, hy, hz
+                wx_, wy_, wz_ = lpx - pox, lpy - poy, lpz - poz
                 inv_wl = jax.lax.rsqrt(wx_ * wx_ + wy_ * wy_ + wz_ * wz_)
                 ldx, ldy, ldz = wx_ * inv_wl, wy_ * inv_wl, wz_ * inv_wl
-                t_probe, success = _probe_unrolled(
-                    rects_k, quads_k, spheres_unrolled, light_id,
-                    hx, hy, hz, ldx, ldy, ldz, sphere_tab=tab,
-                )
+                if multi:
+                    probe = _trace_unrolled(
+                        rects_k, quads_k, spheres_unrolled, light_ids_all,
+                        pox, poy, poz, ldx, ldy, ldz,
+                        want_shading=False, want_obj=True, sphere_tab=tab,
+                    )
+                    success = probe["hit"] & (probe["obj"] == sel_id)
+                    t_probe = probe["t"]
+                else:
+                    t_probe, success = _probe_unrolled(
+                        rects_k, quads_k, spheres_unrolled, light_id,
+                        hx, hy, hz, ldx, ldy, ldz, sphere_tab=tab,
+                    )
                 t_safe = jnp.where(success, t_probe, 1.0)
                 cos_l = jnp.abs(
-                    ldx * ln[0] + ldy * ln[1] + ldz * ln[2]
+                    ldx * ln_use[0] + ldy * ln_use[1] + ldz * ln_use[2]
                 )
                 cos_s = jnp.abs(ldx * nx + ldy * ny + ldz * nz)
                 w_nee = (
-                    jnp.abs(area * cos_l) / (t_safe * t_safe)
+                    jnp.abs(area_use * cos_l) / (t_safe * t_safe)
                 ) * (cos_s * np.float32(1.0 / math.pi))
+                if multi:
+                    w_nee = w_nee / q_sel
                 if mis_est:
                     # Light-strategy balance weight at the sampled
-                    # direction (forward kernel's mis block, single
-                    # light).
+                    # direction (forward kernel's mis block); under lists
+                    # the selection probability folds into the density.
                     p_l_s = (t_safe * t_safe) / (
-                        area * jnp.maximum(cos_l, np.float32(1e-6))
+                        area_use * jnp.maximum(cos_l, np.float32(1e-6))
                     )
+                    if multi:
+                        p_l_s = p_l_s * q_sel
                     dot_sn = ldx * nx + ldy * ny + ldz * nz
                     p_b_s = jnp.maximum(dot_sn, 0.0) * np.float32(
                         1.0 / math.pi
                     )
                     w_nee = w_nee * (p_l_s / (p_l_s + p_b_s))
+                if multi and (textbook or mis_est):
+                    e_l_use = tuple(
+                        _sel_f([_e_lights[k][c] for k in range(K_L)])
+                        for c in range(3)
+                    )
+                else:
+                    e_l_use = e_light_k
                 if textbook or mis_est:
                     is_diff_tb = ~(h["is_spec"] | h["is_refr"])
                     gate = jnp.where(
                         alive & is_diff_tb & success, w_nee,
                         np.float32(0.0),
                     )
-                    ar_n = ar_n + gate * tr_ * h["alb"][0] * e_light_k[0]
-                    ag_n = ag_n + gate * tg * h["alb"][1] * e_light_k[1]
-                    ab_n = ab_n + gate * tb * h["alb"][2] * e_light_k[2]
+                    ar_n = ar_n + gate * tr_ * h["alb"][0] * e_l_use[0]
+                    ag_n = ag_n + gate * tg * h["alb"][1] * e_l_use[1]
+                    ab_n = ab_n + gate * tb * h["alb"][2] * e_l_use[2]
                     ndx, ndy, ndz = scx, scy, scz
                     wgt = one
                     take = None
@@ -426,6 +546,10 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                     ndz = jnp.where(success, ldz, scz)
                     wgt = jnp.where(success, w_nee, 1.0)
                     take = None
+                    if multi:
+                        # NEE-success lanes continue from the lifted probe
+                        # origin (forward kernel's cont_off).
+                        cont_off = success
                 if est == "mixture":
                     um = uni(seed, pid, ctr + _u32c(rng.P_MIX_COIN))
                     take = um < mix_q
@@ -433,6 +557,13 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                     ndy = jnp.where(take, ndy, scy)
                     ndz = jnp.where(take, ndz, scz)
                     wgt = jnp.where(take, wgt, 1.0)
+                    if multi:
+                        cont_off = cont_off & take
+                if multi and est in ("nee", "mixture"):
+                    # Continuation-origin override mask for diffuse
+                    # NEE-success lanes (used by diff_step's output origin
+                    # and the transition block alike).
+                    off_m = cont_off & ~(h["is_spec"] | h["is_refr"])
             else:
                 success = None
                 take = None
@@ -547,9 +678,9 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 gate_mask = alive & is_diff_tb & success
                 sigma_tb = jnp.where(
                     is_vjp & gate_mask,
-                    g_ct[0] * tr_ * h["alb"][0] * e_light_k[0]
-                    + g_ct[1] * tg * h["alb"][1] * e_light_k[1]
-                    + g_ct[2] * tb * h["alb"][2] * e_light_k[2],
+                    g_ct[0] * tr_ * h["alb"][0] * e_l_use[0]
+                    + g_ct[1] * tg * h["alb"][1] * e_l_use[1]
+                    + g_ct[2] * tb * h["alb"][2] * e_l_use[2],
                     0.0,
                 )
             else:
@@ -662,29 +793,46 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 sdx, sdy, sdz = ssx * inv_sl_, ssy * inv_sl_, ssz * inv_sl_
                 w_tb = zero
                 if nee_like:
-                    w1_, w2_, w3_ = lpx - x1, lpy - x2, lpz - x3
+                    if multi:
+                        # Lifted probe origin rides the DIFFERENTIABLE
+                        # normal; per-lane selected light plane (detached
+                        # selection, differentiable distances).
+                        px1 = x1 + eps_sh * nx_
+                        px2 = x2 + eps_sh * ny_
+                        px3 = x3 + eps_sh * nz_
+                        lc_d = (lcx, lcy, lcz)
+                        ln_d, area_d = ln_use, area_use
+                    else:
+                        px1, px2, px3 = x1, x2, x3
+                        lc_d, ln_d, area_d = lc, ln, area
+                    w1_, w2_, w3_ = lpx - px1, lpy - px2, lpz - px3
                     wl2 = w1_ * w1_ + w2_ * w2_ + w3_ * w3_
                     iwl = jax.lax.rsqrt(jnp.where(wl2 > 0.0, wl2, 1.0))
                     l1, l2, l3 = w1_ * iwl, w2_ * iwl, w3_ * iwl
-                    ddl = l1 * ln[0] + l2 * ln[1] + l3 * ln[2]
+                    ddl = l1 * ln_d[0] + l2 * ln_d[1] + l3 * ln_d[2]
                     succ_m = success
                     ddl_s = jnp.where(
                         succ_m & (jnp.abs(ddl) > 0.0), ddl, 1.0
                     )
                     tpr = (
-                        (lc[0] - x1) * ln[0] + (lc[1] - x2) * ln[1]
-                        + (lc[2] - x3) * ln[2]
+                        (lc_d[0] - px1) * ln_d[0]
+                        + (lc_d[1] - px2) * ln_d[1]
+                        + (lc_d[2] - px3) * ln_d[2]
                     ) / ddl_s
                     tpr = jnp.where(succ_m, tpr, 1.0)
                     cls = jnp.abs(ddl)
                     css = jnp.abs(l1 * nx_ + l2 * ny_ + l3 * nz_)
                     wn = (
-                        jnp.abs(area * cls) / (tpr * tpr)
+                        jnp.abs(area_d * cls) / (tpr * tpr)
                     ) * (css * np.float32(1.0 / math.pi))
+                    if multi:
+                        wn = wn / q_sel
                     if mis_est:
                         p_l_d = (tpr * tpr) / (
-                            area * jnp.maximum(cls, np.float32(1e-6))
+                            area_d * jnp.maximum(cls, np.float32(1e-6))
                         )
+                        if multi:
+                            p_l_d = p_l_d * q_sel
                         p_b_d = jnp.maximum(
                             l1 * nx_ + l2 * ny_ + l3 * nz_, 0.0
                         ) * np.float32(1.0 / math.pi)
@@ -769,12 +917,20 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 if mis_est:
                     # Pickup balance weight at THIS hit (w_b): flows via
                     # t_w and d; mp_ is its other input.
-                    cos_lh_d = jnp.abs(
-                        d1 * ln[0] + d2 * ln[1] + d3 * ln[2]
-                    )
-                    p_lh_d = (t_w * t_w) / (
-                        area * jnp.maximum(cos_lh_d, np.float32(1e-6))
-                    )
+                    if multi:
+                        cos_lh_d = jnp.abs(
+                            d1 * n_h[0] + d2 * n_h[1] + d3 * n_h[2]
+                        )
+                        p_lh_d = q_h * (t_w * t_w) / (
+                            a_h * jnp.maximum(cos_lh_d, np.float32(1e-6))
+                        )
+                    else:
+                        cos_lh_d = jnp.abs(
+                            d1 * ln[0] + d2 * ln[1] + d3 * ln[2]
+                        )
+                        p_lh_d = (t_w * t_w) / (
+                            area * jnp.maximum(cos_lh_d, np.float32(1e-6))
+                        )
                     w_pk = mp_ / (mp_ + p_lh_d)
                     w_pk = jnp.where(pick_gate, w_pk, 1.0)
                     # Continuation pdf the NEXT bounce's pickup uses.
@@ -788,6 +944,13 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 else:
                     w_pk = one + zero
                     pdfc = zero
+                if multi and est in ("nee", "mixture"):
+                    # NEE-success diffuse lanes continue from the lifted
+                    # probe origin (matches the primal transition's off_m
+                    # override; the lift is differentiable via nx_).
+                    x1 = jnp.where(off_m, px1, x1)
+                    x2 = jnp.where(off_m, px2, x2)
+                    x3 = jnp.where(off_m, px3, x3)
                 return (x1, x2, x3, e1, e2, e3, w_c, w_tb, w_pk, pdfc)
 
             _, vjp_fn = jax.vjp(
@@ -833,10 +996,10 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
             ]
             if textbook or mis_est:
                 # Direct-term albedo pickup (gate carries the balance
-                # weight for mis).
+                # weight for mis; per-lane selected emission under lists).
                 val_alb_tot = [
                     val_alb_tot[chn]
-                    + g_ct[chn] * gate * T_ch[chn] * e_light_k[chn]
+                    + g_ct[chn] * gate * T_ch[chn] * e_l_use[chn]
                     for chn in range(3)
                 ]
             val_emi = [
@@ -851,7 +1014,21 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                     ia = o * 6 + chn
                     gacc[ia] = gacc[ia] + m * val_alb_tot[chn]
                     gacc[ia + 3] = gacc[ia + 3] + m * val_emi[chn]
-            if textbook or mis_est:
+            if (textbook or mis_est) and multi:
+                # Route the direct-term emission cotangent to the per-lane
+                # SAMPLED light's row (gate is zero off-success, so the
+                # lidx mask only picks the routing).
+                for k in range(K_L):
+                    mk = jnp.where(
+                        lidx == np.int32(k), is_vjp_f, np.float32(0.0)
+                    )
+                    for chn in range(3):
+                        ie_l = light_ids_all[k] * 6 + 3 + chn
+                        gacc[ie_l] = gacc[ie_l] + (
+                            mk * g_ct[chn] * gate * T_ch[chn]
+                            * h["alb"][chn]
+                        )
+            elif textbook or mis_est:
                 # Direct-term light-emission cotangent (light is unrolled).
                 for chn in range(3):
                     ie_l = light_id * 6 + 3 + chn
@@ -914,6 +1091,14 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
             # (observed; hence the pending-spawn lane state in carry0).
             o_sp, d_sp = spawn(seed, px, py, pid_sel)
 
+            if multi and est in ("nee", "mixture"):
+                # Continuation origin override for light-list NEE-success
+                # diffuse lanes (lifted probe origin — forward kernel's
+                # off_m block; diff_step's output origin applies the same
+                # lift so the replayed adjoint chain matches).
+                hx = jnp.where(off_m, pox, hx)
+                hy = jnp.where(off_m, poy, hy)
+                hz = jnp.where(off_m, poz, hz)
             # Logical form, not jnp.where-over-bools (Mosaic lowers
             # bool selects through i8 and rejects the i8->i1 trunc).
             isA = ph == 0

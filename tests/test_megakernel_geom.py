@@ -52,6 +52,45 @@ def _cfg(**kw):
     return RenderConfig(**base)
 
 
+@pytest.fixture(scope="module")
+def twolight_scene():
+    """cornell_twolights' walls + two colored ceiling lights, with the
+    cornell_spheres pair riding the sphere table — the multi-emitter
+    geometry-adjoint exercise (per-lane light selection, q folds,
+    lifted probe origin, per-light emission cotangent routing)."""
+    from small_pathtracer_tpu.scene.presets import (
+        AX_Y, DIFF, _ZERO, _cornell_walls, make_scene)
+    from small_pathtracer_tpu.scene.types import LightList, LightSampler
+
+    walls = _cornell_walls()[:6]
+    light_rects = [
+        (AX_Y, 81.5, (15.0, 63.0), (40.0, 88.0), _ZERO,
+         (17.0, 12.0, 4.0), DIFF),
+        (AX_Y, 81.5, (60.0, 68.0), (80.0, 88.0), _ZERO,
+         (4.0, 10.0, 18.0), DIFF),
+    ]
+    spheres = [
+        ((27.0, 16.5, 47.0), 16.5, (0.999, 0.999, 0.999), _ZERO, DIFF),
+        ((73.0, 16.5, 78.0), 16.5, (0.75, 0.75, 0.75), _ZERO, DIFF),
+    ]
+    light = LightSampler(
+        corner=jnp.asarray([15.0, 81.5, 63.0], jnp.float32),
+        edge_u=jnp.asarray([25.0, 0.0, 0.0], jnp.float32),
+        edge_v=jnp.asarray([0.0, 0.0, 25.0], jnp.float32),
+        light_obj_id=jnp.asarray(6, jnp.int32),
+    )
+    lights = LightList(
+        corner=jnp.asarray(
+            [[15.0, 81.5, 63.0], [60.0, 81.5, 68.0]], jnp.float32),
+        edge_u=jnp.asarray(
+            [[25.0, 0.0, 0.0], [20.0, 0.0, 0.0]], jnp.float32),
+        edge_v=jnp.asarray(
+            [[0.0, 0.0, 25.0], [0.0, 0.0, 20.0]], jnp.float32),
+        obj_id=jnp.asarray([6, 7], jnp.int32),
+    )
+    return make_scene(walls + light_rects, spheres, light, lights=lights)
+
+
 def test_forward_image_matches_table_kernel(scene, cam):
     """geom_run's pass-A image vs the forward table megakernel: same
     estimator and RNG, statistically equal (sphere-scene FMA flips allow
@@ -227,6 +266,66 @@ def test_geometry_grads_match_jnp_mis(scene, cam):
         assert np.abs(a - b).max() / scale < 2e-3, (x, y, a, b)
 
 
+@pytest.mark.parametrize("est", ["nee", "mis"])
+def test_multilight_grads_match_jnp(twolight_scene, cam, est):
+    """Light lists through the geometry kernel (round-4 late addition):
+    per-lane selection replay, 1/q_k NEE weights, q-folded pickup
+    densities (mis), the SHADOW_EPS-lifted probe origin riding the
+    differentiable normal, and per-SAMPLED-light emission-cotangent
+    routing. Stable paths must match jax.grad through the jnp wavefront
+    at float level across center/radius/albedo AND both light rects'
+    emission rows (measured <= 9e-8 at this config)."""
+    from small_pathtracer_tpu.grad.adjoint import render_linear
+
+    scene = twolight_scene
+    cfg = _cfg(estimator=est, spp=2, max_bounces=4)
+    seed = 7
+    img_sum, _, _, _ = mg.geom_run(scene, cam, cfg, seed, interpret=True)
+    img_k = np.asarray(img_sum) / cfg.spp
+    img_j = np.asarray(render_linear(scene, cam, cfg, jnp.uint32(seed),
+                                     cfg.max_bounces))
+    stable = np.abs(img_k - img_j).max(axis=-1) < 1e-5
+    pixels = [(y, x) for y in range(10, H - 1) for x in range(2, W - 2)
+              if stable[y, x]]
+    assert len(pixels) > 20, "multi-light forward diverged from jnp"
+    rows_seen = np.zeros(2, bool)
+    # Spread the probes across the image so the two (spatially separated)
+    # lights both contribute somewhere.
+    probe = [pixels[0], pixels[len(pixels) // 2], pixels[-1]]
+    for (y, x) in probe:
+        g_img = np.zeros((H, W, 3), np.float32)
+        g_img[y, x, :] = 1.0
+        gtab, galb, gemi = mg.geom_vjp(scene, cam, cfg, seed, g_img,
+                                       interpret=True)
+        gk = mg.grads_to_scene(scene, gtab, galb, gemi)
+
+        def val(cen, rad, alb, remi):
+            s2 = scene._replace(
+                spheres=scene.spheres._replace(
+                    center=cen, radius=rad, albedo=alb),
+                rects=scene.rects._replace(emission=remi))
+            img = render_linear(s2, cam, cfg, jnp.uint32(seed),
+                                cfg.max_bounces)
+            return img[y, x, :].sum() * cfg.spp
+
+        gc, gr, ga, ge = jax.grad(val, argnums=(0, 1, 2, 3))(
+            scene.spheres.center, scene.spheres.radius,
+            scene.spheres.albedo, scene.rects.emission)
+        a = np.concatenate([np.asarray(gk.spheres.center).ravel(),
+                            np.asarray(gk.spheres.radius).ravel(),
+                            np.asarray(gk.spheres.albedo).ravel(),
+                            np.asarray(gk.rects.emission).ravel()])
+        b = np.concatenate([np.asarray(v).ravel()
+                            for v in (gc, gr, ga, ge)])
+        scale = np.abs(b).max()
+        assert scale > 0
+        assert np.abs(a - b).max() / scale < 1e-4, (est, x, y)
+        rows_seen |= np.asarray(gk.rects.emission)[6:8].sum(axis=1) > 0
+    # Across the probe pixels, emission cotangents land on BOTH light
+    # rows (the per-SAMPLED-light routing, not a single static slot).
+    assert rows_seen.all(), rows_seen
+
+
 def test_whole_image_grads_statistical(scene, cam):
     """Whole-image center/radius gradients vs jnp AD: agree within a
     loose statistical tolerance (flip-class paths perturb both sides)."""
@@ -360,12 +459,16 @@ def test_validation_errors(scene, cam):
         refl=scene.spheres.refl.at[0].set(3)))
     with pytest.raises(ValueError, match="GLOS"):
         mg.build_geom_grad_kernel(glos, cam, _cfg(estimator="cosine"))
+    # Light lists are supported (round-4 late addition) — but every
+    # emitter must be an unrolled rect/quad, not a table sphere.
+    base = int(np.asarray(scene.rects.k).shape[0]) + int(
+        np.asarray(scene.quads.corner).shape[0])
     ll = LightList(
-        obj_id=jnp.asarray([6], jnp.int32),
+        obj_id=jnp.asarray([base], jnp.int32),
         corner=jnp.asarray(scene.rects.k[6] * jnp.ones(3))[None],
         edge_u=jnp.eye(3, dtype=jnp.float32)[:1],
         edge_v=jnp.eye(3, dtype=jnp.float32)[1:2],
     )
-    multi = scene._replace(lights=ll)
-    with pytest.raises(ValueError, match="single-light"):
-        mg.build_geom_grad_kernel(multi, cam, _cfg())
+    bad = scene._replace(lights=ll)
+    with pytest.raises(ValueError, match="table sphere"):
+        mg.build_geom_grad_kernel(bad, cam, _cfg())
