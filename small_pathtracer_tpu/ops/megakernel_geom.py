@@ -70,9 +70,13 @@ materials, multi-emitter light lists (scene.lights: the per-lane
 selection draw is replayed, NEE weights carry 1/q_k, the per-hit pickup
 density folds q, the SHADOW_EPS-lifted probe origin rides the
 differentiable normal, and the direct-term emission cotangent routes to
-the per-lane SAMPLED light's row), hash RNG (the samplers' documented
+the per-lane SAMPLED light's row), GLOS glossy materials on unrolled
+rects/quads (modified-Phong lobe with the reflected axis differentiable
+via the incoming direction; phong NEE weights, mis balance pdfs and
+continuation pdfs replayed; GLOS spheres cannot ride the table — same
+constraint as the forward kernel), hash RNG (the samplers' documented
 behavior: gradient paths sample their own forward with the hash RNG —
-config.py ``sampler``). GLOS uses the jnp adjoint.
+config.py ``sampler``).
 """
 
 from __future__ import annotations
@@ -134,14 +138,20 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
     if est not in SUPPORTED_ESTIMATORS:
         raise ValueError(
             f"the geometry adjoint kernel implements {SUPPORTED_ESTIMATORS}"
-            f"; got estimator={est!r} (GLOS: use the jnp adjoint, "
-            "grad/adjoint.py + grad/edge.py)"
+            f"; got estimator={est!r}"
         )
     multi = lightlist is not None  # multi-emitter list (scene.lights)
-    if any(o["refl"] == 3 for o in rects + quads + spheres):
+    if any(o["refl"] == 3 for o in spheres):
         raise ValueError(
-            "the geometry adjoint kernel does not implement GLOS; use "
-            "the jnp adjoint (grad/adjoint.py)"
+            "the geometry adjoint kernel cannot place GLOS spheres in "
+            "the table (same constraint as the forward sphere-table "
+            "kernel); use the jnp adjoint (grad/adjoint.py)"
+        )
+    has_glos = any(o["refl"] == 3 for o in rects + quads)
+    if has_glos and est not in ("cosine", "nee_textbook", "mis"):
+        raise ValueError(
+            f"estimator {est!r} has no glossy (GLOS) semantics; use "
+            "cosine, nee_textbook, or mis (integrator contract)"
         )
     S = len(spheres)
     if S == 0:
@@ -319,7 +329,7 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 light_ids_all if multi else light_id,
                 ox, oy, oz, dx, dy, dz,
                 want_shading=True, want_obj=True, sphere_tab=tab,
-                want_geom=True,
+                want_geom=True, want_glos=has_glos,
             )
             alive_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
             if textbook:
@@ -410,6 +420,51 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
             szr = uz * (cr1 * sin_t) + vz * (sr1 * sin_t) + nz * wz
             inv_sl = jax.lax.rsqrt(sxr * sxr + syr * syr + szr * szr)
             scx, scy, scz = sxr * inv_sl, syr * inv_sl, szr * inv_sl
+
+            if has_glos:
+                # GLOS modified-Phong lobe replay (forward kernel's
+                # has_glos scatter block, bit-identical expressions).
+                gl = h["glos"]
+                glm = h["is_glos"]
+                nd_o = nx * dx + ny * dy + nz * dz
+                gmx = dx - nx * (np.float32(2.0) * nd_o)
+                gmy = dy - ny * (np.float32(2.0) * nd_o)
+                gmz = dz - nz * (np.float32(2.0) * nd_o)
+                cos_ga = u2 ** (np.float32(1.0) / (gl + np.float32(1.0)))
+                sin_ga = jnp.sqrt(
+                    jnp.maximum(np.float32(1.0) - cos_ga * cos_ga, 0.0)
+                )
+                pickg = jnp.abs(gmx) > np.float32(0.1)
+                guxr = jnp.where(pickg, gmz, 0.0)
+                guyr = jnp.where(pickg, 0.0, -gmz)
+                guzr = jnp.where(pickg, -gmx, gmy)
+                inv_gul = jax.lax.rsqrt(
+                    guxr * guxr + guyr * guyr + guzr * guzr
+                )
+                gux, guy, guz = (guxr * inv_gul, guyr * inv_gul,
+                                 guzr * inv_gul)
+                gvx = gmy * guz - gmz * guy
+                gvy = gmz * gux - gmx * guz
+                gvz = gmx * guy - gmy * gux
+                glxr = (gux * (cr1 * sin_ga) + gvx * (sr1 * sin_ga)
+                        + gmx * cos_ga)
+                glyr = (guy * (cr1 * sin_ga) + gvy * (sr1 * sin_ga)
+                        + gmy * cos_ga)
+                glzr = (guz * (cr1 * sin_ga) + gvz * (sr1 * sin_ga)
+                        + gmz * cos_ga)
+                inv_gll = jax.lax.rsqrt(
+                    glxr * glxr + glyr * glyr + glzr * glzr
+                )
+                glx, gly, glz = (glxr * inv_gll, glyr * inv_gll,
+                                 glzr * inv_gll)
+                gw = ((gl + np.float32(2.0)) / (gl + np.float32(1.0))) * (
+                    jnp.maximum(glx * nx + gly * ny + glz * nz, 0.0)
+                )
+
+            def _pow_safe_k(base_, n_exp):
+                pos_ = base_ > 0.0
+                safe_ = jnp.where(pos_, base_, 1.0)
+                return jnp.where(pos_, safe_**n_exp, 0.0)
 
             if nee_like:
                 lu = uni(seed, pid, ctr + _u32c(rng.P_LIGHT_U))
@@ -505,6 +560,21 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 ) * (cos_s * np.float32(1.0 / math.pi))
                 if multi:
                     w_nee = w_nee / q_sel
+                if has_glos:
+                    # GLOS lanes: Phong lobe at the shadow direction
+                    # (forward kernel's w_d_glos select).
+                    w_geo_k = jnp.abs(area_use * cos_l) / (t_safe * t_safe)
+                    brdf_g = (gl + np.float32(2.0)) * np.float32(
+                        1.0 / (2.0 * math.pi)
+                    ) * _pow_safe_k(
+                        ldx * gmx + ldy * gmy + ldz * gmz, gl
+                    )
+                    w_d_g = w_geo_k * brdf_g * jnp.maximum(
+                        ldx * nx + ldy * ny + ldz * nz, 0.0
+                    )
+                    if multi:
+                        w_d_g = w_d_g / q_sel
+                    w_nee = jnp.where(glm, w_d_g, w_nee)
                 if mis_est:
                     # Light-strategy balance weight at the sampled
                     # direction (forward kernel's mis block); under lists
@@ -518,6 +588,13 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                     p_b_s = jnp.maximum(dot_sn, 0.0) * np.float32(
                         1.0 / math.pi
                     )
+                    if has_glos:
+                        p_b_g = (gl + np.float32(1.0)) * np.float32(
+                            1.0 / (2.0 * math.pi)
+                        ) * _pow_safe_k(
+                            ldx * gmx + ldy * gmy + ldz * gmz, gl
+                        )
+                        p_b_s = jnp.where(glm, p_b_g, p_b_s)
                     w_nee = w_nee * (p_l_s / (p_l_s + p_b_s))
                 if multi and (textbook or mis_est):
                     e_l_use = tuple(
@@ -635,6 +712,15 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                     ndy = jnp.where(rf, jnp.where(pick_refl, rfy, tdy), ndy)
                     ndz = jnp.where(rf, jnp.where(pick_refl, rfz, tdz), ndz)
                     wgt = jnp.where(rf, w_refr, wgt)
+
+            if has_glos:
+                # GLOS override: Phong continuation; below-horizon samples
+                # are absorbed (the lane dies), mirroring the forward.
+                ndx = jnp.where(glm, glx, ndx)
+                ndy = jnp.where(glm, gly, ndy)
+                ndz = jnp.where(glm, glz, ndz)
+                wgt = jnp.where(glm, gw, wgt)
+                alive_next = alive_next & ~(glm & (gw <= 0.0))
 
             f_scale = inv_p * wgt
             f_ch = (
@@ -791,6 +877,46 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 sl2 = ssx * ssx + ssy * ssy + ssz * ssz
                 inv_sl_ = jax.lax.rsqrt(jnp.where(sl2 > 0.0, sl2, 1.0))
                 sdx, sdy, sdz = ssx * inv_sl_, ssy * inv_sl_, ssz * inv_sl_
+                if has_glos:
+                    # Differentiable Phong lobe: the reflected axis rides
+                    # d (GLOS winners are planar, so nx_ is a detached
+                    # constant there); the draws (cr1/sr1/sin_ga/cos_ga)
+                    # and frame pick are detached primal closures.
+                    nd_g = nx_ * d1 + ny_ * d2 + nz_ * d3
+                    gm1 = d1 - nx_ * (np.float32(2.0) * nd_g)
+                    gm2 = d2 - ny_ * (np.float32(2.0) * nd_g)
+                    gm3 = d3 - nz_ * (np.float32(2.0) * nd_g)
+                    guxr_ = jnp.where(pickg, gm3, 0.0)
+                    guyr_ = jnp.where(pickg, 0.0, -gm3)
+                    guzr_ = jnp.where(pickg, -gm1, gm2)
+                    gul2 = guxr_ * guxr_ + guyr_ * guyr_ + guzr_ * guzr_
+                    inv_gul_ = jax.lax.rsqrt(
+                        jnp.where(gul2 > 0.0, gul2, 1.0)
+                    )
+                    gux_ = guxr_ * inv_gul_
+                    guy_ = guyr_ * inv_gul_
+                    guz_ = guzr_ * inv_gul_
+                    gvx_ = gm2 * guz_ - gm3 * guy_
+                    gvy_ = gm3 * gux_ - gm1 * guz_
+                    gvz_ = gm1 * guy_ - gm2 * gux_
+                    gle1r = (gux_ * (cr1 * sin_ga) + gvx_ * (sr1 * sin_ga)
+                             + gm1 * cos_ga)
+                    gle2r = (guy_ * (cr1 * sin_ga) + gvy_ * (sr1 * sin_ga)
+                             + gm2 * cos_ga)
+                    gle3r = (guz_ * (cr1 * sin_ga) + gvz_ * (sr1 * sin_ga)
+                             + gm3 * cos_ga)
+                    gll2 = gle1r * gle1r + gle2r * gle2r + gle3r * gle3r
+                    inv_gll_ = jax.lax.rsqrt(
+                        jnp.where(gll2 > 0.0, gll2, 1.0)
+                    )
+                    gle1 = gle1r * inv_gll_
+                    gle2 = gle2r * inv_gll_
+                    gle3 = gle3r * inv_gll_
+                    gw_ = (
+                        (gl + np.float32(2.0)) / (gl + np.float32(1.0))
+                    ) * jnp.maximum(
+                        gle1 * nx_ + gle2 * ny_ + gle3 * nz_, 0.0
+                    )
                 w_tb = zero
                 if nee_like:
                     if multi:
@@ -827,6 +953,19 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                     ) * (css * np.float32(1.0 / math.pi))
                     if multi:
                         wn = wn / q_sel
+                    if has_glos:
+                        w_geo_d = jnp.abs(area_d * cls) / (tpr * tpr)
+                        brdf_gd = (gl + np.float32(2.0)) * np.float32(
+                            1.0 / (2.0 * math.pi)
+                        ) * _pow_safe_k(
+                            l1 * gm1 + l2 * gm2 + l3 * gm3, gl
+                        )
+                        w_d_gd = w_geo_d * brdf_gd * jnp.maximum(
+                            l1 * nx_ + l2 * ny_ + l3 * nz_, 0.0
+                        )
+                        if multi:
+                            w_d_gd = w_d_gd / q_sel
+                        wn = jnp.where(glm, w_d_gd, wn)
                     if mis_est:
                         p_l_d = (tpr * tpr) / (
                             area_d * jnp.maximum(cls, np.float32(1e-6))
@@ -836,6 +975,13 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                         p_b_d = jnp.maximum(
                             l1 * nx_ + l2 * ny_ + l3 * nz_, 0.0
                         ) * np.float32(1.0 / math.pi)
+                        if has_glos:
+                            p_b_gd = (gl + np.float32(1.0)) * np.float32(
+                                1.0 / (2.0 * math.pi)
+                            ) * _pow_safe_k(
+                                l1 * gm1 + l2 * gm2 + l3 * gm3, gl
+                            )
+                            p_b_d = jnp.where(glm, p_b_gd, p_b_d)
                         wn = wn * (p_l_d / (p_l_d + p_b_d))
                     if textbook or mis_est:
                         w_tb = wn
@@ -914,6 +1060,12 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                         e3 = jnp.where(rf_m,
                                        jnp.where(pick_refl, rz, tz), e3)
                         w_c = jnp.where(rf_m, wr_, w_c)
+                if has_glos:
+                    # GLOS continuation override (mirrors the primal).
+                    e1 = jnp.where(glm, gle1, e1)
+                    e2 = jnp.where(glm, gle2, e2)
+                    e3 = jnp.where(glm, gle3, e3)
+                    w_c = jnp.where(glm, gw_, w_c)
                 if mis_est:
                     # Pickup balance weight at THIS hit (w_b): flows via
                     # t_w and d; mp_ is its other input.
@@ -934,13 +1086,20 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                     w_pk = mp_ / (mp_ + p_lh_d)
                     w_pk = jnp.where(pick_gate, w_pk, 1.0)
                     # Continuation pdf the NEXT bounce's pickup uses.
-                    pdfc = jnp.where(
-                        is_diff_tb,
-                        jnp.maximum(
-                            e1 * nx_ + e2 * ny_ + e3 * nz_, 0.0
-                        ) * np.float32(1.0 / math.pi),
-                        0.0,
-                    )
+                    pdfc_c = jnp.maximum(
+                        e1 * nx_ + e2 * ny_ + e3 * nz_, 0.0
+                    ) * np.float32(1.0 / math.pi)
+                    if has_glos:
+                        pdfc_c = jnp.where(
+                            glm,
+                            (gl + np.float32(1.0))
+                            * np.float32(1.0 / (2.0 * math.pi))
+                            * _pow_safe_k(
+                                e1 * gm1 + e2 * gm2 + e3 * gm3, gl
+                            ),
+                            pdfc_c,
+                        )
+                    pdfc = jnp.where(is_diff_tb, pdfc_c, 0.0)
                 else:
                     w_pk = one + zero
                     pdfc = zero
@@ -1154,6 +1313,16 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 pdf_cont_p = jnp.maximum(cos_c, 0.0) * np.float32(
                     1.0 / math.pi
                 )
+                if has_glos:
+                    pdf_cont_p = jnp.where(
+                        glm,
+                        (gl + np.float32(1.0))
+                        * np.float32(1.0 / (2.0 * math.pi))
+                        * _pow_safe_k(
+                            ndx * gmx + ndy * gmy + ndz * gmz, gl
+                        ),
+                        pdf_cont_p,
+                    )
                 mpdf = jnp.where(
                     cont & is_diff_tb, pdf_cont_p, np.float32(0.0)
                 )

@@ -326,6 +326,98 @@ def test_multilight_grads_match_jnp(twolight_scene, cam, est):
     assert rows_seen.all(), rows_seen
 
 
+@pytest.mark.parametrize("est", ["cosine", "mis"])
+def test_glossy_grads_match_jnp(scene, cam, est):
+    """GLOS through the geometry kernel (round-4 late addition): the
+    modified-Phong lobe replay (reflected axis differentiable via d,
+    frame/draws detached), the phong NEE weight + mis balance pdfs, the
+    phong continuation pdf in the mpdf chain, and the below-horizon
+    absorb. Stable paths on a glossy-floor sphere scene must match
+    jax.grad across center/radius/albedo AND the glossy rect's own
+    albedo row. cosine is float-exact (<= 2e-7 measured); mis carries
+    the balance-weight ratio sensitivity — a 1-ulp FMA difference in the
+    mpdf carry between the kernel and jnp paths (the documented
+    sphere-scene contraction divergence) shifts w_b = mpdf/(mpdf + p_l)
+    derivatives by ~1e-4..5e-3 while the radiance stays stable, the same
+    residual class the single-light mis test measures — so mis uses the
+    module contract's ~1% stable-path tolerance."""
+    from small_pathtracer_tpu.grad.adjoint import render_linear
+
+    r = scene.rects
+    axes = np.asarray(r.axis)
+    ks = np.asarray(r.k)
+    floor = int(np.where((axes == 1) & (ks == 0.0))[0][0])
+    glos = scene._replace(rects=r._replace(
+        refl=r.refl.at[floor].set(3),
+        gloss=r.gloss.at[floor].set(40.0)))
+    cfg = _cfg(estimator=est, spp=2, max_bounces=5)
+    seed = 9
+    img_sum, _, _, _ = mg.geom_run(glos, cam, cfg, seed, interpret=True)
+    img_k = np.asarray(img_sum) / cfg.spp
+    img_j = np.asarray(render_linear(glos, cam, cfg, jnp.uint32(seed),
+                                     cfg.max_bounces))
+    stable = np.abs(img_k - img_j).max(axis=-1) < 1e-5
+    # Lit pixels only: a dead-path black pixel has all-zero gradients on
+    # both sides (a vacuous 0 == 0 agreement).
+    pixels = [(y, x) for y in range(11, H - 1) for x in range(2, W - 2)
+              if stable[y, x] and img_j[y, x].sum() > 1e-3]
+    # cosine at spp=2 leaves many dead-path pixels on the dark glossy
+    # floor; a handful of lit stable pixels is enough to probe.
+    assert len(pixels) > 5, "glossy forward diverged from jnp"
+    for (y, x) in [pixels[0], pixels[-1]]:
+        g_img = np.zeros((H, W, 3), np.float32)
+        g_img[y, x, :] = 1.0
+        gtab, galb, gemi = mg.geom_vjp(glos, cam, cfg, seed, g_img,
+                                       interpret=True)
+        gk = mg.grads_to_scene(glos, gtab, galb, gemi)
+
+        def val(cen, rad, alb, ralb):
+            s2 = glos._replace(
+                spheres=glos.spheres._replace(
+                    center=cen, radius=rad, albedo=alb),
+                rects=glos.rects._replace(albedo=ralb))
+            img = render_linear(s2, cam, cfg, jnp.uint32(seed),
+                                cfg.max_bounces)
+            return img[y, x, :].sum() * cfg.spp
+
+        gc, gr, ga, gra = jax.grad(val, argnums=(0, 1, 2, 3))(
+            glos.spheres.center, glos.spheres.radius,
+            glos.spheres.albedo, glos.rects.albedo)
+        a = np.concatenate([np.asarray(gk.spheres.center).ravel(),
+                            np.asarray(gk.spheres.radius).ravel(),
+                            np.asarray(gk.spheres.albedo).ravel(),
+                            np.asarray(gk.rects.albedo).ravel()])
+        b = np.concatenate([np.asarray(v).ravel()
+                            for v in (gc, gr, ga, gra)])
+        scale = np.abs(b).max()
+        assert scale > 0
+        tol = 1e-4 if est == "cosine" else 1e-2
+        assert np.abs(a - b).max() / scale < tol, (est, x, y)
+    # Batched check over ALL lit stable pixels at once: the union carries
+    # real glossy-floor signal (nonzero d/d floor-albedo), and the
+    # kernel's batched cotangent matches jax.grad on it — proving the
+    # lobe replay transports radiance through the glossy bounce, not
+    # just agreeing on diffuse-only paths.
+    g_img = np.zeros((H, W, 3), np.float32)
+    for (y, x) in pixels:
+        g_img[y, x, :] = 1.0
+    gtab, galb, gemi = mg.geom_vjp(glos, cam, cfg, seed, g_img,
+                                   interpret=True)
+    gk = mg.grads_to_scene(glos, gtab, galb, gemi)
+
+    def val_all(ralb):
+        s2 = glos._replace(rects=glos.rects._replace(albedo=ralb))
+        img = render_linear(s2, cam, cfg, jnp.uint32(seed),
+                            cfg.max_bounces)
+        return (img * g_img).sum() * cfg.spp
+
+    gra = np.asarray(jax.grad(val_all)(glos.rects.albedo))
+    gkr = np.asarray(gk.rects.albedo)
+    assert gra[floor].sum() > 1.0, gra[floor]
+    assert np.abs(gkr - gra).max() / np.abs(gra).max() < (
+        1e-4 if est == "cosine" else 1e-2)
+
+
 def test_whole_image_grads_statistical(scene, cam):
     """Whole-image center/radius gradients vs jnp AD: agree within a
     loose statistical tolerance (flip-class paths perturb both sides)."""
