@@ -1599,6 +1599,152 @@ def loss_and_geom_grads(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     return loss, gsc
 
 
+def geom_train_step_sharded(scene: Scene, cam: CameraParams,
+                            cfg: RenderConfig, mesh, target,
+                            interpret: bool = False):
+    """Sharded chip-speed GEOMETRY-fit step: one shard_map in which every
+    device (a) runs the geometry-adjoint program image-only (bk=0) on its
+    (pixel-block x sample-range) lanes, (b) psums the partial image over
+    the sample axis, (c) derives its local loss cotangent from its own
+    pixel rows of ``target``, and (d) replays the SAME lanes with the
+    backward enabled (bk=1), psum-reducing (gtab, galb, gemi) over the
+    whole mesh (ICI) — the multi-chip form of loss_and_geom_grads, so
+    whole-table geometry fits scale like the forward renderer. Both
+    launches run the SAME compiled program on the SAME lane set, so the
+    per-device loss and gradient keep the two-call CRN property.
+
+    Returns step(alb, emi, packed, seed) -> (loss, gtab, galb, gemi);
+    compiled once per (geometry structure, cfg, mesh). The flat outputs
+    feed grads_to_scene exactly like the single-device wrappers.
+    (Mirrors megakernel_grad.material_train_step_sharded.)"""
+    from jax.sharding import PartitionSpec as P
+
+    from ..integrator.wavefront import lane_groups
+    from ..parallel.mesh import AXIS_PIXEL, AXIS_SAMPLE
+
+    if not interpret and jax.devices()[0].platform != "tpu":
+        interpret = True
+    n_sp = mesh.shape[AXIS_PIXEL]
+    n_dp = mesh.shape[AXIS_SAMPLE]
+    n_pix = cfg.width * cfg.height
+    spp = cfg.spp
+    if n_pix % n_sp or spp % n_dp:
+        raise ValueError(f"{n_pix=} % {n_sp=} or {spp=} % {n_dp=} != 0")
+    n_pix_loc = n_pix // n_sp
+    n_s_loc = spp // n_dp
+    g = lane_groups(n_pix_loc, n_s_loc, 1 << 18, cfg.regen_groups)
+    per = n_s_loc // g
+    n_lanes = n_pix_loc * g
+    pad = (-n_lanes) % G_TILE
+    n_tiles = (n_lanes + pad) // G_TILE
+
+    kernel, U, S = build_geom_grad_kernel(scene, cam, cfg)
+    block = pl.BlockSpec(
+        (G_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    target_flat = jnp.asarray(target, jnp.float32).reshape(n_pix, 3)
+    inv_n = np.float32(2.0 / (n_pix * 3 * spp))
+
+    def call(alb, emi, packed, seed, bk, lanes, gr, gg, gb):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[smem, smem, smem, smem, smem,
+                      block, block, block, block, block,
+                      block, block, block],
+            out_specs=[block, block, block, smem, smem, smem],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles * G_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * G_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * G_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((S * TAB_STRIDE,), jnp.float32),
+                jax.ShapeDtypeStruct((U * 3,), jnp.float32),
+                jax.ShapeDtypeStruct((U * 3,), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((U * 6 + S * G_COLS, G_ROWS, 128), jnp.float32),
+            ],
+            interpret=interpret,
+        )(seed.reshape(1), bk.reshape(1), alb, emi, packed,
+          *lanes, gr, gg, gb)
+
+    def local(alb, emi, packed, seed, tgt_loc):
+        pix0 = (jax.lax.axis_index(AXIS_PIXEL) * n_pix_loc).astype(
+            jnp.uint32
+        )
+        samp0 = (
+            jax.lax.axis_index(AXIS_SAMPLE) * n_s_loc
+        ).astype(jnp.uint32)
+        pix = pix0 + jnp.repeat(jnp.arange(n_pix_loc, dtype=jnp.uint32), g)
+        px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
+        py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
+        pid_base = pix * jnp.uint32(cfg.spp)
+        s_start = samp0 + jnp.tile(
+            jnp.arange(g, dtype=jnp.uint32) * jnp.uint32(per), n_pix_loc
+        )
+        s_stop = s_start + jnp.uint32(per)
+
+        def padto(x, fill):
+            return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+                n_tiles * G_ROWS, 128
+            )
+
+        lanes = (
+            padto(px, 0.0), padto(py, 0.0), padto(pid_base, 0),
+            padto(s_start, 0), padto(s_stop, 0),
+        )
+        zg = padto(jnp.zeros((n_lanes,), jnp.float32), 0.0)
+        ir, ig, ib, _, _, _ = call(
+            alb, emi, packed, seed, jnp.int32(0), lanes, zg, zg, zg
+        )
+        L = jnp.stack(
+            [ir.reshape(-1)[:n_lanes], ig.reshape(-1)[:n_lanes],
+             ib.reshape(-1)[:n_lanes]],
+            axis=-1,
+        )
+        img_loc = L.reshape(n_pix_loc, g, 3).sum(axis=1)
+        img_loc = jax.lax.psum(img_loc, AXIS_SAMPLE)  # sum over spp
+        diff = img_loc / np.float32(spp) - tgt_loc
+        loss_loc = jnp.sum(diff * diff) / np.float32(n_pix * 3)
+        # loss_loc is already REPLICATED along the sample axis (diff is
+        # built from the sample-psum'd image), so only the pixel axis
+        # needs summing — a both-axes psum / n_dp would double-count, and
+        # the previous AXIS_PIXEL-psum / n_dp UNDER-counted by n_dp on
+        # sample-sharded meshes (caught by the n_dp=2 equality tests).
+        loss = jax.lax.psum(loss_loc, AXIS_PIXEL)
+        # d loss / d img_sum rows for THIS device's pixels.
+        g_lane = (diff * inv_n)[
+            jnp.repeat(jnp.arange(n_pix_loc, dtype=jnp.int32), g)
+        ]
+        _, _, _, gtab, galb, gemi = call(
+            alb, emi, packed, seed, jnp.int32(1), lanes,
+            padto(g_lane[:, 0], 0.0), padto(g_lane[:, 1], 0.0),
+            padto(g_lane[:, 2], 0.0),
+        )
+        gtab = jax.lax.psum(gtab, (AXIS_PIXEL, AXIS_SAMPLE))
+        galb = jax.lax.psum(galb, (AXIS_PIXEL, AXIS_SAMPLE))
+        gemi = jax.lax.psum(gemi, (AXIS_PIXEL, AXIS_SAMPLE))
+        return loss, gtab, galb, gemi
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(AXIS_PIXEL)),
+        out_specs=(P(), P(), P(), P()), check_vma=False,
+    )
+
+    @jax.jit
+    def step(alb, emi, packed, seed):
+        return sharded(
+            jnp.asarray(alb, jnp.float32),
+            jnp.asarray(emi, jnp.float32),
+            jnp.asarray(packed, jnp.float32),
+            jnp.asarray(seed, jnp.uint32), target_flat,
+        )
+
+    return step
+
+
 def fit_pallas_geom(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     target, sphere_idx: int | None = None,
                     fields=("center", "radius"), steps: int = 10,

@@ -1165,7 +1165,12 @@ def material_train_step_sharded(scene: Scene, cam: CameraParams,
         img_loc = jax.lax.psum(img_loc, AXIS_SAMPLE)  # sum over spp
         diff = img_loc / np.float32(spp) - tgt_loc
         loss_loc = jnp.sum(diff * diff) / np.float32(n_pix * 3)
-        loss = jax.lax.psum(loss_loc, AXIS_PIXEL) / np.float32(n_dp)
+        # loss_loc is already REPLICATED along the sample axis (diff is
+        # built from the sample-psum'd image), so only the pixel axis
+        # needs summing — a both-axes psum / n_dp would double-count, and
+        # the previous AXIS_PIXEL-psum / n_dp UNDER-counted by n_dp on
+        # sample-sharded meshes (caught by the n_dp=2 equality tests).
+        loss = jax.lax.psum(loss_loc, AXIS_PIXEL)
         # d loss / d img_sum rows for THIS device's pixels.
         g_lane = (diff * inv_n)[
             jnp.repeat(jnp.arange(n_pix_loc, dtype=jnp.int32), g)

@@ -541,6 +541,45 @@ def test_no_recompile_across_geometry(scene, cam):
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-3
 
 
+def test_sharded_train_step_matches_single_device(scene, cam):
+    """geom_train_step_sharded on the 8-device CPU mesh: loss and every
+    gradient table must match loss_and_geom_grads bit-nearly (same
+    counter-RNG sample set; only float summation order differs), for
+    both a pure pixel mesh (8x1) and a pixel x sample mesh (4x2) — the
+    4x2 case is the regression pin for the loss psum/n_dp under-count
+    this test caught in both sharded train steps."""
+    from small_pathtracer_tpu.ops.megakernel import _sphere_tables
+    from small_pathtracer_tpu.parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs the 8-device CPU mesh (tests/conftest.py)")
+    cfg = _cfg(width=24, height=16, spp=8, max_bounces=4)
+    target = np.zeros((16, 24, 3), np.float32)
+    loss_1, gsc_1 = mg.loss_and_geom_grads(scene, cam, cfg, 3, target,
+                                           interpret=True)
+    alb, emi, packed = _sphere_tables(scene)
+    for shape in ((8, 1), (4, 2)):
+        mesh = make_mesh(devices[:8], mesh_shape=shape)
+        step = mg.geom_train_step_sharded(scene, cam, cfg, mesh, target,
+                                          interpret=True)
+        loss_s, gtab_s, galb_s, gemi_s = step(alb, emi, packed, 3)
+        gsc_s = mg.grads_to_scene(scene, gtab_s, galb_s, gemi_s)
+        assert abs(float(loss_s) - float(loss_1)) < 1e-5, shape
+        np.testing.assert_allclose(
+            np.asarray(gsc_s.spheres.center),
+            np.asarray(gsc_1.spheres.center), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gsc_s.spheres.radius),
+            np.asarray(gsc_1.spheres.radius), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gsc_s.rects.albedo),
+            np.asarray(gsc_1.rects.albedo), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gsc_s.rects.emission),
+            np.asarray(gsc_1.rects.emission), atol=1e-6)
+
+
 def test_validation_errors(scene, cam):
     from small_pathtracer_tpu.scene.types import LightList
 

@@ -293,6 +293,42 @@ def test_fit_pallas_recovers_emission():
     assert e1 > e0 + 1.0, (e0, e1)
 
 
+def test_sharded_material_step_loss_on_sample_mesh():
+    """Regression: on a pixel x SAMPLE mesh (n_dp > 1) the sharded step's
+    loss must equal the single-device loss. The per-device partial loss
+    is already replicated along the sample axis (it is built from the
+    sample-psum'd image), so the reduction must psum the pixel axis ONLY
+    — the previous AXIS_PIXEL-psum / n_dp under-counted by n_dp."""
+    from small_pathtracer_tpu.ops.megakernel_grad import (
+        loss_and_material_grads,
+        material_train_step_sharded,
+        pack_materials,
+    )
+    from small_pathtracer_tpu.parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs the 8-device CPU mesh (tests/conftest.py)")
+    scene = get_scene("cornell_box")
+    cam = make_camera()
+    cfg = RenderConfig(width=24, height=16, spp=8, estimator="nee",
+                       max_bounces=4)
+    target = np.zeros((16, 24, 3), np.float32)
+    loss_1, galb_1, gemi_1 = loss_and_material_grads(
+        scene, cam, cfg, jnp.uint32(3), target, interpret=True)
+    alb, emi = pack_materials(scene)
+    for shape in ((8, 1), (4, 2)):
+        mesh = make_mesh(devices[:8], mesh_shape=shape)
+        step = material_train_step_sharded(scene, cam, cfg, mesh, target,
+                                           interpret=True)
+        loss_s, galb_s, gemi_s = step(alb, emi, 3)
+        assert abs(float(loss_s) - float(loss_1)) < 1e-5, shape
+        np.testing.assert_allclose(np.asarray(galb_s),
+                                   np.asarray(galb_1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gemi_s),
+                                   np.asarray(gemi_1), atol=1e-5)
+
+
 def test_material_grads_to_scene_shape():
     scene = get_scene("cornell_box")
     alb, emi = pack_materials(scene)
