@@ -840,7 +840,9 @@ def cmd_fit(args) -> int:
         # (ops/megakernel_geom.py) — pathwise interior cotangents for
         # every table sphere's center/radius (+ materials) in one kernel
         # launch per step, cost independent of the parameter count
-        # (vs 2P+1 renders for fit --fd-sphere).
+        # (vs 2P+1 renders for fit --fd-sphere). --mesh SPxDP shards the
+        # step over a device mesh (geom_train_step_sharded), same
+        # trust-region trajectory.
         import dataclasses as _dc
 
         from ..ops.megakernel_geom import fit_pallas_geom, geom_run
@@ -879,6 +881,7 @@ def cmd_fit(args) -> int:
         s, losses = fit_pallas_geom(
             scene, cam, cfg_g, target, sphere_idx=si, fields=fields,
             steps=args.steps, lr=args.lr, seed=cfg.seed, log=sys.stderr,
+            mesh=_mesh_from_arg(args),
         )
         out = _fit_result(losses[-1] if losses else float("nan"),
                           ran_steps=bool(losses), steps=args.steps)

@@ -1568,35 +1568,44 @@ def loss_and_geom_grads(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     _, gtab, galb, gemi = geom_run(scene, cam, cfg, seed, g_img, interpret)
     gsc = grads_to_scene(scene, gtab, galb, gemi)
     if edge_sphere is not None:
-        from ..grad.edge import (
-            edge_grad,
-            indirect_edge_grad,
-            shadow_edge_grad,
-        )
-
-        si = int(edge_sphere)
-        # edge_grad's cotangent convention is d loss / d MEAN image.
-        g_mean = diff * (2.0 / diff.size)
-        nb = min(int(cfg.max_bounces), 8)
-        dc_e, dr_e = edge_grad(scene, cam, cfg, g_mean, si,
-                               seed=int(seed) + 1, n_phi=edge_n_phi,
-                               n_bounces=nb)
-        if cfg.estimator == "nee_textbook":
-            dc_s, dr_s = shadow_edge_grad(scene, cam, cfg, g_mean, si,
-                                          seed=int(seed) + 1)
-            dc_e = dc_e + dc_s
-            dr_e = dr_e + dr_s
-        elif cfg.estimator in ("cosine", "uniform", "uniform_corrected"):
-            dc_i, dr_i = indirect_edge_grad(scene, cam, cfg, g_mean, si,
-                                            seed=int(seed) + 1,
-                                            n_bounces=nb)
-            dc_e = dc_e + dc_i
-            dr_e = dr_e + dr_i
-        gsc = gsc._replace(spheres=gsc.spheres._replace(
-            center=gsc.spheres.center.at[si].add(dc_e),
-            radius=gsc.spheres.radius.at[si].add(dr_e),
-        ))
+        gsc = _compose_edge_terms(scene, cam, cfg, diff, int(seed),
+                                  int(edge_sphere), gsc, edge_n_phi)
     return loss, gsc
+
+
+def _compose_edge_terms(scene, cam, cfg, diff, seed, si, gsc,
+                        edge_n_phi=256):
+    """Add the jnp edge-sampled BOUNDARY terms for sphere ``si`` onto the
+    interior gradient pytree (the kernel's pathwise adjoint cannot see
+    silhouette motion). Shared by the single-device and sharded fitters;
+    ``diff`` is the (h, w, 3) mean-image residual."""
+    from ..grad.edge import (
+        edge_grad,
+        indirect_edge_grad,
+        shadow_edge_grad,
+    )
+
+    # edge_grad's cotangent convention is d loss / d MEAN image.
+    g_mean = diff * (2.0 / diff.size)
+    nb = min(int(cfg.max_bounces), 8)
+    dc_e, dr_e = edge_grad(scene, cam, cfg, g_mean, si,
+                           seed=seed + 1, n_phi=edge_n_phi,
+                           n_bounces=nb)
+    if cfg.estimator == "nee_textbook":
+        dc_s, dr_s = shadow_edge_grad(scene, cam, cfg, g_mean, si,
+                                      seed=seed + 1)
+        dc_e = dc_e + dc_s
+        dr_e = dr_e + dr_s
+    elif cfg.estimator in ("cosine", "uniform", "uniform_corrected"):
+        dc_i, dr_i = indirect_edge_grad(scene, cam, cfg, g_mean, si,
+                                        seed=seed + 1,
+                                        n_bounces=nb)
+        dc_e = dc_e + dc_i
+        dr_e = dr_e + dr_i
+    return gsc._replace(spheres=gsc.spheres._replace(
+        center=gsc.spheres.center.at[si].add(dc_e),
+        radius=gsc.spheres.radius.at[si].add(dr_e),
+    ))
 
 
 def geom_train_step_sharded(scene: Scene, cam: CameraParams,
@@ -1613,9 +1622,11 @@ def geom_train_step_sharded(scene: Scene, cam: CameraParams,
     launches run the SAME compiled program on the SAME lane set, so the
     per-device loss and gradient keep the two-call CRN property.
 
-    Returns step(alb, emi, packed, seed) -> (loss, gtab, galb, gemi);
-    compiled once per (geometry structure, cfg, mesh). The flat outputs
-    feed grads_to_scene exactly like the single-device wrappers.
+    Returns step(alb, emi, packed, seed) -> (loss, img_sum (h, w, 3),
+    gtab, galb, gemi); compiled once per (geometry structure, cfg,
+    mesh). img_sum is the radiance SUM over spp (geom_run's convention
+    — the fitter's edge-term composition needs it); the flat gradient
+    outputs feed grads_to_scene exactly like the single-device wrappers.
     (Mirrors megakernel_grad.material_train_step_sharded.)"""
     from jax.sharding import PartitionSpec as P
 
@@ -1725,22 +1736,24 @@ def geom_train_step_sharded(scene: Scene, cam: CameraParams,
         gtab = jax.lax.psum(gtab, (AXIS_PIXEL, AXIS_SAMPLE))
         galb = jax.lax.psum(galb, (AXIS_PIXEL, AXIS_SAMPLE))
         gemi = jax.lax.psum(gemi, (AXIS_PIXEL, AXIS_SAMPLE))
-        return loss, gtab, galb, gemi
+        return loss, img_loc, gtab, galb, gemi
 
     sharded = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(AXIS_PIXEL)),
-        out_specs=(P(), P(), P(), P()), check_vma=False,
+        out_specs=(P(), P(AXIS_PIXEL), P(), P(), P()), check_vma=False,
     )
 
     @jax.jit
     def step(alb, emi, packed, seed):
-        return sharded(
+        loss, img_flat, gtab, galb, gemi = sharded(
             jnp.asarray(alb, jnp.float32),
             jnp.asarray(emi, jnp.float32),
             jnp.asarray(packed, jnp.float32),
             jnp.asarray(seed, jnp.uint32), target_flat,
         )
+        img = img_flat.reshape(cfg.height, cfg.width, 3)
+        return loss, img, gtab, galb, gemi
 
     return step
 
@@ -1749,7 +1762,7 @@ def fit_pallas_geom(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     target, sphere_idx: int | None = None,
                     fields=("center", "radius"), steps: int = 10,
                     lr: float = 1.0, seed: int = 0,
-                    interpret: bool = False, log=None):
+                    interpret: bool = False, log=None, mesh=None):
     """Chip-speed sphere-geometry inverse rendering through the adjoint
     kernel: same normalized-step trust-region descent as grad/fd.fit_fd
     (direction from the gradient, step length capped and backtracked on
@@ -1768,9 +1781,22 @@ def fit_pallas_geom(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     that is the stall point, same identifiability ceiling as fit_fd at
     equal resolution (tests/test_fd.py docstring).
 
+    mesh: a jax.sharding.Mesh routes every step through
+    geom_train_step_sharded (one shard_map, gradients psum'd over ICI) —
+    the loss stays the deterministic single-device CRN value, so the
+    trust-region acceptance is unchanged; the edge composition runs on
+    the assembled mean image exactly as the single-device path does.
+
     Returns (best scene, [losses]); losses[-1] describes the returned
     iterate."""
     import sys
+
+    if mesh is not None:
+        from .megakernel import _sphere_tables
+
+        step_fn = geom_train_step_sharded(scene, cam, cfg, mesh, target,
+                                          interpret)
+        target_arr = jnp.asarray(target, jnp.float32)
 
     cap0_geo = float(lr)
     cap0_mat = min(float(lr), 0.1)
@@ -1782,10 +1808,21 @@ def fit_pallas_geom(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     edge_si = sphere_idx if (geom_fields and sphere_idx is not None) \
         else None
     for i in range(steps):
-        loss, gsc = loss_and_geom_grads(
-            s, cam, cfg, jnp.uint32(seed), target, interpret,
-            edge_sphere=edge_si,
-        )
+        if mesh is None:
+            loss, gsc = loss_and_geom_grads(
+                s, cam, cfg, jnp.uint32(seed), target, interpret,
+                edge_sphere=edge_si,
+            )
+        else:
+            alb_t, emi_t, packed_t = _sphere_tables(s)
+            loss, img_sum, gtab, galb, gemi = step_fn(
+                alb_t, emi_t, packed_t, seed
+            )
+            gsc = grads_to_scene(s, gtab, galb, gemi)
+            if edge_si is not None:
+                diff = img_sum / np.float32(cfg.spp) - target_arr
+                gsc = _compose_edge_terms(s, cam, cfg, diff, int(seed),
+                                          int(edge_si), gsc)
         loss = float(loss)
         if loss > best_loss:
             s = best_s

@@ -563,9 +563,14 @@ def test_sharded_train_step_matches_single_device(scene, cam):
         mesh = make_mesh(devices[:8], mesh_shape=shape)
         step = mg.geom_train_step_sharded(scene, cam, cfg, mesh, target,
                                           interpret=True)
-        loss_s, gtab_s, galb_s, gemi_s = step(alb, emi, packed, 3)
+        loss_s, img_s, gtab_s, galb_s, gemi_s = step(alb, emi, packed, 3)
         gsc_s = mg.grads_to_scene(scene, gtab_s, galb_s, gemi_s)
         assert abs(float(loss_s) - float(loss_1)) < 1e-5, shape
+        # The assembled image is the same radiance sum geom_run reports.
+        img_1, _, _, _ = mg.geom_run(scene, cam, cfg, 3, None,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_1),
+                                   atol=2e-5)
         np.testing.assert_allclose(
             np.asarray(gsc_s.spheres.center),
             np.asarray(gsc_1.spheres.center), atol=1e-6)
@@ -578,6 +583,37 @@ def test_sharded_train_step_matches_single_device(scene, cam):
         np.testing.assert_allclose(
             np.asarray(gsc_s.rects.emission),
             np.asarray(gsc_1.rects.emission), atol=1e-6)
+
+
+def test_fit_mesh_matches_single_device(scene, cam):
+    """fit_pallas_geom(mesh=...) must walk the SAME trust-region
+    trajectory as the single-device fitter: the sharded evaluator
+    returns the identical CRN loss and a float-sum-order-equal gradient,
+    and the normalized step (grad/|grad|) absorbs the residual — so the
+    losses and iterates match exactly (`fit --pallas --mesh SPxDP`)."""
+    from small_pathtracer_tpu.parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs the 8-device CPU mesh (tests/conftest.py)")
+    cfg = _cfg(width=24, height=16, spp=8, max_bounces=4)
+    img_t, _, _, _ = mg.geom_run(scene, cam, cfg, 3, None, interpret=True)
+    target = np.asarray(img_t) / cfg.spp
+    displaced = scene._replace(spheres=scene.spheres._replace(
+        center=scene.spheres.center.at[0].add(
+            jnp.asarray([3.0, 0.0, -2.0], jnp.float32))))
+    fit_1, losses_1 = mg.fit_pallas_geom(
+        displaced, cam, cfg, target, sphere_idx=0, fields=("center",),
+        steps=3, lr=1.5, seed=3, interpret=True)
+    mesh = make_mesh(devices[:8], mesh_shape=(4, 2))
+    fit_m, losses_m = mg.fit_pallas_geom(
+        displaced, cam, cfg, target, sphere_idx=0, fields=("center",),
+        steps=3, lr=1.5, seed=3, interpret=True, mesh=mesh)
+    assert losses_m[0] == pytest.approx(losses_1[0], abs=1e-6)
+    assert min(losses_m) == pytest.approx(min(losses_1), abs=1e-6)
+    np.testing.assert_allclose(np.asarray(fit_m.spheres.center),
+                               np.asarray(fit_1.spheres.center),
+                               atol=1e-4)
 
 
 def test_validation_errors(scene, cam):
