@@ -26,16 +26,32 @@ tunnel).
 
 Every stage (pallas attempts, regen fallback, CPU last resort) runs in a
 time-boxed subprocess: the axon tunnel can wedge so hard that even
-jax.devices() blocks forever (observed twice), and an unattended driver
-invocation must still get its one JSON line in bounded time. The CPU
-last resort runs a small regen config on the host backend — a tiny
-honest number beats a hung process with no artifact.
+jax.devices() blocks forever (observed twice; it cost round 4 its
+artifact — BENCH_r04.json rc=124), and an unattended driver invocation
+must still get its one JSON line in bounded time. Three defenses
+(VERDICT round 4, item 1):
+
+1. LIVENESS PROBE: before spending any pallas budget, a <=60 s
+   subprocess attaches to the device (`jax.devices()` + a tiny
+   computation). A hang or failure means the tunnel is wedged — skip
+   the TPU ladder entirely and go straight to the host-CPU fallback.
+2. PERSISTENT COMPILE CACHE: every stage sets
+   `jax_compilation_cache_dir` to a repo-local dir (.jax_cache/), so
+   the serialized TPU executable (including the Mosaic kernel binary)
+   survives process and terminal death. A warmed cache turns the
+   100-600 s cold Mosaic compile into a seconds-fast disk hit; the
+   builder pre-warms it with a driver-identical invocation.
+3. BUDGET LADDER THAT FITS THE HARNESS: worst case
+   probe(60) + 2x pallas(390) + regen(300) + cpu(180) ~ 20 min,
+   not round 4's 63.
 
 Env knobs: SPT_BENCH_PALLAS_BUDGET (seconds per pallas attempt, default
-660), SPT_BENCH_PALLAS_ATTEMPTS (default 3), SPT_BENCH_TOTAL_BUDGET
-(overall pallas budget across attempts, default 1680), SPT_BENCH_REGEN_BUDGET
-(default 900), SPT_BENCH_IMPL / --impl (force one implementation),
-SPT_BENCH_W/H/SPP (config override), SPT_BENCH_CPU (run on host CPU).
+390), SPT_BENCH_PALLAS_ATTEMPTS (default 2), SPT_BENCH_TOTAL_BUDGET
+(overall pallas budget across attempts, default 800), SPT_BENCH_REGEN_BUDGET
+(default 300), SPT_BENCH_PROBE_BUDGET (default 60), SPT_BENCH_IMPL /
+--impl (force one implementation), SPT_BENCH_W/H/SPP (config override),
+SPT_BENCH_CPU (run on host CPU), SPT_BENCH_NO_CACHE (disable the
+persistent compile cache, for cold-compile rehearsals).
 """
 
 from __future__ import annotations
@@ -47,10 +63,37 @@ import sys
 import time
 
 BASELINE_MRAYS = 2.5  # C++ reference, single core (BASELINE.md)
-PALLAS_BUDGET_S = float(os.environ.get("SPT_BENCH_PALLAS_BUDGET", 660))
-PALLAS_ATTEMPTS = int(os.environ.get("SPT_BENCH_PALLAS_ATTEMPTS", 3))
-TOTAL_BUDGET_S = float(os.environ.get("SPT_BENCH_TOTAL_BUDGET", 1680))
-REGEN_BUDGET_S = float(os.environ.get("SPT_BENCH_REGEN_BUDGET", 900))
+PALLAS_BUDGET_S = float(os.environ.get("SPT_BENCH_PALLAS_BUDGET", 390))
+PALLAS_ATTEMPTS = int(os.environ.get("SPT_BENCH_PALLAS_ATTEMPTS", 2))
+TOTAL_BUDGET_S = float(os.environ.get("SPT_BENCH_TOTAL_BUDGET", 800))
+REGEN_BUDGET_S = float(os.environ.get("SPT_BENCH_REGEN_BUDGET", 300))
+PROBE_BUDGET_S = float(os.environ.get("SPT_BENCH_PROBE_BUDGET", 60))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+
+
+def _enable_compile_cache(jax) -> None:
+    """Repo-local persistent compilation cache (VERDICT r4 item 1b).
+
+    The serialized TPU executable includes the Mosaic kernel binary, so a
+    warmed cache turns the 100-600 s cold megakernel compile into a
+    seconds-fast disk hit across processes AND terminals. Disabled via
+    SPT_BENCH_NO_CACHE for cold-compile rehearsals, and on the CPU
+    backend (a cache write of a huge CPU executable segfaulted once —
+    tests/conftest.py history — and the CPU fallback compiles fast
+    anyway).
+    """
+    if os.environ.get("SPT_BENCH_NO_CACHE") or os.environ.get("SPT_BENCH_CPU"):
+        return
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    # Threshold 0.5 s, no size floor: the megakernel's compile is ~1-4 s
+    # even when the tunnel server's Mosaic cache is warm (and 100-600 s
+    # cold) — the warm case must STILL write the executable to disk, or
+    # a later cold-server run gets no disk hit (measured: the 2.0 s
+    # default skipped the warm write).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def run_bench(impl: str) -> dict:
@@ -60,6 +103,7 @@ def run_bench(impl: str) -> dict:
 
     if os.environ.get("SPT_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
+    _enable_compile_cache(jax)
 
     import jax.numpy as jnp
 
@@ -185,28 +229,54 @@ def main() -> int:
                   file=sys.stderr, flush=True)
         return None
 
-    t_start = time.perf_counter()
-    for attempt in range(PALLAS_ATTEMPTS):
-        elapsed = time.perf_counter() - t_start
-        left = TOTAL_BUDGET_S - elapsed
-        if left < 60:
-            break
-        line = try_child(
-            "pallas", min(PALLAS_BUDGET_S, left),
-            f"pallas attempt {attempt + 1}/{PALLAS_ATTEMPTS}",
-        )
+    # Liveness probe (VERDICT r4 item 1a): the tunnel can wedge such that
+    # jax.devices() blocks forever. Attach + run one tiny computation in
+    # a time-boxed child; on hang/failure skip the TPU ladder entirely.
+    device_live = False
+    if not os.environ.get("SPT_BENCH_CPU"):
+        print(f"[bench] device liveness probe (budget {PROBE_BUDGET_S:.0f}s)",
+              file=sys.stderr, flush=True)
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "d = jax.devices();"
+                 "x = jax.device_put(jnp.arange(8.0), d[0]);"
+                 "print('live:', d[0], float(x.sum()))"],
+                timeout=PROBE_BUDGET_S, capture_output=True, text=True,
+            )
+            device_live = probe.returncode == 0 and "live:" in probe.stdout
+            print(f"[bench] probe rc={probe.returncode}: "
+                  f"{probe.stdout.strip() or probe.stderr.strip()[-200:]}",
+                  file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] probe timed out after {PROBE_BUDGET_S:.0f}s — "
+                  "tunnel wedged, skipping TPU ladder",
+                  file=sys.stderr, flush=True)
+
+    if device_live:
+        t_start = time.perf_counter()
+        for attempt in range(PALLAS_ATTEMPTS):
+            elapsed = time.perf_counter() - t_start
+            left = TOTAL_BUDGET_S - elapsed
+            if left < 60:
+                break
+            line = try_child(
+                "pallas", min(PALLAS_BUDGET_S, left),
+                f"pallas attempt {attempt + 1}/{PALLAS_ATTEMPTS}",
+            )
+            if line:
+                print(line)
+                return 0
+        line = try_child("regen", REGEN_BUDGET_S, "regen fallback")
         if line:
             print(line)
             return 0
-    line = try_child("regen", REGEN_BUDGET_S, "regen fallback")
-    if line:
-        print(line)
-        return 0
     # Device unreachable (tunnel wedge hangs even jax.devices()): a small
     # host-CPU render still proves the framework end-to-end and keeps the
     # one-JSON-line contract in bounded time.
     line = try_child(
-        "regen", max(REGEN_BUDGET_S, 1200.0), "CPU last resort",
+        "regen", 180.0, "CPU last resort",
         {"SPT_BENCH_CPU": "1", "SPT_BENCH_W": "256", "SPT_BENCH_H": "256",
          "SPT_BENCH_SPP": "16"},
     )
