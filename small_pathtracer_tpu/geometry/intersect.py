@@ -36,6 +36,15 @@ from ..scene.types import OTHER_AXES, Scene, gloss_arrays, object_arrays
 MISS_T = 1e20  # smallpt.cpp:326
 SPHERE_EPS = 1e-4  # smallpt.cpp:231
 SELF_HIT_EPS = 1e-3  # f32 self-hit guard for rects (see module docstring)
+# Radius-proportional sphere eps floor: in f32 a bounce origin ON a sphere
+# of radius r carries ~tens-of-ulps(r) rounding, so a re-intersection of the
+# same sphere yields a spurious t up to ~4e-6*r — far above the reference's
+# fixed 1e-4 for giant (radius-1e5) spheres (t noise ~0.4 units => shadow
+# acne). eps_i = max(1e-4, 4e-6 * r_i): identical to the reference's eps for
+# every scene-scale sphere (4e-6*16.5 = 6.6e-5 < 1e-4), acne-free for the
+# original-smallpt giant walls. The reference never faces this: it runs f64
+# where ulp(1e5) ~ 1e-11 (smallpt.cpp:231).
+SPHERE_EPS_REL = 4e-6
 
 
 class Hit(NamedTuple):
@@ -107,21 +116,44 @@ def intersect_quads(quads, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 
 
 def intersect_spheres(spheres, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    """Per-sphere hit distances (smallpt.cpp:229-239). Returns (N,S)."""
+    """Per-sphere hit distances (smallpt.cpp:229-239 semantics). Returns (N,S).
+
+    Numerically ROBUST f32 quadratic (recentered / vector-rejection form):
+    the reference's textbook discriminant ``b^2 - |op|^2 + r^2``
+    (smallpt.cpp:235) catastrophically cancels in f32 for giant spheres
+    (|op| ~ r ~ 1e5 => three ~1e10 terms whose ~1e4 difference drowns in
+    ~2^10 rounding). Instead we shift the ray origin to the closest-approach
+    point in the SPHERE frame: m = (o - c) + b*d is the center-to-line
+    rejection vector (scene-scale magnitude; the 1e5-sized components cancel
+    with only additive ~ulp(1e5) error), and the discriminant is factored
+    as det = (r - |m|)(r + |m|) — no large-term cancellation left. Roots
+    t = b -/+ sqrt(det) as in the reference; eps = 1e-4, near root
+    preferred. Measured (tests/test_geometry.py giant-sphere case): f32 t
+    error vs an f64 oracle < 5e-4 relative at radius 1e5, vs ~O(1) for the
+    textbook form. For scene-scale spheres the forms agree to float
+    rounding (and this module + ops/megakernel.py share this exact
+    expression tree for bit-parity)."""
     S = spheres.radius.shape[0]
     if S == 0:
         return jnp.full((o.shape[0], 0), MISS_T, o.dtype)
     op = spheres.center[None, :, :] - o[:, None, :]       # (N,S,3)
     b = jnp.sum(op * d[:, None, :], axis=-1)              # (N,S)
-    det = b * b - jnp.sum(op * op, axis=-1) + (spheres.radius**2)[None, :]
-    # Double-where: sqrt'(0) = inf would NaN reverse-mode AD for grazing/miss
-    # lanes even though they are where()-masked out downstream.
+    m = b[..., None] * d[:, None, :] - op                 # (N,S,3) rejection
+    m2 = jnp.sum(m * m, axis=-1)
+    # Double-where guards: sqrt'(0) = inf would NaN reverse-mode AD for
+    # through-center / grazing / miss lanes even though they are
+    # where()-masked out downstream.
+    m2_pos = m2 > 0.0
+    mlen = jnp.where(m2_pos, jnp.sqrt(jnp.where(m2_pos, m2, 1.0)), 0.0)
+    rad = spheres.radius[None, :]
+    det = (rad - mlen) * (rad + mlen)
     det_pos = det > 0.0
     sdet = jnp.sqrt(jnp.where(det_pos, det, 1.0))
     t_near = b - sdet
     t_far = b + sdet
-    t = jnp.where(t_near > SPHERE_EPS, t_near, t_far)
-    valid = det_pos & (t > SPHERE_EPS)
+    eps = jnp.maximum(SPHERE_EPS, SPHERE_EPS_REL * rad)
+    t = jnp.where(t_near > eps, t_near, t_far)
+    valid = det_pos & (t > eps)
     return jnp.where(valid, t, MISS_T)
 
 

@@ -12,7 +12,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core import vecmath as vm
-from ..scene.types import LightList, LightSampler
+from ..scene.types import (
+    LIGHT_RECT, LIGHT_SPHERE, LightList, LightSampler, SphereLight,
+)
 
 
 def sample_cosine(nl: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
@@ -120,7 +122,91 @@ def light_area_normal(light: LightSampler):
     area = vm.magnitude(c)
     # [..., None]: broadcasts for both the scalar single-light case ((3,)
     # edges) and the lane-batched multi-light case ((N, 3) edges).
-    return area, c / area[..., None]
+    # Degenerate (zero-area) rows — sphere entries of a mixed LightList
+    # store edge_v = 0 — must not emit NaN normals (NaNs poison the
+    # jnp.where selects downstream even on masked lanes).
+    area_safe = jnp.where(area > 0.0, area, 1.0)
+    return area, c / area_safe[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Spherical emitters (scene/types.SphereLight) — uniform cone sampling.
+# The solid-angle analogue of the parallelogram area sampler: draw a
+# direction uniformly inside the cone the sphere subtends from the shading
+# point; density 1/(2*pi*(1-cos_theta_max)) per steradian.
+# ---------------------------------------------------------------------------
+
+
+def sphere_cone(center, radius, x: jnp.ndarray):
+    """Cone geometry of a sphere light seen from ``x`` ((N,3)).
+
+    Returns (w_hat (N,3) unit axis toward the center, cos_max (N,),
+    pdf_inv (N,) = 2*pi*(1-cos_max) — the inverse solid-angle density of
+    ``sample_sphere_dir``). A point INSIDE the sphere (or at its center)
+    degrades to uniform-over-all-directions: cos_max = -1, pdf_inv = 4*pi.
+    center may be (3,) or lane-batched (N,3); radius () or (N,)."""
+    wc = center - x
+    d2 = vm.dot(wc, wc)
+    # Double-where: keep rsqrt/sqrt away from 0 for reverse-mode AD.
+    d2_pos = d2 > 0.0
+    d2_safe = jnp.where(d2_pos, d2, 1.0)
+    w_hat = jnp.where(
+        d2_pos[..., None],
+        wc * jax.lax.rsqrt(d2_safe)[..., None],
+        jnp.asarray([0.0, 0.0, 1.0], x.dtype),
+    )
+    sin2 = (radius * radius) / d2_safe
+    outside = d2_pos & (sin2 < 1.0)
+    cos_max = jnp.where(
+        outside,
+        jnp.sqrt(jnp.where(outside, 1.0 - sin2, 1.0)),
+        -1.0,
+    )
+    pdf_inv = (2.0 * math.pi) * (1.0 - cos_max)
+    return w_hat, cos_max, pdf_inv
+
+
+def sample_sphere_dir(center, radius, x, u1, u2):
+    """Uniform direction in the sphere light's cone from ``x``:
+    cos_theta = 1 - u2*(1 - cos_max), phi = 2*pi*u1 in the onb_from_w frame
+    of the center axis. Returns (N,3) unit directions. Same frame/normalize
+    expression trees as sample_cosine for kernel bit-parity."""
+    w_hat, cos_max, _ = sphere_cone(center, radius, x)
+    cos_t = 1.0 - u2 * (1.0 - cos_max)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    sr1, cr1 = vm.sincos_2pi(u1)
+    u, v = vm.onb_from_w(w_hat)
+    d = (
+        u * (cr1 * sin_t)[..., None]
+        + v * (sr1 * sin_t)[..., None]
+        + w_hat * cos_t[..., None]
+    )
+    return vm.norm(d)
+
+
+def sphere_nee_weight(center, radius, x, d_hat, nl):
+    """C13-style sphere-light path weight: PDF_inverse * BRDF =
+    [2*pi*(1-cos_max)] * |d_hat . nl| / pi — the cone sampler's exact
+    analogue of nee_weight's |area*cos_l|/t^2 * |d.nl|/pi."""
+    _, _, pdf_inv = sphere_cone(center, radius, x)
+    return pdf_inv * jnp.abs(vm.dot(d_hat, nl)) * (1.0 / math.pi)
+
+
+def make_sphere_list_entry(center, radius):
+    """Packed LightList row for a spherical emitter (host-side helper):
+    corner = center, edge_u = (radius, 0, 0), edge_v = 0 — see
+    scene/types.LightList.kind."""
+    return (
+        tuple(float(v) for v in center),
+        (float(radius), 0.0, 0.0),
+        (0.0, 0.0, 0.0),
+    )
+
+
+def list_entry_sphere_params(light: LightSampler):
+    """(center, radius) view of a (possibly lane-batched) LightSampler
+    whose rows are LIGHT_SPHERE entries (make_sphere_list_entry packing)."""
+    return light.corner, light.edge_u[..., 0]
 
 
 # Shadow-ray origin lift for multi-emitter (light-list) NEE probes, in
@@ -232,6 +318,15 @@ def light_select_probs(lights: LightList, emission: jnp.ndarray,
     if mode != "power":
         raise ValueError(f"unknown light_select mode {mode!r}")
     area = vm.magnitude(vm.cross(lights.edge_u, lights.edge_v))
+    if lights.kind is not None:
+        # Sphere entries (LIGHT_SPHERE): surface area 4*pi*r^2 stands in
+        # for the parallelogram area in the power heuristic.
+        r_sph = lights.edge_u[:, 0]
+        area = jnp.where(
+            lights.kind == LIGHT_SPHERE,
+            (4.0 * math.pi) * r_sph * r_sph,
+            area,
+        )
     e = emission[lights.obj_id]
     lum = e[:, 0] * 0.2126 + e[:, 1] * 0.7152 + e[:, 2] * 0.0722
     w = area * lum
@@ -264,3 +359,10 @@ def gather_light(lights: LightList, idx: jnp.ndarray) -> LightSampler:
         edge_v=lights.edge_v[idx],
         light_obj_id=lights.obj_id[idx],
     )
+
+
+def gather_light_kind(lights: LightList, idx: jnp.ndarray):
+    """Per-lane geometry kind of the gathered light ((N,) int32), or None
+    for an all-parallelogram list (kind is None — the common case keeps
+    its sphere-free code path)."""
+    return None if lights.kind is None else lights.kind[idx]

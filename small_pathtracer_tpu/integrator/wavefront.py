@@ -42,7 +42,8 @@ from ..config import RenderConfig
 from ..core import film, ld, rng, vecmath as vm
 from ..geometry.intersect import Hit, shade_info, trace
 from ..scene.types import (
-    DIFF, GLOS, REFR, SPEC, Scene, object_arrays, scene_has_glos,
+    DIFF, GLOS, LIGHT_SPHERE, REFR, SPEC, Scene, SphereLight, object_arrays,
+    scene_has_glos, scene_has_sphere_light,
 )
 from . import sampling
 
@@ -106,11 +107,24 @@ def _select_light(scene: Scene, cfg: RenderConfig, u):
     """Per-lane NEE light: the single C13 sampler, or — when the scene
     carries a light list — the light chosen by the P_LIGHT_SEL draw.
 
-    Returns (light, q_sel): a (possibly lane-batched) LightSampler and the
-    per-lane selection probability ((N,) — divide the NEE weight by it), or
-    (scene.light, None) for single-light scenes."""
+    Returns (light, q_sel, kind): a (possibly lane-batched) LightSampler /
+    SphereLight, the per-lane selection probability ((N,) — divide the NEE
+    weight by it; None for single-light scenes), and the per-lane geometry
+    kind ((N,) int32 for a kind-carrying list; None for parallelogram-only
+    lists and single lights — a single SphereLight is identified by its
+    type)."""
     if scene.lights is None:
-        return scene.light, None
+        if (
+            isinstance(scene.light, SphereLight)
+            and cfg.light_sample_mode == "glibc_overflow"
+        ):
+            raise ValueError(
+                "light_sample_mode='glibc_overflow' reproduces the "
+                "reference's rect-sampler int32-overflow quirk (C13a) and "
+                "has no sphere-light analogue; use "
+                "light_sample_mode='intended' for SphereLight scenes"
+            )
+        return scene.light, None, None
     if cfg.light_sample_mode == "glibc_overflow":
         raise ValueError(
             "light_sample_mode='glibc_overflow' reproduces the reference's "
@@ -123,7 +137,73 @@ def _select_light(scene: Scene, cfg: RenderConfig, u):
         scene.lights, emission_all, cfg.light_select
     )
     idx = sampling.sample_light_index(probs, u[rng.P_LIGHT_SEL])
-    return sampling.gather_light(scene.lights, idx), probs[idx]
+    return (
+        sampling.gather_light(scene.lights, idx),
+        probs[idx],
+        sampling.gather_light_kind(scene.lights, idx),
+    )
+
+
+def _nee_sample(light, kind, probe_o, nl, u, glibc: bool):
+    """Unified NEE direction + weight for a (possibly lane-batched) light.
+
+    Returns (d_l (N,3), w_nee_of_t, sphere_mask) where
+    w_nee_of_t(t_safe) -> (N,) is the C13-style PDF_inverse * BRDF weight —
+    parallelograms need the traced distance (|A cos_l|/t^2), sphere cones
+    do not (2*pi*(1-cos_max)), so the weight is closed over everything but
+    t — and sphere_mask ((N,) bool or None) marks lanes whose sampled
+    light is a sphere. Callers MUST front-side gate those lanes:
+    success &= d_l . nl > 0. The cone is built from the light's position
+    alone, so near-tangent geometry (original smallpt: the whole ceiling
+    grazes the rad-600 sky light) can aim it BEHIND the shading surface;
+    the probe escapes through open space and the two-sided |cos| weight
+    would count light transmitted through an opaque wall (measured: ~6x
+    blowup on smallpt_original_true). Parallelogram lanes keep the
+    reference's two-sided semantics (C13 parity).
+
+    kind: None = all parallelogram (unless light IS a SphereLight);
+    (N,) int32 = per-lane mixed-kind list (LIGHT_RECT / LIGHT_SPHERE)."""
+    u1, u2 = u[rng.P_LIGHT_U], u[rng.P_LIGHT_V]
+    if isinstance(light, SphereLight):
+        d_l = sampling.sample_sphere_dir(
+            light.center, light.radius, probe_o, u1, u2
+        )
+
+        def w_fn(t_safe):
+            return sampling.sphere_nee_weight(
+                light.center, light.radius, probe_o, d_l, nl
+            )
+
+        return d_l, w_fn, jnp.ones(nl.shape[:-1], jnp.bool_)
+    if kind is None:
+        if glibc:
+            lp = sampling.sample_light_point_glibc(light, u1, u2)
+        else:
+            lp = sampling.sample_light_point(light, u1, u2)
+        d_l = vm.norm(lp - probe_o)
+
+        def w_fn(t_safe):
+            return sampling.nee_weight(light, d_l, nl, t_safe)
+
+        return d_l, w_fn, None
+    # Mixed-kind list: compute both samplers on every lane, select by kind.
+    # K is tiny and lists are rare — the double work is a handful of VPU
+    # ops; the select keeps the wavefront branch-free.
+    lp = sampling.sample_light_point(light, u1, u2)
+    d_rect = vm.norm(lp - probe_o)
+    s_center, s_radius = sampling.list_entry_sphere_params(light)
+    d_sph = sampling.sample_sphere_dir(s_center, s_radius, probe_o, u1, u2)
+    is_sph = kind == LIGHT_SPHERE
+    d_l = jnp.where(is_sph[:, None], d_sph, d_rect)
+
+    def w_fn(t_safe):
+        w_rect = sampling.nee_weight(light, d_l, nl, t_safe)
+        w_sph = sampling.sphere_nee_weight(
+            s_center, s_radius, probe_o, d_l, nl
+        )
+        return jnp.where(is_sph, w_sph, w_rect)
+
+    return d_l, w_fn, is_sph
 
 
 def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
@@ -137,10 +217,11 @@ def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
     (sampling.SHADOW_EPS))."""
     nl = sh.n
     cos_dir = sampling.sample_cosine(nl, u[rng.P_SCATTER_U], u[rng.P_SCATTER_V])
+    no_sup = jnp.zeros(nl.shape[:-1], jnp.bool_)
     if cfg.estimator in ("cosine", "nee_textbook", "mis"):
         # nee_textbook/mis: continuation is plain cosine; the direct
         # (shadow-ray) term is added in _bounce_core.
-        return cos_dir, jnp.ones(nl.shape[:-1], nl.dtype), jnp.zeros(nl.shape[:-1], jnp.float32), hit_x
+        return cos_dir, jnp.ones(nl.shape[:-1], nl.dtype), jnp.zeros(nl.shape[:-1], jnp.float32), hit_x, no_sup
     if cfg.estimator in ("uniform", "uniform_corrected"):
         uni_dir = sampling.sample_uniform(nl, u[rng.P_SCATTER_U], u[rng.P_SCATTER_V])
         if cfg.estimator == "uniform":
@@ -148,32 +229,34 @@ def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
             w = jnp.ones(nl.shape[:-1], nl.dtype)
         else:
             w = 2.0 * jnp.maximum(vm.dot(uni_dir, nl), 0.0)
-        return uni_dir, w, jnp.zeros(nl.shape[:-1], jnp.float32), hit_x
+        return uni_dir, w, jnp.zeros(nl.shape[:-1], jnp.float32), hit_x, no_sup
 
     # NEE-as-continuation (C13), optionally mixed with cosine ("mixture").
     # Multi-emitter scenes (scene.lights set) first draw a light index k
     # with probability q_k and divide the NEE weight by q_k — unbiased for
     # the sum of direct light over the list (scene/types.LightList).
-    light, q_sel = _select_light(scene, cfg, u)
+    # Sphere lights (scene/types.SphereLight or LIGHT_SPHERE list rows)
+    # swap the area sampler for the uniform cone (sampling.sphere_cone).
+    light, q_sel, kind = _select_light(scene, cfg, u)
     # Light-list probes fire from a SHADOW_EPS-lifted origin (see
     # sampling.SHADOW_EPS: list samplers target the true light plane, so
     # near-coplanar origins otherwise falsely self-occlude on f32
     # rounding); the single-light path keeps the reference's exact probe
     # geometry.
     probe_o = hit_x if q_sel is None else hit_x + sampling.SHADOW_EPS * nl
-    if cfg.light_sample_mode == "glibc_overflow":
-        lp = sampling.sample_light_point_glibc(
-            light, u[rng.P_LIGHT_U], u[rng.P_LIGHT_V]
-        )
-    else:
-        lp = sampling.sample_light_point(light, u[rng.P_LIGHT_U], u[rng.P_LIGHT_V])
-    d_l = vm.norm(lp - probe_o)
+    d_l, w_fn, sphere_mask = _nee_sample(
+        light, kind, probe_o, nl, u,
+        glibc=cfg.light_sample_mode == "glibc_overflow",
+    )
     probe = trace(scene, probe_o, d_l)
     success = probe.hit & (probe.obj_id == light.light_obj_id)
+    if sphere_mask is not None:
+        # Front-side gate for sphere-sampled lanes (_nee_sample docstring).
+        success = success & (~sphere_mask | (vm.dot(d_l, nl) > 0.0))
     # Sanitize t before the 1/t^2 weight: a miss t = 1e20 overflows f32 in
     # t*t (=> inf => NaN cotangents through the where in reverse mode).
     t_safe = jnp.where(success, probe.t, 1.0)
-    w_nee = sampling.nee_weight(light, d_l, nl, t_safe)
+    w_nee = w_fn(t_safe)
     if q_sel is not None:
         w_nee = w_nee / q_sel
     nee_dir = jnp.where(success[:, None], d_l, cos_dir)
@@ -181,17 +264,34 @@ def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
     # NEE-success lanes continue from the probe origin (== hit_x on the
     # single-light path) so the light-emission pickup retraces the probe.
     nee_o = jnp.where(success[:, None], probe_o, hit_x)
+    # Sphere-light continuation is the BIAS-FREE C13 variant: a lane that
+    # cone-sampled a sphere light and FAILED the probe falls back to
+    # cosine (weight 1, like the reference) but suppresses the sampled
+    # light's emission pickup at its next hit — the reference's
+    # fallback-with-pickup structurally double-counts direct light, which
+    # is a ~+2% quirk for the small Cornell rect (kept verbatim for
+    # parity) but a ~3x blowout for a wide, mostly-occluded sphere cone
+    # (scene/types.scene_has_sphere_light). Rect lights keep the
+    # reference's exact semantics.
+    if isinstance(light, SphereLight):
+        sampled_sphere = jnp.ones(nl.shape[:-1], jnp.bool_)
+    elif kind is not None:
+        sampled_sphere = kind == LIGHT_SPHERE
+    else:
+        sampled_sphere = jnp.zeros(nl.shape[:-1], jnp.bool_)
+    suppress = sampled_sphere & ~success
     if cfg.estimator == "mixture":
         take = u[rng.P_MIX_COIN] < cfg.mixture_q
         new_dir = jnp.where(take[:, None], nee_dir, cos_dir)
         w = jnp.where(take, nee_w, 1.0)
         probes = take.astype(jnp.float32)
         origin = jnp.where(take[:, None], nee_o, hit_x)
+        suppress = suppress & take
     else:
         new_dir, w = nee_dir, nee_w
         probes = jnp.ones(nl.shape[:-1], jnp.float32)
         origin = nee_o
-    return new_dir, w, probes, origin
+    return new_dir, w, probes, origin, suppress
 
 
 def _spec_scatter(sh, d_in):
@@ -283,6 +383,9 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     uniform = ld.make_uniform_cfg(cfg, rng.make_uniform_fn(cfg.rng_backend))
     textbook = cfg.estimator == "nee_textbook"
     mis = cfg.estimator == "mis"
+    # Sphere-light C13 variant: fallback lanes suppress the sampled
+    # light's next pickup (see _diff_scatter; scene_has_sphere_light).
+    nee_sphere = cfg.estimator in ("nee", "mixture") and scene_has_sphere_light(scene)
 
     hit = trace(scene, o, d)
     sh = shade_info(scene, o, d, hit)
@@ -315,21 +418,62 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
             area_l = areas_m[k_idx]
             n_l = normals_m[k_idx]
             q_hit = q_all[k_idx]
+            cos_l = jnp.abs(vm.dot(d, n_l))
+            p_light = q_hit * (hit.t * hit.t) / (
+                area_l * jnp.maximum(cos_l, 1e-6)
+            )
+            if scene.lights.kind is not None:
+                # Sphere rows: the shadow strategy's density at a
+                # direction that reached light k from this ray's ORIGIN
+                # (the previous vertex) is q_k / (2 pi (1 - cos_max(o))).
+                ctr_k = scene.lights.corner[k_idx]
+                rad_k = scene.lights.edge_u[k_idx, 0]
+                _, _, pdf_inv_k = sampling.sphere_cone(ctr_k, rad_k, o)
+                p_light = jnp.where(
+                    scene.lights.kind[k_idx] == LIGHT_SPHERE,
+                    q_hit / jnp.maximum(pdf_inv_k, 1e-12),
+                    p_light,
+                )
+        elif isinstance(scene.light, SphereLight):
+            is_light_hit = hit.hit & (
+                hit.obj_id == jnp.asarray(scene.light.light_obj_id,
+                                          jnp.int32)
+            )
+            _, _, pdf_inv_o = sampling.sphere_cone(
+                scene.light.center, scene.light.radius, o
+            )
+            p_light = 1.0 / jnp.maximum(pdf_inv_o, 1e-12)
         else:
             area_l, n_l = sampling.light_area_normal(scene.light)
             is_light_hit = hit.hit & (
                 hit.obj_id == jnp.asarray(scene.light.light_obj_id,
                                           jnp.int32)
             )
-            q_hit = 1.0
-        cos_l = jnp.abs(vm.dot(d, n_l))
-        p_light = q_hit * (hit.t * hit.t) / (
-            area_l * jnp.maximum(cos_l, 1e-6)
-        )
+            cos_l = jnp.abs(vm.dot(d, n_l))
+            p_light = (hit.t * hit.t) / (
+                area_l * jnp.maximum(cos_l, 1e-6)
+            )
         w_bsdf = mis_pdf / (mis_pdf + p_light)
         emit = emit * jnp.where(
             is_light_hit & (mis_pdf > 0.0), w_bsdf, 1.0
         )[:, None]
+    if nee_sphere and no_emit is not None:
+        # Sphere-light continuation: lanes flagged by _diff_scatter
+        # (cone-sampled a sphere light, probe failed, fell back to cosine)
+        # suppress that light family's pickup this bounce — the bias-free
+        # C13 variant (docstring there).
+        if scene.lights is not None and scene.lights.kind is not None:
+            sph_rows = scene.lights.kind == LIGHT_SPHERE
+            is_slight_hit = hit.hit & jnp.any(
+                (hit.obj_id[:, None] == scene.lights.obj_id[None, :])
+                & sph_rows[None, :],
+                axis=1,
+            )
+        else:
+            is_slight_hit = hit.hit & (
+                hit.obj_id == jnp.asarray(scene.light.light_obj_id, jnp.int32)
+            )
+        emit = emit * (~(no_emit & is_slight_hit)).astype(T.dtype)[:, None]
     if textbook and no_emit is not None:
         # Suppress ONLY emission the previous bounce's shadow ray already
         # estimated: the single sampled light — or, with a light LIST, any
@@ -388,7 +532,9 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
 
     # Material scatter: branch-free select over material type (vtable-free,
     # SURVEY row 4).
-    diff_dir, diff_w, probes, diff_o = _diff_scatter(scene, cfg, sh, sh.x, u)
+    diff_dir, diff_w, probes, diff_o, diff_sup = _diff_scatter(
+        scene, cfg, sh, sh.x, u
+    )
     spec_dir, spec_w = _spec_scatter(sh, d)
     refr_dir, refr_w = _refr_scatter(sh, d, u[rng.P_REFR_COIN])
     glos_dir, glos_w, glos_mirror = _glos_scatter(
@@ -415,6 +561,8 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
     T_out = T * f * w[:, None]
 
     no_emit_next = jnp.zeros_like(alive)
+    if nee_sphere:
+        no_emit_next = alive_out & (sh.refl == DIFF) & diff_sup
     mis_pdf_next = jnp.zeros(alive.shape, T.dtype)
     if textbook or mis:
         # Unbiased next-event estimation (SURVEY hard part #2's
@@ -430,27 +578,52 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
         # quirk with no textbook analogue (config.py docs; the megakernel
         # matches this). Multi-emitter scenes pick light k ~ q and divide
         # by q_k (see _select_light).
-        light, q_sel = _select_light(scene, cfg, u)
-        lp = sampling.sample_light_point(
-            light, u[rng.P_LIGHT_U], u[rng.P_LIGHT_V]
-        )
+        light, q_sel, kind = _select_light(scene, cfg, u)
         # Light-list probes fire from the lifted origin (sampling.
         # SHADOW_EPS); the continuation (cosine) still leaves from sh.x.
         probe2_o = sh.x if q_sel is None else sh.x + sampling.SHADOW_EPS * sh.n
-        d_l = vm.norm(lp - probe2_o)
+        # Textbook/mis ALWAYS use the intended full-area/cone sampler
+        # (nee_weight assumes the uniform pdf; the glibc corner patch is a
+        # reference-parity continuation quirk).
+        d_l, w_fn, sphere_mask2 = _nee_sample(
+            light, kind, probe2_o, sh.n, u, glibc=False
+        )
         probe2 = trace(scene, probe2_o, d_l)
         success = probe2.hit & (probe2.obj_id == light.light_obj_id)
+        if sphere_mask2 is not None:
+            # Front-side gate for sphere-sampled lanes (_nee_sample).
+            success = success & (
+                ~sphere_mask2 | (vm.dot(d_l, sh.n) > 0.0)
+            )
         t_safe = jnp.where(success, probe2.t, 1.0)
-        w_d = sampling.nee_weight(light, d_l, sh.n, t_safe)
+        w_d = w_fn(t_safe)
         if q_sel is not None:
             w_d = w_d / q_sel
+        # Geometry factor (inverse solid-angle density of the light
+        # sampler at d_l): parallelogram |A cos_l|/t^2, sphere cone
+        # 2*pi*(1-cos_max). Feeds the GLOS swap and (inverted) the mis
+        # balance weight.
+        sphere_single = isinstance(light, SphereLight)
+        if sphere_single:
+            _, _, w_geo = sampling.sphere_cone(
+                light.center, light.radius, probe2_o
+            )
+        else:
+            area_l2, n_l2 = sampling.light_area_normal(light)
+            w_geo = jnp.abs(area_l2 * vm.dot(d_l, n_l2)) / (t_safe * t_safe)
+            if kind is not None:
+                s_ctr, s_rad = sampling.list_entry_sphere_params(light)
+                _, _, pdf_inv_s = sampling.sphere_cone(
+                    s_ctr, s_rad, probe2_o
+                )
+                w_geo = jnp.where(
+                    kind == LIGHT_SPHERE, pdf_inv_s, w_geo
+                )
         # GLOS lanes swap the diffuse BRDF factor |cos|/pi inside
         # nee_weight for the modified-Phong lobe evaluated at the
-        # shadow-ray direction: w = [A cos_l / t^2] * (f_glos/rho) * cos.
+        # shadow-ray direction: w = w_geo * (f_glos/rho) * cos.
         # No-op for scenes without GLOS (is_glos all-False keeps the
         # diffuse w_d bit-identical through the select).
-        area_l2, n_l2 = sampling.light_area_normal(light)
-        w_geo = jnp.abs(area_l2 * vm.dot(d_l, n_l2)) / (t_safe * t_safe)
         w_d_glos = (
             w_geo
             * sampling.phong_brdf_over_albedo(d_l, glos_mirror, sh.gloss)
@@ -462,18 +635,30 @@ def _bounce_core(scene: Scene, cfg: RenderConfig, seed, o, d, T, alive,
         if mis:
             # Balance heuristic on the light-sampled term: the SAME
             # direction could have come from the cosine continuation,
-            # p_bsdf = max(d_l . n, 0) / pi; p_light = t^2/(A |cos_l|) is
-            # exactly the density nee_weight inverts. w_light =
-            # p_light / (p_light + p_bsdf); the complementary w_bsdf is
-            # applied at pickup (top of this function), so every light
-            # path is counted with total weight 1 — unbiased, and each
-            # strategy dominates where its density is higher (Veach 97).
-            # Light lists: the strategy's density includes the selection
-            # probability q_k of the sampled light (matches the pickup).
-            cos_l_s = jnp.abs(vm.dot(d_l, n_l2))
-            p_light_s = (t_safe * t_safe) / (
-                area_l2 * jnp.maximum(cos_l_s, 1e-6)
-            )
+            # p_bsdf = max(d_l . n, 0) / pi; p_light = 1/w_geo is
+            # exactly the density the NEE weight inverts (t^2/(A |cos_l|)
+            # for parallelograms, 1/(2 pi (1-cos_max)) for sphere cones).
+            # w_light = p_light / (p_light + p_bsdf); the complementary
+            # w_bsdf is applied at pickup (top of this function), so every
+            # light path is counted with total weight 1 — unbiased, and
+            # each strategy dominates where its density is higher
+            # (Veach 97). Light lists: the strategy's density includes the
+            # selection probability q_k of the sampled light (matches the
+            # pickup). Expression trees per kind match the megakernel
+            # bit-for-bit (the rect form keeps its historical cos clamp).
+            if sphere_single:
+                p_light_s = 1.0 / jnp.maximum(w_geo, 1e-12)
+            else:
+                cos_l_s = jnp.abs(vm.dot(d_l, n_l2))
+                p_light_s = (t_safe * t_safe) / (
+                    area_l2 * jnp.maximum(cos_l_s, 1e-6)
+                )
+                if kind is not None:
+                    p_light_s = jnp.where(
+                        kind == LIGHT_SPHERE,
+                        1.0 / jnp.maximum(w_geo, 1e-12),
+                        p_light_s,
+                    )
             if q_sel is not None:
                 p_light_s = p_light_s * q_sel
             p_bsdf_s = jnp.maximum(vm.dot(d_l, sh.n), 0.0) * (

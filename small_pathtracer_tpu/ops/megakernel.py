@@ -52,7 +52,9 @@ from ..config import RenderConfig
 from ..core import ld, rng
 from ..core import vecmath as vm
 from ..scene.types import DIFF, Scene
-from ..geometry.intersect import MISS_T, SELF_HIT_EPS, SPHERE_EPS
+from ..geometry.intersect import (
+    MISS_T, SELF_HIT_EPS, SPHERE_EPS, SPHERE_EPS_REL,
+)
 from ..integrator.sampling import SHADOW_EPS
 
 # Lane tile: (TILE_ROWS, 128) f32 — 4096 lanes per grid step.
@@ -330,18 +332,32 @@ def _iter_hits(rects, quads, spheres, ox, oy, oz, dx, dy, dz,
         obj_id += 1
 
     for sph in spheres:
+        # Recentered / rejection-form quadratic — the SAME expression tree
+        # as geometry/intersect.intersect_spheres (robust for radius-1e5
+        # giant spheres in f32; see that docstring).
         cx, cy, cz = (np.float32(v) for v in sph["center"])
         opx, opy, opz = cx - ox, cy - oy, cz - oz
         bq = opx * dx + opy * dy + opz * dz
-        det = bq * bq - (opx * opx + opy * opy + opz * opz) + np.float32(
-            sph["radius"] ** 2
-        )
+        mx_ = bq * dx - opx
+        my_ = bq * dy - opy
+        mz_ = bq * dz - opz
+        m2 = mx_ * mx_ + my_ * my_ + mz_ * mz_
+        m2_pos = m2 > 0.0
+        mlen = jnp.where(m2_pos, jnp.sqrt(jnp.where(m2_pos, m2, 1.0)), 0.0)
+        radc = np.float32(sph["radius"])
+        det = (radc - mlen) * (radc + mlen)
         det_pos = det > 0.0
         sdet = jnp.sqrt(jnp.where(det_pos, det, 1.0))
         t_near = bq - sdet
         t_far = bq + sdet
-        t_i = jnp.where(t_near > np.float32(SPHERE_EPS), t_near, t_far)
-        valid = det_pos & (t_i > np.float32(SPHERE_EPS))
+        # Radius-scaled eps floor (intersect.SPHERE_EPS_REL): compile-time
+        # constant here; must mirror the jnp path's maximum() rounding.
+        eps_s = np.maximum(
+            np.float32(SPHERE_EPS),
+            np.float32(SPHERE_EPS_REL) * radc,
+        )
+        t_i = jnp.where(t_near > eps_s, t_near, t_far)
+        valid = det_pos & (t_i > eps_s)
         if want_shading:
             hx, hy, hz = ox + t_i * dx, oy + t_i * dy, oz + t_i * dz
             gx, gy, gz = hx - cx, hy - cy, hz - cz
@@ -423,14 +439,27 @@ def _table_sphere_hit(tab_ref, i, ox, oy, oz, dx, dy, dz):
     rad = tab_ref[b + 3]
     opx, opy, opz = cx - ox, cy - oy, cz - oz
     bq = opx * dx + opy * dy + opz * dz
-    det = bq * bq - (opx * opx + opy * opy + opz * opz) + rad * rad
+    # Recentered / rejection-form quadratic (matches _iter_hits and
+    # geometry/intersect.intersect_spheres — robust at giant radii).
+    mx_ = bq * dx - opx
+    my_ = bq * dy - opy
+    mz_ = bq * dz - opz
+    m2 = mx_ * mx_ + my_ * my_ + mz_ * mz_
+    m2_pos = m2 > 0.0
+    mlen = jnp.where(m2_pos, jnp.sqrt(jnp.where(m2_pos, m2, 1.0)), 0.0)
+    det = (rad - mlen) * (rad + mlen)
     det_pos = det > 0.0
     sdet = jnp.sqrt(jnp.where(det_pos, det, 1.0))
     t_near = bq - sdet
     t_far = bq + sdet
-    near = t_near > np.float32(SPHERE_EPS)
+    # Radius-scaled eps floor (runtime radius => runtime maximum; see
+    # geometry/intersect.SPHERE_EPS_REL).
+    eps_s = jnp.maximum(
+        np.float32(SPHERE_EPS), np.float32(SPHERE_EPS_REL) * rad
+    )
+    near = t_near > eps_s
     t_i = jnp.where(near, t_near, t_far)
-    valid = det_pos & (t_i > np.float32(SPHERE_EPS))
+    valid = det_pos & (t_i > eps_s)
     return t_i, valid, (cx, cy, cz), b, near
 
 

@@ -840,9 +840,18 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                 ) / jnp.where(ok_p, dn_p, 1.0)
                 op1, op2, op3 = c1 - o1, c2 - o2, c3 - o3
                 bq = op1 * d1 + op2 * d2 + op3 * d3
-                det = bq * bq - (
-                    op1 * op1 + op2 * op2 + op3 * op3
-                ) + rr_ * rr_
+                # Recentered / rejection-form quadratic — MUST replay
+                # megakernel._table_sphere_hit's expression tree bit-for-bit
+                # (pass-A/pass-B replay exactness, PERF.md round 4).
+                m1_ = bq * d1 - op1
+                m2_ = bq * d2 - op2
+                m3_ = bq * d3 - op3
+                mm2 = m1_ * m1_ + m2_ * m2_ + m3_ * m3_
+                mm2_pos = mm2 > 0.0
+                mlen = jnp.where(
+                    mm2_pos, jnp.sqrt(jnp.where(mm2_pos, mm2, 1.0)), 0.0
+                )
+                det = (rr_ - mlen) * (rr_ + mlen)
                 det_ok = is_tab_w & (det > 0.0)
                 sdet = jnp.sqrt(jnp.where(det_ok, det, 1.0))
                 t_s = jnp.where(m_near, bq - sdet, bq + sdet)

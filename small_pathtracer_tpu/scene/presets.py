@@ -8,11 +8,18 @@
   (smallpt.cpp:297-298) instead of the two boxes.
 - ``smallpt_original``: stretch parity with Kevin Beason's original smallpt
   scene (SPEC mirror + REFR glass; the reference keeps those material branches
-  commented at smallpt.cpp:481-495, contract C16). Walls are represented as
-  rects rather than the classic radius-1e5 spheres: giant spheres are
-  numerically hostile to f32 (catastrophic cancellation in the quadratic) and
-  geometrically equivalent to planes at scene scale — a deliberate TPU-native
-  (f32) design choice.
+  commented at smallpt.cpp:481-495, contract C16), with rect walls and the
+  Cornell rect light — the fast, rect-native variant.
+- ``smallpt_original_true``: the SAME scene as Beason wrote it — nine
+  spheres, including the radius-1e5 giant-sphere walls (exact in f32 via the
+  recentered quadratic + radius-scaled eps, geometry/intersect.py) and the
+  radius-600 sky light at (50, 681.33, 81.6) with e=(12,12,12), cone-sampled
+  (scene/types.SphereLight). Sphere lineage: the commented pair at
+  /root/reference/src/smallpt.cpp:297-298 and the README's smallpt heritage.
+- ``cornell_spheres_roundlight``: the look of the committed historic renders
+  (round ceiling light over the sphere pair — /root/reference/
+  image_32pps_totalrandom.ppm et al., SURVEY.md section 4.2): Cornell walls,
+  the two DIFF spheres, and a spherical emitter poking through the ceiling.
 """
 
 from __future__ import annotations
@@ -22,7 +29,8 @@ import math
 import jax.numpy as jnp
 
 from .types import (
-    DIFF, GLOS, REFR, SPEC, LightList, LightSampler, Scene, make_scene,
+    DIFF, GLOS, LIGHT_RECT, LIGHT_SPHERE, REFR, SPEC, LightList,
+    LightSampler, Scene, SphereLight, make_scene,
 )
 
 # Axis codes
@@ -90,13 +98,12 @@ def cornell_spheres() -> Scene:
 
 
 def smallpt_original() -> Scene:
-    """Classic smallpt scene with SPEC/REFR spheres (stretch parity, C16).
-
-    Box [1,99]x[0,81.6]x[0,170] as rect walls with original smallpt wall
-    colors; mirror + glass spheres; sphere light (rad 600 at y=681.33,
-    e=(12,12,12)) replaced by a rect light of equivalent emitted region on
-    the ceiling for f32 robustness, using this repo's Cornell light.
-    """
+    """Classic smallpt scene with SPEC/REFR spheres (stretch parity, C16) —
+    the RECT-NATIVE variant: box [1,99]x[0,81.6]x[0,170] as rect walls with
+    original smallpt wall colors; mirror + glass spheres; the rad-600 sky
+    sphere light swapped for this repo's Cornell rect light. For Beason's
+    scene datum-for-datum (giant-sphere walls + cone-sampled sphere light)
+    use ``smallpt_original_true``."""
     rects = [
         (AX_Z, 0.0, (1.0, 0.0), (99.0, 81.6), _WHITE75, _ZERO, DIFF),  # back (grey)
         (AX_Z, 170.0, (1.0, 0.0), (99.0, 81.6), _ZERO, _ZERO, DIFF),  # front (black)
@@ -111,6 +118,65 @@ def smallpt_original() -> Scene:
         ((73.0, 16.5, 78.0), 16.5, (0.999, 0.999, 0.999), _ZERO, REFR),  # glass
     ]
     return make_scene(rects, spheres, _cornell_light_sampler())
+
+
+def smallpt_original_true() -> Scene:
+    """Kevin Beason's original smallpt scene, datum-for-datum: nine spheres
+    (six radius-1e5 walls, mirror, glass, and the radius-600 sky light with
+    e=(12,12,12) at (50, 681.6-.27, 81.6)).
+
+    The giant walls exercise the recentered f32 sphere quadratic
+    (geometry/intersect.intersect_spheres) and the sky light the SphereLight
+    cone sampler — the two capabilities the rect-substituted
+    ``smallpt_original`` preset deliberately avoided before round 5.
+    Object ids: spheres 0-8 in Beason's order; light = id 8."""
+    spheres = [
+        ((1e5 + 1.0, 40.8, 81.6), 1e5, (0.75, 0.25, 0.25), _ZERO, DIFF),   # left
+        ((-1e5 + 99.0, 40.8, 81.6), 1e5, (0.25, 0.25, 0.75), _ZERO, DIFF),  # right
+        ((50.0, 40.8, 1e5), 1e5, _WHITE75, _ZERO, DIFF),                    # back
+        ((50.0, 40.8, -1e5 + 170.0), 1e5, _ZERO, _ZERO, DIFF),              # front
+        ((50.0, 1e5, 81.6), 1e5, _WHITE75, _ZERO, DIFF),                    # floor
+        ((50.0, -1e5 + 81.6, 81.6), 1e5, _WHITE75, _ZERO, DIFF),            # ceiling
+        ((27.0, 16.5, 47.0), 16.5, (0.999, 0.999, 0.999), _ZERO, SPEC),     # mirror
+        ((73.0, 16.5, 78.0), 16.5, (0.999, 0.999, 0.999), _ZERO, REFR),     # glass
+        ((50.0, 681.6 - 0.27, 81.6), 600.0, _ZERO, (12.0, 12.0, 12.0), DIFF),  # light
+    ]
+    light = SphereLight(
+        center=jnp.asarray([50.0, 681.6 - 0.27, 81.6], jnp.float32),
+        radius=jnp.asarray(600.0, jnp.float32),
+        light_obj_id=jnp.asarray(8, jnp.int32),
+    )
+    return make_scene([], spheres, light)
+
+
+def cornell_spheres_roundlight() -> Scene:
+    """The historic-render look (round ceiling light, sphere pair): Cornell
+    walls — ceiling darkened to the committed renders' look — plus the two
+    commented spheres and a radius-12 spherical emitter at (50, 91, 81.6)
+    whose lower cap hangs ~2.6 units below the y=81.6 ceiling (visible
+    disc radius ~7.5, matching the round light in
+    /root/reference/image_32pps_totalrandom.ppm). Object ids: walls 0-5,
+    spheres 6-7, light sphere = 8. Cone-sampled NEE; cone samples occluded
+    by the ceiling ring simply fail the probe (unbiased fallback)."""
+    walls = [
+        (AX_Z, 0.0, (1.0, 0.0), (99.0, 81.6), _WHITE75, _ZERO, DIFF),
+        (AX_Z, 170.0, (1.0, 0.0), (99.0, 81.6), _WHITE75, _ZERO, DIFF),
+        (AX_X, 1.0, (0.0, 0.0), (81.6, 170.0), (0.25, 0.75, 0.25), _ZERO, DIFF),
+        (AX_X, 99.0, (0.0, 0.0), (81.6, 170.0), (0.75, 0.25, 0.25), _ZERO, DIFF),
+        (AX_Y, 0.0, (1.0, 0.0), (99.0, 170.0), _WHITE75, _ZERO, DIFF),
+        (AX_Y, 81.6, (1.0, 0.0), (99.0, 170.0), (0.35, 0.35, 0.35), _ZERO, DIFF),
+    ]
+    spheres = [
+        ((27.0, 16.5, 47.0), 16.5, (0.999, 0.999, 0.999), _ZERO, DIFF),
+        ((73.0, 16.5, 78.0), 16.5, _WHITE75, _ZERO, DIFF),
+        ((50.0, 91.0, 81.6), 12.0, _ZERO, (12.0, 12.0, 12.0), DIFF),
+    ]
+    light = SphereLight(
+        center=jnp.asarray([50.0, 91.0, 81.6], jnp.float32),
+        radius=jnp.asarray(12.0, jnp.float32),
+        light_obj_id=jnp.asarray(8, jnp.int32),
+    )
+    return make_scene(walls, spheres, light)
 
 
 def cornell_tilted_light() -> Scene:
@@ -435,7 +501,9 @@ def veach_mis() -> Scene:
 PRESETS = {
     "cornell_box": cornell_box,
     "cornell_spheres": cornell_spheres,
+    "cornell_spheres_roundlight": cornell_spheres_roundlight,
     "smallpt_original": smallpt_original,
+    "smallpt_original_true": smallpt_original_true,
     "cornell_tilted_light": cornell_tilted_light,
     "cornell_alcove": cornell_alcove,
     "cornell_alcove_baffled": cornell_alcove_baffled,

@@ -107,8 +107,37 @@ class LightSampler(NamedTuple):
     light_obj_id: jnp.ndarray  # () int32
 
 
+class SphereLight(NamedTuple):
+    """Spherical emitter for explicit light sampling (NEE cone sampling).
+
+    The reference family's round ceiling light: original smallpt's rad-600
+    sky sphere (the commented heritage at /root/reference/src/smallpt.cpp:
+    297-298 and the round light visible in the committed historic renders,
+    SURVEY.md section 4.2) — the reference snapshot itself only ever
+    explicitly samples its rect light (smallpt.cpp:363-369).
+
+    NEE draws a direction uniformly inside the cone subtended by the sphere
+    from the shading point (half-angle asin(r/|c-x|)); the solid-angle
+    density is 1/(2*pi*(1-cos_theta_max)), so the C13-style weight is
+    PDF_inverse = 2*pi*(1-cos_theta_max) with BRDF = |d.nl|/pi — the exact
+    sphere-light analogue of the parallelogram sampler's
+    |area*cos_l|/t^2 (sampling.sample_sphere_dir / sphere_cone).
+
+    center: (3,); radius: (); light_obj_id: () int32 global object id
+    (success test = the probe's nearest hit is this object)."""
+
+    center: jnp.ndarray
+    radius: jnp.ndarray
+    light_obj_id: jnp.ndarray
+
+
+# Light-geometry kind codes for LightList.kind.
+LIGHT_RECT = 0    # parallelogram: corner + u*edge_u + v*edge_v
+LIGHT_SPHERE = 1  # sphere: center = corner, radius = edge_u[0]
+
+
 class LightList(NamedTuple):
-    """Batched parallelogram emitters for multi-light NEE (K lights).
+    """Batched emitters for multi-light NEE (K lights).
 
     The reference supports exactly ONE explicit light (the NEE success test
     is ``id == 6``, smallpt.cpp:467). This generalizes the C13 sampler to a
@@ -119,17 +148,27 @@ class LightList(NamedTuple):
     unbiased for the SUM of direct illumination over all listed lights.
 
     corner/edge_u/edge_v: (K, 3); obj_id: (K,) int32 global object ids.
-    """
+
+    kind (optional, (K,) int32): per-light geometry. LIGHT_RECT (default
+    when None) = parallelogram; LIGHT_SPHERE = spherical emitter stored as
+    corner = center, edge_u = (radius, 0, 0), edge_v = 0 (cone-sampled,
+    see SphereLight). Mixed lists are supported on the jnp estimators;
+    sampling.make_sphere_list_entry builds the packed row."""
 
     corner: jnp.ndarray
     edge_u: jnp.ndarray
     edge_v: jnp.ndarray
     obj_id: jnp.ndarray
+    kind: jnp.ndarray | None = None
 
 
 class Scene(NamedTuple):
     """Global object ids: rects (0..R-1), quads (R..R+Q-1), spheres
     (R+Q..R+Q+S-1).
+
+    ``light``: the single explicit-light sampler — a parallelogram
+    (LightSampler, contract C13) or a spherical emitter (SphereLight,
+    cone-sampled).
 
     ``lights`` (optional): multi-emitter light list. When None (all
     reference-parity presets), the NEE estimators use the single ``light``
@@ -139,7 +178,7 @@ class Scene(NamedTuple):
     rects: Rects
     quads: Quads
     spheres: Spheres
-    light: LightSampler
+    light: LightSampler | SphereLight
     lights: LightList | None = None
 
 
@@ -259,6 +298,21 @@ def gloss_arrays(scene: Scene) -> jnp.ndarray:
     return jnp.concatenate(
         [scene.rects.gloss, scene.quads.gloss, scene.spheres.gloss], axis=0
     )
+
+
+def scene_has_sphere_light(scene: Scene) -> bool:
+    """Host-side: does the scene's explicit-light set contain a spherical
+    emitter (single SphereLight or a LIGHT_SPHERE LightList row)? Gates the
+    sphere-light variant of the C13-continuation estimators (see
+    integrator/wavefront._diff_scatter): sphere cones are typically wide
+    and heavily occluded, so the reference's fallback-with-pickup structure
+    would double-count direct light catastrophically — sphere-sampled lanes
+    suppress the sampled light's pickup on fallback instead (unbiased)."""
+    if isinstance(scene.light, SphereLight):
+        return True
+    if scene.lights is not None and scene.lights.kind is not None:
+        return bool(np.any(np.asarray(scene.lights.kind) == LIGHT_SPHERE))
+    return False
 
 
 def scene_has_glos(scene: Scene) -> bool:

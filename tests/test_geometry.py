@@ -216,3 +216,108 @@ def test_tilted_light_scene_renders():
     assert img.max() > 0.9        # light visible
     assert 0.05 < img.mean() < 0.9
     assert traces > 0
+
+
+class TestGiantSphereRobustness:
+    """The recentered/rejection-form quadratic (intersect_spheres docstring)
+    must make radius-1e5 giant-sphere walls usable in f32 — the
+    original-smallpt scene representation the textbook discriminant cannot
+    support (round-4 VERDICT item 4)."""
+
+    def _spheres(self, dtype):
+        centers = [
+            (1e5 + 1, 40.8, 81.6), (-1e5 + 99, 40.8, 81.6),
+            (50.0, 40.8, 1e5), (50.0, 40.8, -1e5 + 170),
+            (50.0, 1e5, 81.6), (50.0, -1e5 + 81.6, 81.6),
+            (27.0, 16.5, 47.0), (73.0, 16.5, 78.0),
+            (50.0, 681.6 - 0.27, 81.6),
+        ]
+        radii = [1e5] * 6 + [16.5, 16.5, 600.0]
+        from small_pathtracer_tpu.scene.types import Spheres
+
+        n = len(radii)
+        return Spheres(
+            center=jnp.asarray(centers, dtype),
+            radius=jnp.asarray(radii, dtype),
+            albedo=jnp.zeros((n, 3), dtype),
+            emission=jnp.zeros((n, 3), dtype),
+            refl=jnp.zeros((n,), jnp.int32),
+            gloss=jnp.zeros((n,), dtype),
+        )
+
+    @staticmethod
+    def _oracle_f64(centers, radii, o, d):
+        """Reference-semantics nearest hit in numpy float64 (the oracle)."""
+        op = centers[None] - o[:, None]
+        b = np.sum(op * d[:, None], -1)
+        det = b * b - np.sum(op * op, -1) + radii * radii
+        sd = np.sqrt(np.maximum(det, 0))
+        tn, tf = b - sd, b + sd
+        t = np.where(tn > SPHERE_EPS, tn, tf)
+        return np.where((det > 0) & (t > SPHERE_EPS), t, MISS_T).min(axis=1)
+
+    def test_f32_nearest_hit_vs_f64_oracle(self):
+        """Nearest-hit t error < 1e-3 of scene scale (~100 units) at p99."""
+        rng = np.random.default_rng(0)
+        n = 20000
+        o = rng.uniform([1, 0, 0], [99, 81.6, 170], (n, 3))
+        d = rng.normal(size=(n, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        sph = self._spheres(jnp.float32)
+        t64 = self._oracle_f64(
+            np.asarray(sph.center, np.float64),
+            np.asarray(sph.radius, np.float64), o, d,
+        )
+        t32 = np.asarray(
+            intersect_spheres(
+                self._spheres(jnp.float32),
+                jnp.asarray(o, jnp.float32),
+                jnp.asarray(d, jnp.float32),
+            )
+        ).min(axis=1)
+        err = np.abs(t32 - t64)
+        scene_scale = 100.0
+        assert np.percentile(err, 99) / scene_scale < 1e-3
+        assert np.median(err) / scene_scale < 1e-4
+
+    def test_no_self_hit_acne_on_giant_sphere(self):
+        """THE f32 giant-sphere killer: a bounce origin rounded onto a
+        radius-1e5 surface re-intersects its own sphere with spurious
+        t ~ 4e-6*r ~ 0.4 — far above the reference's fixed eps = 1e-4.
+        The radius-scaled eps floor (SPHERE_EPS_REL) must reject every
+        such self-hit while keeping true hits from across the room."""
+        rng = np.random.default_rng(1)
+        sph = self._spheres(jnp.float32)
+        centers = np.asarray(sph.center, np.float64)
+        radii = np.asarray(sph.radius, np.float64)
+        n = 4000
+        # Points ON the floor sphere (id 4, center (50, 1e5, 81.6) r=1e5)
+        # inside the room footprint, f32-rounded like a real hit point.
+        x = rng.uniform(1, 99, n)
+        z = rng.uniform(0, 170, n)
+        cy, r = 1e5, 1e5
+        y = cy - np.sqrt(r * r - (x - 50.0) ** 2 - (z - 81.6) ** 2)
+        o = np.stack([x, y, z], 1).astype(np.float32)
+        # Upward cosine-ish bounce directions (away from the floor).
+        d = rng.normal(size=(n, 3))
+        d[:, 1] = np.abs(d[:, 1]) + 0.05
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = d.astype(np.float32)
+        ts = np.asarray(intersect_spheres(sph, jnp.asarray(o), jnp.asarray(d)))
+        # Floor sphere (index 4): an upward ray's true re-hit is the FAR
+        # side of the giant sphere (t ~ 2e5 scale) or a miss — never a
+        # sub-unit t. Any t < 100 is acne.
+        acne = ts[:, 4] < 100.0
+        assert not np.any(acne), f"{acne.sum()} self-hits"
+        # Sanity: the same rays still find the ceiling sphere (id 5)
+        # overhead at a sane distance (true hits are not rejected).
+        up = d[:, 1] > 0.7
+        assert np.all(ts[up, 5] < 200.0)
+
+    def test_small_sphere_exactness_preserved(self):
+        """Scene-scale spheres: the robust form agrees with closed-form
+        geometry to f32 rounding (no regression for normal scenes)."""
+        sph = self._spheres(jnp.float32)
+        o, d = _rays([[27.0, 16.5, 100.0]], [[0.0, 0.0, -1.0]])
+        t = np.asarray(intersect_spheres(sph, o, d))[0, 6]
+        assert t == pytest.approx(100.0 - 47.0 - 16.5, abs=1e-3)
