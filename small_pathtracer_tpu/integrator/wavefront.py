@@ -264,22 +264,21 @@ def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
     # NEE-success lanes continue from the probe origin (== hit_x on the
     # single-light path) so the light-emission pickup retraces the probe.
     nee_o = jnp.where(success[:, None], probe_o, hit_x)
-    # Sphere-light continuation is the BIAS-FREE C13 variant: a lane that
-    # cone-sampled a sphere light and FAILED the probe falls back to
-    # cosine (weight 1, like the reference) but suppresses the sampled
-    # light's emission pickup at its next hit — the reference's
-    # fallback-with-pickup structurally double-counts direct light, which
-    # is a ~+2% quirk for the small Cornell rect (kept verbatim for
-    # parity) but a ~3x blowout for a wide, mostly-occluded sphere cone
-    # (scene/types.scene_has_sphere_light). Rect lights keep the
-    # reference's exact semantics.
-    if isinstance(light, SphereLight):
-        sampled_sphere = jnp.ones(nl.shape[:-1], jnp.bool_)
-    elif kind is not None:
-        sampled_sphere = kind == LIGHT_SPHERE
-    else:
-        sampled_sphere = jnp.zeros(nl.shape[:-1], jnp.bool_)
-    suppress = sampled_sphere & ~success
+    # Sphere-light continuation is the BIAS-FREE C13 variant: EVERY
+    # light-sampling diffuse lane that FAILED the probe falls back to
+    # cosine (weight 1, like the reference) but suppresses SPHERE-kind
+    # lights' emission pickup at its next hit (_bounce_core's
+    # is_slight_hit tests sphere rows only) — sphere-direct is fully
+    # estimated by the cone draws (1/q_k-weighted), so any BSDF-path
+    # pickup of it double counts. The reference's fallback-with-pickup
+    # structure is a ~+2% quirk for the small Cornell rect (kept
+    # verbatim for parity: rect pickups are never suppressed) but a ~3x
+    # blowup for a wide, mostly-occluded sphere cone, and a measured
+    # ~+12% on a mixed rect+sphere list when only sphere-SAMPLED lanes
+    # suppressed (tests/test_sphere_light.py::TestMixedList). Only
+    # active when the scene has a sphere light (scene_has_sphere_light
+    # gates no_emit in _bounce_core).
+    suppress = ~success
     if cfg.estimator == "mixture":
         take = u[rng.P_MIX_COIN] < cfg.mixture_q
         new_dir = jnp.where(take[:, None], nee_dir, cos_dir)

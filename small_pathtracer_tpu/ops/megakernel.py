@@ -51,7 +51,7 @@ from ..camera.pinhole import CameraParams
 from ..config import RenderConfig
 from ..core import ld, rng
 from ..core import vecmath as vm
-from ..scene.types import DIFF, Scene
+from ..scene.types import DIFF, Scene, SphereLight
 from ..geometry.intersect import (
     MISS_T, SELF_HIT_EPS, SPHERE_EPS, SPHERE_EPS_REL,
 )
@@ -191,12 +191,22 @@ def _scene_consts(scene: Scene):
             refl=int(np.asarray(s.refl)[i]),
             gloss=float(np.asarray(s.gloss)[i]),
         ))
-    light = dict(
-        corner=tuple(float(v) for v in np.asarray(scene.light.corner)),
-        edge_u=tuple(float(v) for v in np.asarray(scene.light.edge_u)),
-        edge_v=tuple(float(v) for v in np.asarray(scene.light.edge_v)),
-        light_obj_id=int(np.asarray(scene.light.light_obj_id)),
-    )
+    if isinstance(scene.light, SphereLight):
+        # Spherical emitter (cone-sampled NEE — scene/types.SphereLight).
+        light = dict(
+            kind="sphere",
+            center=tuple(float(v) for v in np.asarray(scene.light.center)),
+            radius=float(np.asarray(scene.light.radius)),
+            light_obj_id=int(np.asarray(scene.light.light_obj_id)),
+        )
+    else:
+        light = dict(
+            kind="rect",
+            corner=tuple(float(v) for v in np.asarray(scene.light.corner)),
+            edge_u=tuple(float(v) for v in np.asarray(scene.light.edge_u)),
+            edge_v=tuple(float(v) for v in np.asarray(scene.light.edge_v)),
+            light_obj_id=int(np.asarray(scene.light.light_obj_id)),
+        )
     lightlist = None
     if scene.lights is not None:
         ll = scene.lights
@@ -1187,6 +1197,14 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             "scenes with a light list"
         )
     if multi:
+        if scene.lights.kind is not None and np.any(
+            np.asarray(scene.lights.kind) != 0
+        ):
+            raise ValueError(
+                "the megakernel's light-list path is parallelogram-only; "
+                "lists with LIGHT_SPHERE entries run on the jnp wavefront "
+                "(integrator/wavefront.py handles mixed-kind lists)"
+            )
         ml = _light_list_consts(lightlist)
         light_ids_all = tuple(m["id"] for m in ml)
         K_L = len(ml)
@@ -1219,23 +1237,62 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
 
     spawn, origin = make_spawn(cam, cfg)
 
-    lc = tuple(np.float32(v) for v in light["corner"])
-    leu = tuple(np.float32(v) for v in light["edge_u"])
-    lev = tuple(np.float32(v) for v in light["edge_v"])
-    # area & unit normal of the sample parallelogram (C13: 1296, (0,1,0)).
-    cxn = (
-        leu[1] * lev[2] - leu[2] * lev[1],
-        leu[2] * lev[0] - leu[0] * lev[2],
-        leu[0] * lev[1] - leu[1] * lev[0],
-    )
-    area = float(math.sqrt(cxn[0] ** 2 + cxn[1] ** 2 + cxn[2] ** 2))
-    ln = tuple(np.float32(v / area) for v in cxn)
-    area = np.float32(area)
-    # glibc mode: unit edge dirs (offsets are absolute units, C13a).
-    leu_mag = float(math.sqrt(sum(v * v for v in leu)))
-    lev_mag = float(math.sqrt(sum(v * v for v in lev)))
-    leu_hat = tuple(np.float32(v / leu_mag) for v in leu)
-    lev_hat = tuple(np.float32(v / lev_mag) for v in lev)
+    sphere_light = light.get("kind") == "sphere"
+    if sphere_light:
+        # Cone-sampled spherical emitter (scene/types.SphereLight;
+        # integrator/sampling.sphere_cone defines the semantics — this is
+        # its bit-parity kernel form). Constraints mirror the jnp path:
+        if glibc:
+            raise ValueError(
+                "light_sample_mode='glibc_overflow' reproduces the "
+                "reference's rect-sampler int32-overflow quirk (C13a) and "
+                "has no sphere-light analogue; use "
+                "light_sample_mode='intended' for SphereLight scenes"
+            )
+        if multi:
+            raise ValueError(
+                "the megakernel supports a single SphereLight; light "
+                "LISTS with sphere entries run on the jnp wavefront "
+                "(integrator/wavefront.py handles mixed-kind lists)"
+            )
+        if sphere_tab:
+            raise ValueError(
+                "sphere_tab=True cannot host a SphereLight (the emitter "
+                "must be an unrolled sphere so the probe can target it); "
+                "sphere-light scenes auto-disable table mode "
+                "(_table_compatible)"
+            )
+        slc = tuple(np.float32(v) for v in light["center"])
+        slr = np.float32(light["radius"])
+        slr2 = np.float32(slr * slr)
+        # Placeholders so the (untraced) rect code paths stay defined.
+        lc = leu = lev = (np.float32(0),) * 3
+        ln = (np.float32(0), np.float32(1), np.float32(0))
+        area = np.float32(1.0)
+        leu_hat = lev_hat = (np.float32(0),) * 3
+    else:
+        lc = tuple(np.float32(v) for v in light["corner"])
+        leu = tuple(np.float32(v) for v in light["edge_u"])
+        lev = tuple(np.float32(v) for v in light["edge_v"])
+        # area & unit normal of the sample parallelogram (C13: 1296, (0,1,0)).
+        cxn = (
+            leu[1] * lev[2] - leu[2] * lev[1],
+            leu[2] * lev[0] - leu[0] * lev[2],
+            leu[0] * lev[1] - leu[1] * lev[0],
+        )
+        area = float(math.sqrt(cxn[0] ** 2 + cxn[1] ** 2 + cxn[2] ** 2))
+        ln = tuple(np.float32(v / area) for v in cxn)
+        area = np.float32(area)
+        # glibc mode: unit edge dirs (offsets are absolute units, C13a).
+        leu_mag = float(math.sqrt(sum(v * v for v in leu)))
+        lev_mag = float(math.sqrt(sum(v * v for v in lev)))
+        leu_hat = tuple(np.float32(v / leu_mag) for v in leu)
+        lev_hat = tuple(np.float32(v / lev_mag) for v in lev)
+    # Sphere-light C13 variant flag: fallback lanes suppress the sampled
+    # light's next pickup (integrator/wavefront._diff_scatter docstring —
+    # the reference's fallback-with-pickup double count blows up on wide
+    # occluded cones). Uses the textbook alive_i bit-2 encoding.
+    nee_sphere = sphere_light and est in ("nee", "mixture")
 
     spp_u32 = _u32c(cfg.spp)
     rr_depth = np.int32(cfg.rr_start_depth)
@@ -1345,9 +1402,11 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             # Emission pickup (C10/C13/C14). nee_textbook lanes whose
             # previous bounce shadow-sampled the light carry the no_emit
             # bit (alive_i == 3) and skip this pickup (double-count guard).
-            if textbook:
+            if textbook or nee_sphere:
                 # Suppress only the SAMPLED light's emission (h.is_light
                 # marks lanes whose nearest hit is the light object).
+                # nee_sphere: the sphere-light C13 variant's fallback
+                # lanes carry the same bit (set at the bottom of the body).
                 suppress = (alive_i > np.int32(1)) & h["is_light"]
                 emit_f = jnp.where(
                     alive & ~suppress, np.float32(1.0), np.float32(0.0)
@@ -1374,6 +1433,31 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     )
                     p_l_h = q_h * (h["t"] * h["t"]) / (
                         a_h * jnp.maximum(cos_lh, np.float32(1e-6))
+                    )
+                elif sphere_light:
+                    # Cone density from this ray's ORIGIN (the previous
+                    # vertex) — mirrors _bounce_core's sphere pickup:
+                    # p = 1 / (2 pi (1 - cos_max(o))).
+                    pwx = slc[0] - ox
+                    pwy = slc[1] - oy
+                    pwz = slc[2] - oz
+                    pd2 = pwx * pwx + pwy * pwy + pwz * pwz
+                    pd2_pos = pd2 > 0.0
+                    pd2_safe = jnp.where(pd2_pos, pd2, 1.0)
+                    psin2 = slr2 / pd2_safe
+                    p_out = pd2_pos & (psin2 < 1.0)
+                    pcos_max = jnp.where(
+                        p_out,
+                        jnp.sqrt(
+                            jnp.where(p_out, np.float32(1.0) - psin2, 1.0)
+                        ),
+                        np.float32(-1.0),
+                    )
+                    p_pdf_inv = np.float32(2.0 * math.pi) * (
+                        np.float32(1.0) - pcos_max
+                    )
+                    p_l_h = np.float32(1.0) / jnp.maximum(
+                        p_pdf_inv, np.float32(1e-12)
                     )
                 else:
                     cos_lh = jnp.abs(dx * ln[0] + dy * ln[1] + dz * ln[2])
@@ -1610,6 +1694,67 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     lpx = lcx + lu * leux + lv * levx
                     lpy = lcy + lu * leuy + lv * levy
                     lpz = lcz + lu * leuz + lv * levz
+                elif sphere_light:
+                    # Cone sample toward the sphere light (bit-parity with
+                    # sampling.sphere_cone + sample_sphere_dir): axis =
+                    # normalized (center - x); cos_t = 1 - lv*(1-cos_max);
+                    # phi = 2*pi*lu in the onb_from_w frame of the axis.
+                    ln_use, area_use = ln, area  # unused placeholders
+                    wcx = slc[0] - hx
+                    wcy = slc[1] - hy
+                    wcz = slc[2] - hz
+                    sd2 = wcx * wcx + wcy * wcy + wcz * wcz
+                    sd2_pos = sd2 > 0.0
+                    sd2_safe = jnp.where(sd2_pos, sd2, 1.0)
+                    inv_sd = jax.lax.rsqrt(sd2_safe)
+                    whx = jnp.where(sd2_pos, wcx * inv_sd, np.float32(0.0))
+                    why = jnp.where(sd2_pos, wcy * inv_sd, np.float32(0.0))
+                    whz = jnp.where(sd2_pos, wcz * inv_sd, np.float32(1.0))
+                    ssin2 = slr2 / sd2_safe
+                    s_out = sd2_pos & (ssin2 < 1.0)
+                    cos_max = jnp.where(
+                        s_out,
+                        jnp.sqrt(
+                            jnp.where(s_out, np.float32(1.0) - ssin2, 1.0)
+                        ),
+                        np.float32(-1.0),
+                    )
+                    pdf_inv_sl = np.float32(2.0 * math.pi) * (
+                        np.float32(1.0) - cos_max
+                    )
+                    cos_tc = np.float32(1.0) - lv * (
+                        np.float32(1.0) - cos_max
+                    )
+                    sin_tc = jnp.sqrt(
+                        jnp.maximum(np.float32(1.0) - cos_tc * cos_tc, 0.0)
+                    )
+                    # onb_from_w(w_hat) — same frame construction as the
+                    # cosine scatter above (vm.onb_from_w bit-parity).
+                    pickc = jnp.abs(whx) > np.float32(0.1)
+                    cuxr = jnp.where(pickc, whz, 0.0)
+                    cuyr = jnp.where(pickc, 0.0, -whz)
+                    cuzr = jnp.where(pickc, -whx, why)
+                    inv_cul = jax.lax.rsqrt(
+                        cuxr * cuxr + cuyr * cuyr + cuzr * cuzr
+                    )
+                    cux, cuy, cuz = cuxr * inv_cul, cuyr * inv_cul, cuzr * inv_cul
+                    cvx = why * cuz - whz * cuy
+                    cvy = whz * cux - whx * cuz
+                    cvz = whx * cuy - why * cux
+                    # sincos of 2*pi*lu — the SAME sr1/cr1 the scatter
+                    # frame computed from u1 would NOT match (different
+                    # draw); recompute from lu like the jnp path does.
+                    sr1c, cr1c = vm.sincos_2pi(lu)
+                    slxr = cux * (cr1c * sin_tc) + cvx * (sr1c * sin_tc) + whx * cos_tc
+                    slyr = cuy * (cr1c * sin_tc) + cvy * (sr1c * sin_tc) + why * cos_tc
+                    slzr = cuz * (cr1c * sin_tc) + cvz * (sr1c * sin_tc) + whz * cos_tc
+                    inv_sll = jax.lax.rsqrt(
+                        slxr * slxr + slyr * slyr + slzr * slzr
+                    )
+                    lpx = lpy = lpz = None  # direction computed directly
+                    sldx = slxr * inv_sll
+                    sldy = slyr * inv_sll
+                    sldz = slzr * inv_sll
                 else:
                     # nee_textbook ALWAYS samples the full light uniformly
                     # (its nee_weight assumes the uniform-over-area pdf, and
@@ -1642,9 +1787,12 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     poz = hz + eps_sh * nz
                 else:
                     pox, poy, poz = hx, hy, hz
-                wx_, wy_, wz_ = lpx - pox, lpy - poy, lpz - poz
-                inv_wl = jax.lax.rsqrt(wx_ * wx_ + wy_ * wy_ + wz_ * wz_)
-                ldx, ldy, ldz = wx_ * inv_wl, wy_ * inv_wl, wz_ * inv_wl
+                if sphere_light:
+                    ldx, ldy, ldz = sldx, sldy, sldz
+                else:
+                    wx_, wy_, wz_ = lpx - pox, lpy - poy, lpz - poz
+                    inv_wl = jax.lax.rsqrt(wx_ * wx_ + wy_ * wy_ + wz_ * wz_)
+                    ldx, ldy, ldz = wx_ * inv_wl, wy_ * inv_wl, wz_ * inv_wl
                 if multi:
                     # Success = the probe's nearest hit IS the lane's
                     # sampled light (per-lane id compare; is_light can't
@@ -1665,14 +1813,27 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                         rects_k, quads_k, spheres_k, light_id,
                         pox, poy, poz, ldx, ldy, ldz, sphere_tab=tab,
                     )
+                if sphere_light:
+                    # Front-side gate (integrator/wavefront._nee_sample:
+                    # the cone can aim behind a tangent surface and the
+                    # probe escapes through open space).
+                    success = success & (
+                        (ldx * nx + ldy * ny + ldz * nz) > 0.0
+                    )
                 t_safe = jnp.where(success, t_probe, 1.0)
-                cos_l = jnp.abs(
-                    ldx * ln_use[0] + ldy * ln_use[1] + ldz * ln_use[2]
-                )
-                cos_s = jnp.abs(ldx * nx + ldy * ny + ldz * nz)
-                w_nee = (
-                    jnp.abs(area_use * cos_l) / (t_safe * t_safe)
-                ) * (cos_s * np.float32(1.0 / math.pi))
+                if sphere_light:
+                    # sampling.sphere_nee_weight: pdf_inv * |d.nl| / pi.
+                    w_nee = pdf_inv_sl * jnp.abs(
+                        ldx * nx + ldy * ny + ldz * nz
+                    ) * np.float32(1.0 / math.pi)
+                else:
+                    cos_l = jnp.abs(
+                        ldx * ln_use[0] + ldy * ln_use[1] + ldz * ln_use[2]
+                    )
+                    cos_s = jnp.abs(ldx * nx + ldy * ny + ldz * nz)
+                    w_nee = (
+                        jnp.abs(area_use * cos_l) / (t_safe * t_safe)
+                    ) * (cos_s * np.float32(1.0 / math.pi))
                 if multi:
                     # Unbiased for the SUM over the list: importance weight
                     # 1/q_k (integrator/wavefront._diff_scatter).
@@ -1681,7 +1842,10 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     # GLOS lanes swap the diffuse |cos|/pi factor for the
                     # Phong lobe at the shadow-ray direction (mirrors
                     # _bounce_core's w_d_glos select exactly).
-                    w_geo_k = jnp.abs(area_use * cos_l) / (t_safe * t_safe)
+                    if sphere_light:
+                        w_geo_k = pdf_inv_sl
+                    else:
+                        w_geo_k = jnp.abs(area_use * cos_l) / (t_safe * t_safe)
                     brdf_g = (gl + np.float32(2.0)) * np.float32(
                         1.0 / (2.0 * math.pi)
                     ) * _pow_safe_k(
@@ -1697,9 +1861,16 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     # w_light = p_light/(p_light + p_bsdf) at the SAMPLED
                     # direction (complement of the pickup's w_bsdf);
                     # light lists fold in the selection probability q_k.
-                    p_l_s = (t_safe * t_safe) / (
-                        area_use * jnp.maximum(cos_l, np.float32(1e-6))
-                    )
+                    # Sphere light: p = 1/pdf_inv (the cone density —
+                    # mirrors _bounce_core's sphere_single branch).
+                    if sphere_light:
+                        p_l_s = np.float32(1.0) / jnp.maximum(
+                            pdf_inv_sl, np.float32(1e-12)
+                        )
+                    else:
+                        p_l_s = (t_safe * t_safe) / (
+                            area_use * jnp.maximum(cos_l, np.float32(1e-6))
+                        )
                     if multi:
                         p_l_s = p_l_s * q_sel
                     dot_sn = ldx * nx + ldy * ny + ldz * nz
@@ -1947,6 +2118,19 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 is_diff_tb = ~(h["is_spec"] | h["is_refr"])
                 alive_i = alive_i + jnp.where(
                     alive_next & is_diff_tb & ~respawn,
+                    np.int32(2), np.int32(0),
+                )
+            if nee_sphere:
+                # Sphere-light C13 variant: only FALLBACK lanes (cone
+                # probe failed, cosine continuation) suppress the light's
+                # next pickup — success lanes keep C13-continuation
+                # semantics (integrator/wavefront._diff_scatter).
+                is_diff_sl = ~(h["is_spec"] | h["is_refr"])
+                fb_sl = ~success
+                if est == "mixture":
+                    fb_sl = fb_sl & take
+                alive_i = alive_i + jnp.where(
+                    alive_next & is_diff_sl & fb_sl & ~respawn,
                     np.int32(2), np.int32(0),
                 )
             if mis_est:

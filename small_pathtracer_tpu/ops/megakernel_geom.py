@@ -134,6 +134,13 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                            cfg: RenderConfig):
     """The geometry+materials adjoint kernel body (module docstring)."""
     rects, quads, spheres, light, lightlist = _scene_consts(scene)
+    if light.get("kind") == "sphere":
+        raise NotImplementedError(
+            "the geometry-adjoint kernel supports parallelogram lights "
+            "only; sphere-light (SphereLight) scenes use the jnp adjoint "
+            "(jax.grad through integrator/wavefront.path_trace_fixed) — "
+            "documented waiver, COVERAGE.md"
+        )
     est = cfg.estimator
     if est not in SUPPORTED_ESTIMATORS:
         raise ValueError(

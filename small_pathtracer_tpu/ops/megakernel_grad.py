@@ -130,6 +130,14 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     """The adjoint kernel body (see module docstring)."""
     rects, quads, spheres, light, lightlist = _scene_consts(scene)
     n_obj = len(rects) + len(quads) + len(spheres)
+    if light.get("kind") == "sphere":
+        raise NotImplementedError(
+            "the material-adjoint kernel supports parallelogram lights "
+            "only; sphere-light (SphereLight) gradients run on the jnp "
+            "adjoint (jax.grad through integrator/wavefront."
+            "path_trace_fixed — fully differentiable, tests/"
+            "test_sphere_light.py) — documented waiver, COVERAGE.md"
+        )
     all_objs = rects + quads + spheres
     light_id = light["light_obj_id"]
     uni = _uniform_for(cfg.rng_backend)

@@ -152,9 +152,9 @@ def smallpt_original_true() -> Scene:
 def cornell_spheres_roundlight() -> Scene:
     """The historic-render look (round ceiling light, sphere pair): Cornell
     walls — ceiling darkened to the committed renders' look — plus the two
-    commented spheres and a radius-12 spherical emitter at (50, 91, 81.6)
-    whose lower cap hangs ~2.6 units below the y=81.6 ceiling (visible
-    disc radius ~7.5, matching the round light in
+    commented spheres and a radius-12 spherical emitter at (50, 90, 81.6)
+    whose lower cap hangs ~3.6 units below the y=81.6 ceiling (visible
+    disc radius ~8.6, matching the round light in
     /root/reference/image_32pps_totalrandom.ppm). Object ids: walls 0-5,
     spheres 6-7, light sphere = 8. Cone-sampled NEE; cone samples occluded
     by the ceiling ring simply fail the probe (unbiased fallback)."""
@@ -169,10 +169,10 @@ def cornell_spheres_roundlight() -> Scene:
     spheres = [
         ((27.0, 16.5, 47.0), 16.5, (0.999, 0.999, 0.999), _ZERO, DIFF),
         ((73.0, 16.5, 78.0), 16.5, _WHITE75, _ZERO, DIFF),
-        ((50.0, 91.0, 81.6), 12.0, _ZERO, (12.0, 12.0, 12.0), DIFF),
+        ((50.0, 90.0, 81.6), 12.0, _ZERO, (22.0, 22.0, 22.0), DIFF),
     ]
     light = SphereLight(
-        center=jnp.asarray([50.0, 91.0, 81.6], jnp.float32),
+        center=jnp.asarray([50.0, 90.0, 81.6], jnp.float32),
         radius=jnp.asarray(12.0, jnp.float32),
         light_obj_id=jnp.asarray(8, jnp.int32),
     )

@@ -301,18 +301,21 @@ def gloss_arrays(scene: Scene) -> jnp.ndarray:
 
 
 def scene_has_sphere_light(scene: Scene) -> bool:
-    """Host-side: does the scene's explicit-light set contain a spherical
-    emitter (single SphereLight or a LIGHT_SPHERE LightList row)? Gates the
+    """STRUCTURAL check (trace-safe — never reads array values, so it can
+    run inside jit with a traced scene): does the scene's explicit-light
+    set carry sphere-light machinery (single SphereLight, or a LightList
+    with a kind field — set only by mixed-kind scene builders)? Gates the
     sphere-light variant of the C13-continuation estimators (see
     integrator/wavefront._diff_scatter): sphere cones are typically wide
     and heavily occluded, so the reference's fallback-with-pickup structure
-    would double-count direct light catastrophically — sphere-sampled lanes
-    suppress the sampled light's pickup on fallback instead (unbiased)."""
+    would double-count direct light catastrophically — fallback lanes
+    suppress sphere-kind lights' pickup instead (unbiased). A kind-carrying
+    list with zero sphere rows makes the suppression a provable no-op
+    (is_slight_hit is all-False), so the structural test is semantically
+    exact."""
     if isinstance(scene.light, SphereLight):
         return True
-    if scene.lights is not None and scene.lights.kind is not None:
-        return bool(np.any(np.asarray(scene.lights.kind) == LIGHT_SPHERE))
-    return False
+    return scene.lights is not None and scene.lights.kind is not None
 
 
 def scene_has_glos(scene: Scene) -> bool:
