@@ -56,15 +56,18 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    choices=["mix", "mix_packed", "threefry"],
                    dest="rng_backend")
     p.add_argument("--sphere-table", default="auto",
-                   choices=["auto", "on", "off", "cluster"],
+                   choices=["auto", "on", "off", "cluster",
+                            "cluster_scratch"],
                    help="megakernel scalable-scene mode: loop the spheres "
                         "through runtime SMEM tables instead of unrolling "
                         "them (O(1) compiled code size at any sphere "
                         "count; geometry edits never recompile). auto = "
                         "table at >= 48 spheres; cluster = the table "
-                        "with bounding-sphere tile pruning (measured "
-                        "SLOWER at <= 4k spheres — PERF.md; kept as the "
-                        "A/B knob)")
+                        "with bounding-sphere tile pruning via lax.cond "
+                        "(measured SLOWER at <= 4k spheres — PERF.md); "
+                        "cluster_scratch = pruning via pl.when over "
+                        "VMEM-scratch nearest-hit state (no cond "
+                        "carries; the round-5 crossover experiment)")
     p.add_argument("--sampler", default="random",
                    choices=["random", "sobol"],
                    help="sample sequences for the jitter/lens/light/scatter "

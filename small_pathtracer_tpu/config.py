@@ -107,10 +107,11 @@ class RenderConfig:
             raise ValueError(
                 f"unknown estimator {self.estimator!r}; one of {ESTIMATORS}"
             )
-        if self.sphere_table not in ("auto", "on", "off", "cluster"):
+        if self.sphere_table not in ("auto", "on", "off", "cluster",
+                                     "cluster_scratch"):
             raise ValueError(
-                "sphere_table must be auto/on/off/cluster, got "
-                f"{self.sphere_table!r}"
+                "sphere_table must be auto/on/off/cluster/cluster_scratch, "
+                f"got {self.sphere_table!r}"
             )
         if self.sampler not in ("random", "sobol"):
             raise ValueError(

@@ -544,6 +544,67 @@ def cluster_scene_spheres(scene: Scene, group: int = CLUSTER_SIZE):
     )
 
 
+# Scratch pool for the pl.when cluster variant: slots for the largest
+# nearest-hit carry (want_shading + want_geom: 11 f32 + 5 i32 planes of
+# (TILE_ROWS, 128) — 256 KB VMEM at 32 rows).
+_SCRATCH_F32 = 11
+_SCRATCH_I32 = 5
+
+
+def _cluster_scan_scratch(cluster, body, carry, ox, oy, oz, dx, dy, dz):
+    """The pl.when-mutating-VMEM-scratch cluster scan (round-4 PERF.md's
+    named next experiment): identical pruning decisions and row math as
+    _cluster_scan, but the nearest-hit state lives in VMEM scratch refs
+    instead of lax.cond carries — Mosaic materializes cond carries per
+    branch (the measured cost that made the cond variant LOSE to the
+    plain scan), while a predicated region over refs carries nothing.
+    Executed clusters pay explicit scratch loads/stores instead."""
+    bounds_ref, meta_ref, K, pool = cluster
+    f32_refs, i32_refs = pool
+    single = not isinstance(carry, tuple)
+    tup = (carry,) if single else tuple(carry)
+    slots = []
+    fi = ii = 0
+    for v in tup:
+        if v.dtype == jnp.int32:
+            ref = i32_refs[ii]
+            ii += 1
+        else:
+            ref = f32_refs[fi]
+            fi += 1
+        ref[...] = v
+        slots.append(ref)
+
+    def outer(k, c):
+        b = k * np.int32(4)
+        bx = bounds_ref[b]
+        by = bounds_ref[b + 1]
+        bz = bounds_ref[b + 2]
+        br = bounds_ref[b + 3]
+        opx, opy, opz = bx - ox, by - oy, bz - oz
+        bq = opx * dx + opy * dy + opz * dz
+        d2 = opx * opx + opy * opy + opz * opz - bq * bq
+        hitb = (d2 < br * br) & ((bq + br) > 0.0)
+        any_ = jnp.max(jnp.where(hitb, np.int32(1), np.int32(0)))
+        start = meta_ref[k * np.int32(2)]
+        cnt = meta_ref[k * np.int32(2) + 1]
+
+        @pl.when(any_ > 0)
+        def _scan():
+            cc = tuple(r[...] for r in slots)
+            cc = cc[0] if single else cc
+            out = jax.lax.fori_loop(start, start + cnt, body, cc)
+            out = (out,) if single else tuple(out)
+            for r, v in zip(slots, out):
+                r[...] = v
+
+        return c
+
+    jax.lax.fori_loop(0, np.int32(K), outer, np.int32(0))
+    res = tuple(r[...] for r in slots)
+    return res[0] if single else res
+
+
 def _cluster_scan(cluster, body, carry, ox, oy, oz, dx, dy, dz):
     """carry = body(i, carry) for each table row i, cluster by cluster,
     with each cluster's inner scan under a scalar any-lane-hits-bound
@@ -551,7 +612,12 @@ def _cluster_scan(cluster, body, carry, ox, oy, oz, dx, dy, dz):
     SAME per-row closure, so expression trees (and renders) match the
     plain table scan exactly for the rows that do run — and a skipped
     cluster, by the bound's conservativeness, contains no row that could
-    have won the nearest-hit chain for ANY lane."""
+    have won the nearest-hit chain for ANY lane. A 4-tuple ``cluster``
+    (with a scratch pool) dispatches to _cluster_scan_scratch."""
+    if len(cluster) > 3:
+        return _cluster_scan_scratch(
+            cluster, body, carry, ox, oy, oz, dx, dy, dz
+        )
     bounds_ref, meta_ref, K = cluster
 
     def outer(k, c):
@@ -1327,7 +1393,18 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         if sphere_tab:
             # Packed per-sphere rows (TAB_STRIDE f32 each) — geometry AND
             # materials; the scan never touches the (K*3) material tables.
-            if cluster_tab:
+            if cluster_tab == "scratch":
+                # pl.when variant: the pallas_call appends the scratch
+                # pool (11 f32 + 5 i32 planes) AFTER the output refs,
+                # i.e. at the END of ``refs``.
+                n_scr = _SCRATCH_F32 + _SCRATCH_I32
+                scr = refs[-n_scr:]
+                refs = refs[:-n_scr]
+                pool = (scr[:_SCRATCH_F32], scr[_SCRATCH_F32:])
+                tab = (refs[0], S_tab, base_tab,
+                       (refs[1], refs[2], n_clusters, pool))
+                refs = refs[3:]
+            elif cluster_tab:
                 # + bounding-sphere cluster tables (cluster_scene_spheres
                 # order): bounds f32 (K*4,), meta i32 (K*2,).
                 tab = (refs[0], S_tab, base_tab,
@@ -2227,15 +2304,15 @@ def _sphere_mode(scene: Scene, cfg: RenderConfig) -> str:
     (cluster_scene_spheres/_cluster_scan; measured ladder in PERF.md)."""
     S = int(np.asarray(scene.spheres.radius).shape[0])
     mode = getattr(cfg, "sphere_table", "auto")
-    if mode == "cluster":
+    if mode in ("cluster", "cluster_scratch"):
         if S == 0:
             return "off"
         if not _table_compatible(scene):
             raise ValueError(
-                "sphere_table='cluster' needs a table-compatible scene "
+                f"sphere_table={mode!r} needs a table-compatible scene "
                 "(no GLOS/light spheres, at least one unrolled object)"
             )
-        return "cluster"
+        return mode
     return "table" if _use_sphere_table(scene, cfg) else "off"
 
 
@@ -2354,7 +2431,9 @@ def render_pallas_span(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     fn = _CACHE.get(key)
     if fn is None:
         fn = _build_render(scene, cam, cfg, int(n_s), interpret, use_tab,
-                           use_cluster=(mode == "cluster"))
+                           use_cluster=mode
+                           if mode in ("cluster", "cluster_scratch")
+                           else False)
         _CACHE[key] = fn
     return fn(scene, jnp.asarray(seed, jnp.uint32),
               jnp.asarray(s0, jnp.uint32))
@@ -2362,7 +2441,10 @@ def render_pallas_span(scene: Scene, cam: CameraParams, cfg: RenderConfig,
 
 def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                   n_s: int, interpret: bool, use_tab: bool = False,
-                  use_cluster: bool = False):
+                  use_cluster=False):
+    """use_cluster: False | "cluster" (lax.cond pruning) |
+    "cluster_scratch" (pl.when over VMEM scratch — see
+    _cluster_scan_scratch)."""
     from ..integrator.wavefront import lane_groups
 
     n_pix = cfg.width * cfg.height
@@ -2377,13 +2459,22 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     n_total = n_lanes + pad
     n_tiles = n_total // TILE
 
-    kernel = build_kernel(scene, cam, cfg, mat_refs=use_tab,
-                          sphere_tab=use_tab, cluster_tab=use_cluster)
+    kernel = build_kernel(
+        scene, cam, cfg, mat_refs=use_tab, sphere_tab=use_tab,
+        cluster_tab=("scratch" if use_cluster == "cluster_scratch"
+                     else bool(use_cluster)),
+    )
     block = pl.BlockSpec(
         (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     n_tab_refs = (5 if use_cluster else 3) if use_tab else 0
+    scratch_shapes = []
+    if use_cluster == "cluster_scratch":
+        scratch_shapes = (
+            [pltpu.VMEM((TILE_ROWS, 128), jnp.float32)] * _SCRATCH_F32
+            + [pltpu.VMEM((TILE_ROWS, 128), jnp.int32)] * _SCRATCH_I32
+        )
     if use_cluster:
         # Cluster pruning only fires when a TILE's rays are spatially
         # coherent: the default lane order maps a tile to several full
@@ -2449,6 +2540,7 @@ def _build_render(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
                 jax.ShapeDtypeStruct((1, 2), jnp.float32),
             ],
+            scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(
             seed.reshape(1),

@@ -441,6 +441,27 @@ class TestSphereTable:
         np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_cluster_scratch_matches_table(self):
+        """sphere_table="cluster_scratch" (pl.when over VMEM-scratch
+        nearest-hit state — the round-5 crossover experiment,
+        _cluster_scan_scratch): identical pruning decisions and row math
+        as the cond variant, state in scratch refs instead of carries —
+        renders and trace counts must match the plain table exactly.
+        (Measured on the v5e: 18.8 vs cond 20.5 vs table 40.4 Mrays/s at
+        1024 spheres — a second no-win, kept as the A/B knob; PERF.md.)"""
+        import dataclasses
+
+        scene = get_scene("sphere_grid")
+        cam = make_camera()
+        cfg_t = RenderConfig(width=24, height=16, spp=4, estimator="nee",
+                             seed=2, sphere_table="on")
+        cfg_s = dataclasses.replace(cfg_t, sphere_table="cluster_scratch")
+        a, ta = render_pallas(scene, cam, cfg_t, 2, interpret=True)
+        b, tb = render_pallas(scene, cam, cfg_s, 2, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+        assert float(np.asarray(ta).sum()) == float(np.asarray(tb).sum())
+
     def test_cluster_scene_spheres_roundtrip(self):
         from small_pathtracer_tpu.ops.megakernel import (
             CLUSTER_SIZE,
