@@ -282,6 +282,17 @@ def _shadow_edge_impl(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     # multi-emitter list (the caller sums the per-light curve integrals —
     # the list estimator is unbiased for the SUM of per-light direct
     # terms, so its boundary term is the sum of per-light boundaries).
+    from ..scene.types import SphereLight
+
+    if isinstance(scene.light, SphereLight) or (
+        scene.lights is not None and scene.lights.kind is not None
+    ):
+        raise NotImplementedError(
+            "edge-sampled shadow boundary terms are built for "
+            "parallelogram lights; the sphere-light silhouette integral "
+            "is a documented waiver (COVERAGE.md) — interior gradients "
+            "flow through jax.grad of the jnp wavefront"
+        )
     if light_idx < 0:
         light = scene.light
     else:

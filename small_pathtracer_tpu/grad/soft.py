@@ -138,6 +138,16 @@ def soft_render(scene: Scene, cam: CameraParams, cfg: RenderConfig, seed,
     # the estimate importance-weighted by 1/q_k — the soft-visibility
     # analogue of the wavefront's _select_light, unbiased for the SUM of
     # direct light over the list.
+    from ..scene.types import SphereLight as _SL
+
+    if isinstance(scene.light, _SL) or (
+        scene.lights is not None and scene.lights.kind is not None
+    ):
+        raise NotImplementedError(
+            "the soft-visibility estimator samples parallelogram lights; "
+            "sphere-light scenes use the pathwise jnp adjoint "
+            "(COVERAGE.md waiver)"
+        )
     multi = scene.lights is not None
     lu = uniform(seed, path_id, jnp.uint32(2))
     lv = uniform(seed, path_id, jnp.uint32(3))
