@@ -214,7 +214,9 @@ def _diff_scatter(scene: Scene, cfg: RenderConfig, sh, hit_x, u):
     the next bounce's ray origin: sh.x, except for light-list NEE-success
     lanes which continue from the SHADOW_EPS-lifted probe origin so the
     emission-pickup trace robustly clears a near-coplanar origin surface
-    (sampling.SHADOW_EPS))."""
+    (sampling.SHADOW_EPS), suppress (N,) bool — fallback lanes whose next
+    sphere-light pickup must be suppressed; consumed by _bounce_core only
+    when the scene has a sphere light, all-False otherwise)."""
     nl = sh.n
     cos_dir = sampling.sample_cosine(nl, u[rng.P_SCATTER_U], u[rng.P_SCATTER_V])
     no_sup = jnp.zeros(nl.shape[:-1], jnp.bool_)
