@@ -210,12 +210,19 @@ def _scene_consts(scene: Scene):
     lightlist = None
     if scene.lights is not None:
         ll = scene.lights
+        kinds = (
+            np.asarray(ll.kind).reshape(-1) if ll.kind is not None
+            else np.zeros(int(np.asarray(ll.obj_id).shape[0]), np.int32)
+        )
         lightlist = [
             dict(
                 corner=tuple(float(v) for v in np.asarray(ll.corner)[i]),
                 edge_u=tuple(float(v) for v in np.asarray(ll.edge_u)[i]),
                 edge_v=tuple(float(v) for v in np.asarray(ll.edge_v)[i]),
                 obj_id=int(np.asarray(ll.obj_id)[i]),
+                # LIGHT_RECT / LIGHT_SPHERE (sphere rows pack center in
+                # corner and radius in edge_u[0] — scene/types.LightList).
+                kind=int(kinds[i]),
             )
             for i in range(int(np.asarray(ll.obj_id).shape[0]))
         ]
@@ -233,6 +240,26 @@ def _light_list_consts(lightlist):
     for L in lightlist:
         eu_f = tuple(np.float32(v) for v in L["edge_u"])
         ev_f = tuple(np.float32(v) for v in L["edge_v"])
+        if L.get("kind", 0) == 1:
+            # LIGHT_SPHERE row: corner = center, edge_u[0] = radius.
+            # Power-heuristic area = 4*pi*r^2, computed with the SAME f32
+            # rounding as sampling.light_select_probs
+            # (((4*pi) * r) * r); the normal is a placeholder (cone
+            # sampling never uses it — kernel selects by kind).
+            r_f = eu_f[0]
+            ar_s = np.float32(
+                np.float32(4.0 * math.pi) * r_f * r_f
+            )
+            ml.append(dict(
+                c=tuple(np.float32(v) for v in L["corner"]),
+                eu=eu_f, ev=ev_f,
+                area=ar_s,
+                n=(np.float32(0), np.float32(1), np.float32(0)),
+                id=L["obj_id"],
+                kind=1,
+                radius=r_f,
+            ))
+            continue
         cx_ = (
             eu_f[1] * ev_f[2] - eu_f[2] * ev_f[1],
             eu_f[2] * ev_f[0] - eu_f[0] * ev_f[2],
@@ -245,6 +272,8 @@ def _light_list_consts(lightlist):
             area=np.float32(ar),
             n=tuple(np.float32(v / ar) for v in cx_),
             id=L["obj_id"],
+            kind=0,
+            radius=np.float32(0.0),
         ))
     return ml
 
@@ -1116,6 +1145,53 @@ def _oct_decode(packed):
     return uf * inv, vf * inv, az * inv, packed != GUIDE_SENTINEL
 
 
+
+def _cone_sample_kernel(cx, cy, cz, rad2, px_, py_, pz_, lu, lv):
+    """Kernel form of sampling.sphere_cone + sample_sphere_dir — the SAME
+    expression tree component-for-component (axis onb via the vm.onb_from_w
+    construction, polynomial sincos, rsqrt normalize) so renders bit-match
+    the jnp wavefront. Inputs may be np.float32 constants (single light)
+    or per-lane planes (kind-selected list rows). Returns
+    (dx, dy, dz, pdf_inv)."""
+    wcx = cx - px_
+    wcy = cy - py_
+    wcz = cz - pz_
+    sd2 = wcx * wcx + wcy * wcy + wcz * wcz
+    sd2_pos = sd2 > 0.0
+    sd2_safe = jnp.where(sd2_pos, sd2, 1.0)
+    inv_sd = jax.lax.rsqrt(sd2_safe)
+    whx = jnp.where(sd2_pos, wcx * inv_sd, np.float32(0.0))
+    why = jnp.where(sd2_pos, wcy * inv_sd, np.float32(0.0))
+    whz = jnp.where(sd2_pos, wcz * inv_sd, np.float32(1.0))
+    ssin2 = rad2 / sd2_safe
+    s_out = sd2_pos & (ssin2 < 1.0)
+    cos_max = jnp.where(
+        s_out,
+        jnp.sqrt(jnp.where(s_out, np.float32(1.0) - ssin2, 1.0)),
+        np.float32(-1.0),
+    )
+    pdf_inv = np.float32(2.0 * math.pi) * (np.float32(1.0) - cos_max)
+    cos_tc = np.float32(1.0) - lv * (np.float32(1.0) - cos_max)
+    sin_tc = jnp.sqrt(
+        jnp.maximum(np.float32(1.0) - cos_tc * cos_tc, 0.0)
+    )
+    pickc = jnp.abs(whx) > np.float32(0.1)
+    cuxr = jnp.where(pickc, whz, 0.0)
+    cuyr = jnp.where(pickc, 0.0, -whz)
+    cuzr = jnp.where(pickc, -whx, why)
+    inv_cul = jax.lax.rsqrt(cuxr * cuxr + cuyr * cuyr + cuzr * cuzr)
+    cux, cuy, cuz = cuxr * inv_cul, cuyr * inv_cul, cuzr * inv_cul
+    cvx = why * cuz - whz * cuy
+    cvy = whz * cux - whx * cuz
+    cvz = whx * cuy - why * cux
+    sr1c, cr1c = vm.sincos_2pi(lu)
+    slxr = cux * (cr1c * sin_tc) + cvx * (sr1c * sin_tc) + whx * cos_tc
+    slyr = cuy * (cr1c * sin_tc) + cvy * (sr1c * sin_tc) + why * cos_tc
+    slzr = cuz * (cr1c * sin_tc) + cvz * (sr1c * sin_tc) + whz * cos_tc
+    inv_sll = jax.lax.rsqrt(slxr * slxr + slyr * slyr + slzr * slzr)
+    return slxr * inv_sll, slyr * inv_sll, slzr * inv_sll, pdf_inv
+
+
 def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                  mat_refs: bool = False,
                  guide_cfg: tuple[float, float] | None = None,
@@ -1263,17 +1339,14 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
             "scenes with a light list"
         )
     if multi:
-        if scene.lights.kind is not None and np.any(
-            np.asarray(scene.lights.kind) != 0
-        ):
-            raise ValueError(
-                "the megakernel's light-list path is parallelogram-only; "
-                "lists with LIGHT_SPHERE entries run on the jnp wavefront "
-                "(integrator/wavefront.py handles mixed-kind lists)"
-            )
         ml = _light_list_consts(lightlist)
         light_ids_all = tuple(m["id"] for m in ml)
         K_L = len(ml)
+        # Mixed-kind lists (LIGHT_SPHERE rows): per-lane kind select in
+        # the NEE block below mirrors integrator/wavefront._nee_sample.
+        multi_sphere = any(m["kind"] == 1 for m in ml)
+    else:
+        multi_sphere = False
 
     # NEE continuation fold (the PERF.md "probe/extend factorization"
     # headroom item). For the C13 continuation estimators, a SUCCESSFUL
@@ -1303,8 +1376,10 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
 
     spawn, origin = make_spawn(cam, cfg)
 
-    sphere_light = light.get("kind") == "sphere"
-    if sphere_light:
+    # Single-light cone path: scene.light is a SphereLight and no list
+    # overrides it. (List scenes route per-lane kind selects instead.)
+    sphere_light = light.get("kind") == "sphere" and not multi
+    if light.get("kind") == "sphere":
         # Cone-sampled spherical emitter (scene/types.SphereLight;
         # integrator/sampling.sphere_cone defines the semantics — this is
         # its bit-parity kernel form). Constraints mirror the jnp path:
@@ -1314,12 +1389,6 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 "reference's rect-sampler int32-overflow quirk (C13a) and "
                 "has no sphere-light analogue; use "
                 "light_sample_mode='intended' for SphereLight scenes"
-            )
-        if multi:
-            raise ValueError(
-                "the megakernel supports a single SphereLight; light "
-                "LISTS with sphere entries run on the jnp wavefront "
-                "(integrator/wavefront.py handles mixed-kind lists)"
             )
         if sphere_tab:
             raise ValueError(
@@ -1354,11 +1423,12 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         lev_mag = float(math.sqrt(sum(v * v for v in lev)))
         leu_hat = tuple(np.float32(v / leu_mag) for v in leu)
         lev_hat = tuple(np.float32(v / lev_mag) for v in lev)
-    # Sphere-light C13 variant flag: fallback lanes suppress the sampled
-    # light's next pickup (integrator/wavefront._diff_scatter docstring —
+    # Sphere-light C13 variant flag: fallback lanes suppress sphere
+    # lights' next pickup (integrator/wavefront._diff_scatter docstring —
     # the reference's fallback-with-pickup double count blows up on wide
-    # occluded cones). Uses the textbook alive_i bit-2 encoding.
-    nee_sphere = sphere_light and est in ("nee", "mixture")
+    # occluded cones). Uses the textbook alive_i bit-2 encoding. Active
+    # for the single SphereLight AND for lists carrying sphere rows.
+    nee_sphere = (sphere_light or multi_sphere) and est in ("nee", "mixture")
 
     spp_u32 = _u32c(cfg.spp)
     rr_depth = np.int32(cfg.rr_start_depth)
@@ -1473,7 +1543,8 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 light_ids_all if multi else light_id,
                 ox, oy, oz, dx, dy, dz,
                 want_shading=True, sphere_tab=tab,
-                want_obj=(mis_est and multi), want_glos=has_glos,
+                want_obj=((mis_est or nee_sphere) and multi),
+                want_glos=has_glos,
             )
             alive_f = jnp.where(alive, np.float32(1.0), np.float32(0.0))
             # Emission pickup (C10/C13/C14). nee_textbook lanes whose
@@ -1483,8 +1554,21 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 # Suppress only the SAMPLED light's emission (h.is_light
                 # marks lanes whose nearest hit is the light object).
                 # nee_sphere: the sphere-light C13 variant's fallback
-                # lanes carry the same bit (set at the bottom of the body).
-                suppress = (alive_i > np.int32(1)) & h["is_light"]
+                # lanes carry the same bit (set at the bottom of the body);
+                # on mixed lists only SPHERE-kind rows are suppressed
+                # (rect rows keep C13 fallback-with-pickup parity —
+                # mirrors _bounce_core's is_slight_hit).
+                if nee_sphere and multi:
+                    is_sl_h = jnp.zeros_like(alive)
+                    for m in ml:
+                        if m["kind"] == 1:
+                            is_sl_h = is_sl_h | (
+                                h["obj"] == np.int32(m["id"])
+                            )
+                    is_sl_h = is_sl_h & h["hit"]
+                else:
+                    is_sl_h = h["is_light"]
+                suppress = (alive_i > np.int32(1)) & is_sl_h
                 emit_f = jnp.where(
                     alive & ~suppress, np.float32(1.0), np.float32(0.0)
                 )
@@ -1511,6 +1595,51 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     p_l_h = q_h * (h["t"] * h["t"]) / (
                         a_h * jnp.maximum(cos_lh, np.float32(1e-6))
                     )
+                    if multi_sphere:
+                        # Matched-light center/radius/kind chain, then the
+                        # cone density from this ray's ORIGIN — mirrors
+                        # _bounce_core's kind-select pickup exactly.
+                        chx = jnp.full_like(ox, ml[0]["c"][0])
+                        chy = jnp.full_like(ox, ml[0]["c"][1])
+                        chz = jnp.full_like(ox, ml[0]["c"][2])
+                        rh = jnp.full_like(ox, ml[0]["radius"])
+                        kh = jnp.full_like(
+                            alive_i, np.int32(ml[0]["kind"])
+                        )
+                        for k in range(1, K_L):
+                            is_k = h["obj"] == np.int32(ml[k]["id"])
+                            chx = jnp.where(is_k, ml[k]["c"][0], chx)
+                            chy = jnp.where(is_k, ml[k]["c"][1], chy)
+                            chz = jnp.where(is_k, ml[k]["c"][2], chz)
+                            rh = jnp.where(is_k, ml[k]["radius"], rh)
+                            kh = jnp.where(
+                                is_k, np.int32(ml[k]["kind"]), kh
+                            )
+                        hwx = chx - ox
+                        hwy = chy - oy
+                        hwz = chz - oz
+                        hd2 = hwx * hwx + hwy * hwy + hwz * hwz
+                        hd2_pos = hd2 > 0.0
+                        hd2_safe = jnp.where(hd2_pos, hd2, 1.0)
+                        hsin2 = (rh * rh) / hd2_safe
+                        h_out = hd2_pos & (hsin2 < 1.0)
+                        hcos_max = jnp.where(
+                            h_out,
+                            jnp.sqrt(jnp.where(
+                                h_out, np.float32(1.0) - hsin2, 1.0
+                            )),
+                            np.float32(-1.0),
+                        )
+                        h_pdf_inv = np.float32(2.0 * math.pi) * (
+                            np.float32(1.0) - hcos_max
+                        )
+                        p_l_h = jnp.where(
+                            kh == np.int32(1),
+                            q_h / jnp.maximum(
+                                h_pdf_inv, np.float32(1e-12)
+                            ),
+                            p_l_h,
+                        )
                 elif sphere_light:
                     # Cone density from this ray's ORIGIN (the previous
                     # vertex) — mirrors _bounce_core's sphere pickup:
@@ -1771,67 +1900,28 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     lpx = lcx + lu * leux + lv * levx
                     lpy = lcy + lu * leuy + lv * levy
                     lpz = lcz + lu * leuz + lv * levz
+                    if multi_sphere:
+                        # Mixed-kind list: per-lane sphere mask + radius
+                        # (sphere rows pack center in corner and radius
+                        # in edge_u[0] — so lcx/lcy/lcz and leux already
+                        # carry the cone parameters through the same
+                        # selects; mirrors _nee_sample's kind handling).
+                        is_sph_l = jnp.zeros_like(alive)
+                        for k in range(K_L):
+                            if ml[k]["kind"] == 1:
+                                is_sph_l = is_sph_l | (
+                                    lidx == np.int32(k)
+                                )
+                        rad_l = _sel_f([m["radius"] for m in ml])
                 elif sphere_light:
-                    # Cone sample toward the sphere light (bit-parity with
-                    # sampling.sphere_cone + sample_sphere_dir): axis =
-                    # normalized (center - x); cos_t = 1 - lv*(1-cos_max);
-                    # phi = 2*pi*lu in the onb_from_w frame of the axis.
+                    # Cone sample toward the sphere light
+                    # (_cone_sample_kernel = the bit-parity form of
+                    # sampling.sphere_cone + sample_sphere_dir).
                     ln_use, area_use = ln, area  # unused placeholders
-                    wcx = slc[0] - hx
-                    wcy = slc[1] - hy
-                    wcz = slc[2] - hz
-                    sd2 = wcx * wcx + wcy * wcy + wcz * wcz
-                    sd2_pos = sd2 > 0.0
-                    sd2_safe = jnp.where(sd2_pos, sd2, 1.0)
-                    inv_sd = jax.lax.rsqrt(sd2_safe)
-                    whx = jnp.where(sd2_pos, wcx * inv_sd, np.float32(0.0))
-                    why = jnp.where(sd2_pos, wcy * inv_sd, np.float32(0.0))
-                    whz = jnp.where(sd2_pos, wcz * inv_sd, np.float32(1.0))
-                    ssin2 = slr2 / sd2_safe
-                    s_out = sd2_pos & (ssin2 < 1.0)
-                    cos_max = jnp.where(
-                        s_out,
-                        jnp.sqrt(
-                            jnp.where(s_out, np.float32(1.0) - ssin2, 1.0)
-                        ),
-                        np.float32(-1.0),
-                    )
-                    pdf_inv_sl = np.float32(2.0 * math.pi) * (
-                        np.float32(1.0) - cos_max
-                    )
-                    cos_tc = np.float32(1.0) - lv * (
-                        np.float32(1.0) - cos_max
-                    )
-                    sin_tc = jnp.sqrt(
-                        jnp.maximum(np.float32(1.0) - cos_tc * cos_tc, 0.0)
-                    )
-                    # onb_from_w(w_hat) — same frame construction as the
-                    # cosine scatter above (vm.onb_from_w bit-parity).
-                    pickc = jnp.abs(whx) > np.float32(0.1)
-                    cuxr = jnp.where(pickc, whz, 0.0)
-                    cuyr = jnp.where(pickc, 0.0, -whz)
-                    cuzr = jnp.where(pickc, -whx, why)
-                    inv_cul = jax.lax.rsqrt(
-                        cuxr * cuxr + cuyr * cuyr + cuzr * cuzr
-                    )
-                    cux, cuy, cuz = cuxr * inv_cul, cuyr * inv_cul, cuzr * inv_cul
-                    cvx = why * cuz - whz * cuy
-                    cvy = whz * cux - whx * cuz
-                    cvz = whx * cuy - why * cux
-                    # sincos of 2*pi*lu — the SAME sr1/cr1 the scatter
-                    # frame computed from u1 would NOT match (different
-                    # draw); recompute from lu like the jnp path does.
-                    sr1c, cr1c = vm.sincos_2pi(lu)
-                    slxr = cux * (cr1c * sin_tc) + cvx * (sr1c * sin_tc) + whx * cos_tc
-                    slyr = cuy * (cr1c * sin_tc) + cvy * (sr1c * sin_tc) + why * cos_tc
-                    slzr = cuz * (cr1c * sin_tc) + cvz * (sr1c * sin_tc) + whz * cos_tc
-                    inv_sll = jax.lax.rsqrt(
-                        slxr * slxr + slyr * slyr + slzr * slzr
+                    sldx, sldy, sldz, pdf_inv_sl = _cone_sample_kernel(
+                        slc[0], slc[1], slc[2], slr2, hx, hy, hz, lu, lv
                     )
                     lpx = lpy = lpz = None  # direction computed directly
-                    sldx = slxr * inv_sll
-                    sldy = slyr * inv_sll
-                    sldz = slzr * inv_sll
                 else:
                     # nee_textbook ALWAYS samples the full light uniformly
                     # (its nee_weight assumes the uniform-over-area pdf, and
@@ -1870,6 +1960,14 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     wx_, wy_, wz_ = lpx - pox, lpy - poy, lpz - poz
                     inv_wl = jax.lax.rsqrt(wx_ * wx_ + wy_ * wy_ + wz_ * wz_)
                     ldx, ldy, ldz = wx_ * inv_wl, wy_ * inv_wl, wz_ * inv_wl
+                    if multi and multi_sphere:
+                        csx, csy, csz, pdf_inv_ml = _cone_sample_kernel(
+                            lcx, lcy, lcz, rad_l * rad_l,
+                            pox, poy, poz, lu, lv,
+                        )
+                        ldx = jnp.where(is_sph_l, csx, ldx)
+                        ldy = jnp.where(is_sph_l, csy, ldy)
+                        ldz = jnp.where(is_sph_l, csz, ldz)
                 if multi:
                     # Success = the probe's nearest hit IS the lane's
                     # sampled light (per-lane id compare; is_light can't
@@ -1897,6 +1995,11 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     success = success & (
                         (ldx * nx + ldy * ny + ldz * nz) > 0.0
                     )
+                elif multi and multi_sphere:
+                    success = success & (
+                        ~is_sph_l
+                        | ((ldx * nx + ldy * ny + ldz * nz) > 0.0)
+                    )
                 t_safe = jnp.where(success, t_probe, 1.0)
                 if sphere_light:
                     # sampling.sphere_nee_weight: pdf_inv * |d.nl| / pi.
@@ -1911,6 +2014,11 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     w_nee = (
                         jnp.abs(area_use * cos_l) / (t_safe * t_safe)
                     ) * (cos_s * np.float32(1.0 / math.pi))
+                    if multi and multi_sphere:
+                        w_sph_ml = pdf_inv_ml * jnp.abs(
+                            ldx * nx + ldy * ny + ldz * nz
+                        ) * np.float32(1.0 / math.pi)
+                        w_nee = jnp.where(is_sph_l, w_sph_ml, w_nee)
                 if multi:
                     # Unbiased for the SUM over the list: importance weight
                     # 1/q_k (integrator/wavefront._diff_scatter).
@@ -1923,6 +2031,10 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                         w_geo_k = pdf_inv_sl
                     else:
                         w_geo_k = jnp.abs(area_use * cos_l) / (t_safe * t_safe)
+                        if multi and multi_sphere:
+                            w_geo_k = jnp.where(
+                                is_sph_l, pdf_inv_ml, w_geo_k
+                            )
                     brdf_g = (gl + np.float32(2.0)) * np.float32(
                         1.0 / (2.0 * math.pi)
                     ) * _pow_safe_k(
@@ -1948,6 +2060,14 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                         p_l_s = (t_safe * t_safe) / (
                             area_use * jnp.maximum(cos_l, np.float32(1e-6))
                         )
+                        if multi and multi_sphere:
+                            p_l_s = jnp.where(
+                                is_sph_l,
+                                np.float32(1.0) / jnp.maximum(
+                                    pdf_inv_ml, np.float32(1e-12)
+                                ),
+                                p_l_s,
+                            )
                     if multi:
                         p_l_s = p_l_s * q_sel
                     dot_sn = ldx * nx + ldy * ny + ldz * nz

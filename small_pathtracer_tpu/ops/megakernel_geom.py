@@ -134,6 +134,15 @@ def build_geom_grad_kernel(scene: Scene, cam: CameraParams,
                            cfg: RenderConfig):
     """The geometry+materials adjoint kernel body (module docstring)."""
     rects, quads, spheres, light, lightlist = _scene_consts(scene)
+    if lightlist is not None and any(
+        L.get("kind", 0) == 1 for L in lightlist
+    ):
+        raise NotImplementedError(
+            "the geometry-adjoint kernel's light-list path is "
+            "parallelogram-only; LIGHT_SPHERE rows run on the jnp adjoint "
+            "(jax.grad through integrator/wavefront.path_trace_fixed) — "
+            "documented waiver, COVERAGE.md"
+        )
     if light.get("kind") == "sphere":
         raise NotImplementedError(
             "the geometry-adjoint kernel supports parallelogram lights "

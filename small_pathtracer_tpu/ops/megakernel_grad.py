@@ -130,6 +130,15 @@ def build_grad_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig):
     """The adjoint kernel body (see module docstring)."""
     rects, quads, spheres, light, lightlist = _scene_consts(scene)
     n_obj = len(rects) + len(quads) + len(spheres)
+    if lightlist is not None and any(
+        L.get("kind", 0) == 1 for L in lightlist
+    ):
+        raise NotImplementedError(
+            "the material-adjoint kernel's light-list path is "
+            "parallelogram-only; LIGHT_SPHERE rows run on the jnp adjoint "
+            "(jax.grad through integrator/wavefront.path_trace_fixed) — "
+            "documented waiver, COVERAGE.md"
+        )
     if light.get("kind") == "sphere":
         raise NotImplementedError(
             "the material-adjoint kernel supports parallelogram lights "

@@ -224,14 +224,30 @@ class TestKernelParity:
         assert (d < 1e-3).mean() > 0.96, (d < 1e-3).mean()
         assert np.median(d) < 1e-5, np.median(d)
 
-    def test_kernel_rejects_sphere_list(self):
+    @pytest.mark.parametrize("est,sel", [
+        ("nee", "power"), ("nee_textbook", "power"),
+        ("mis", "power"), ("mixture", "uniform"),
+    ])
+    def test_kernel_mixed_list_matches_jnp(self, est, sel):
+        """Mixed rect+sphere light LISTS in the kernel (round-5 late
+        addition — removes the list waiver): per-lane kind select routes
+        sphere rows through _cone_sample_kernel; the selection CDF uses
+        4*pi*r^2 sphere areas like light_select_probs; suppression hits
+        sphere rows only. Must match the jnp wavefront like the other
+        sphere-light configs (near-exact traces, pixels bit-close)."""
         from small_pathtracer_tpu.ops.megakernel import render_pallas
 
         scene = _mixed_list_scene()
-        cfg = RenderConfig(width=8, height=8, spp=1, estimator="nee",
-                           seed=0)
-        with pytest.raises(ValueError, match="LIGHT_SPHERE"):
-            render_pallas(scene, make_camera(), cfg, 0, interpret=True)
+        cam = make_camera()
+        cfg = RenderConfig(width=24, height=24, spp=4, estimator=est,
+                           seed=3, light_select=sel)
+        a, ta = render_regen(scene, cam, cfg, jnp.uint32(3))
+        b, tb = render_pallas(scene, cam, cfg, 3, interpret=True)
+        ta, tb = np.asarray(ta), np.asarray(tb)
+        assert np.abs(ta - tb).max() <= max(3.0, 0.0025 * ta.sum()), (ta, tb)
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        assert (d < 1e-3).mean() > 0.96, (d < 1e-3).mean()
+        assert np.median(d) < 1e-5, np.median(d)
 
 
 def _mixed_list_scene() -> Scene:
