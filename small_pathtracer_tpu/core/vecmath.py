@@ -101,3 +101,25 @@ def sincos_2pi(u: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     sin = jnp.where(qi < jnp.int32(2), sb, -sb)
     cos = jnp.where((qi == jnp.int32(0)) | (qi == jnp.int32(3)), cb, -cb)
     return sin, cos
+
+
+def pow_const(x, k: float):
+    """x ** k for a BAKED exponent: small integer k lowers to a
+    multiply/squaring chain (3 vmuls for k=8) instead of the VPU's
+    multi-pass transcendental pow. Shared by the jnp guided estimator
+    (experiment/path_guiding.py) and the Pallas kernel
+    (ops/megakernel.py) so both produce identical floats (the
+    bit-parity contract). Falls back to ** for non-integer/large k."""
+    kf = float(k)
+    if kf.is_integer() and 1 <= kf <= 64:
+        n = int(kf)
+        result = None
+        base = x
+        while n:
+            if n & 1:
+                result = base if result is None else result * base
+            n >>= 1
+            if n:
+                base = base * base
+        return result
+    return x ** kf

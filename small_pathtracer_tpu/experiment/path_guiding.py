@@ -270,7 +270,7 @@ def _guided_diffuse(sh, mu_tab, use_tab, u1, u2, u_coin, beta: float,
     cos_mu = jnp.sum(new_d * mu, axis=-1)
     pdf_lobe = (
         (k + 1.0) / (2.0 * jnp.pi)
-        * jnp.maximum(cos_mu, 0.0) ** k
+        * vm.pow_const(jnp.maximum(cos_mu, 0.0), k)
     )
     pdf_cos = jnp.maximum(cos_n, 0.0) * inv_pi
     pdf_mix = beta_eff * pdf_lobe + (1.0 - beta_eff) * pdf_cos

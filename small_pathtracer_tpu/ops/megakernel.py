@@ -1146,6 +1146,14 @@ def _oct_decode(packed):
 
 
 
+def _pow_const(x, k: float):
+    """vm.pow_const — the guided kernel evaluates the power-cosine pdf at
+    every bounce, and pow was the dominant term of the measured guiding
+    overhead (PERF.md round 5); the jnp guided estimator shares the same
+    chain for bit-parity."""
+    return vm.pow_const(x, float(k))
+
+
 def _cone_sample_kernel(cx, cy, cz, rad2, px_, py_, pz_, lu, lv):
     """Kernel form of sampling.sphere_cone + sample_sphere_dir — the SAME
     expression tree component-for-component (axis onb via the vm.onb_from_w
@@ -1196,7 +1204,8 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                  mat_refs: bool = False,
                  guide_cfg: tuple[float, float] | None = None,
                  sphere_tab: bool = False,
-                 cluster_tab: bool = False):
+                 cluster_tab: bool = False,
+                 guide_primary: bool = False):
     """Returns the Pallas kernel body closed over scene/cam/cfg constants.
 
     mat_refs=True: the kernel takes two extra leading refs (alb_ref,
@@ -1445,6 +1454,11 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         if guided:
             gpk_ref = refs[0]
             refs = refs[1:]
+            if guide_primary:
+                # Per-LANE primary-vertex lobe (loop-invariant): decode
+                # ONCE — zero in-kernel table reads (the gather was the
+                # measured guiding cost, PERF.md).
+                g_lobe = gpk_ref[...]
         if mat_refs:
             alb_ref, emi_ref = refs[0], refs[1]
             refs = refs[2:]
@@ -1780,24 +1794,37 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                     return jnp.where(pos, safe**n_exp, 0.0)
 
             if guided:
-                # Voxel lookup at the hit point (experiment/path_guiding.py
-                # voxel_id semantics: reference 10-unit grid, clamped; the
-                # C15 miss point (0,0,0) lands in a corner voxel exactly as
-                # the jnp path's sh.x does).
-                gix = [None] * 3
-                for ax, hc in enumerate((hx, hy, hz)):
-                    q = jnp.floor(
-                        (hc - np.float32(G_LO[ax])) / np.float32(10.0)
-                    ).astype(jnp.int32)
-                    gix[ax] = jnp.clip(q, 0, np.int32(G_NVOX[ax] - 1))
-                vid = (
-                    gix[0] * np.int32(G_NVOX[1]) + gix[1]
-                ) * np.int32(G_NVOX[2]) + gix[2]
-                c_hi = vid >> np.int32(7)
-                c_lo = vid & np.int32(127)
-                n_chunks = -(-int(np.prod(G_NVOX)) // 128)
-                gpacked = _gather_vmem_table(gpk_ref, c_hi, c_lo, n_chunks)
-                mux, muy, muz, use_g = _oct_decode(gpacked)
+                if guide_primary:
+                    # Primary-vertex lobe: the lane's pixel's precomputed
+                    # lobe, applied ONLY at the first diffuse vertex
+                    # (depth == 1) — deeper bounces scatter unguided
+                    # cosine. Unbiased for any per-lane lobe: the mixture
+                    # pdf below is computed from the SAME decoded mu the
+                    # sample used.
+                    mux, muy, muz, use_g = _oct_decode(g_lobe)
+                    use_g = use_g & (depth == np.int32(1))
+                else:
+                    # Voxel lookup at the hit point (experiment/
+                    # path_guiding.py voxel_id semantics: reference
+                    # 10-unit grid, clamped; the C15 miss point (0,0,0)
+                    # lands in a corner voxel exactly as the jnp path's
+                    # sh.x does).
+                    gix = [None] * 3
+                    for ax, hc in enumerate((hx, hy, hz)):
+                        q = jnp.floor(
+                            (hc - np.float32(G_LO[ax])) / np.float32(10.0)
+                        ).astype(jnp.int32)
+                        gix[ax] = jnp.clip(q, 0, np.int32(G_NVOX[ax] - 1))
+                    vid = (
+                        gix[0] * np.int32(G_NVOX[1]) + gix[1]
+                    ) * np.int32(G_NVOX[2]) + gix[2]
+                    c_hi = vid >> np.int32(7)
+                    c_lo = vid & np.int32(127)
+                    n_chunks = -(-int(np.prod(G_NVOX)) // 128)
+                    gpacked = _gather_vmem_table(
+                        gpk_ref, c_hi, c_lo, n_chunks
+                    )
+                    mux, muy, muz, use_g = _oct_decode(gpacked)
                 is_diff_g = ~(h["is_spec"] | h["is_refr"])
                 beta_eff = jnp.where(
                     use_g & is_diff_g, g_beta, np.float32(0.0)
@@ -1834,7 +1861,9 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                 gdz = jnp.where(take_l, lbz, scz)
                 cos_n_g = gdx * nx + gdy * ny + gdz * nz
                 cos_mu_g = gdx * mux + gdy * muy + gdz * muz
-                pdf_lobe = g_norm * jnp.maximum(cos_mu_g, 0.0) ** g_k
+                pdf_lobe = g_norm * _pow_const(
+                    jnp.maximum(cos_mu_g, 0.0), g_k
+                )
                 pdf_cos = jnp.maximum(cos_n_g, 0.0) * np.float32(1.0 / math.pi)
                 pdf_mix = (
                     beta_eff * pdf_lobe
@@ -2082,9 +2111,9 @@ def build_kernel(scene: Scene, cam: CameraParams, cfg: RenderConfig,
                         cos_mu_l = (
                             ldx * mux + ldy * muy + ldz * muz
                         )
-                        p_lobe_l = g_norm * jnp.maximum(
-                            cos_mu_l, 0.0
-                        ) ** g_k
+                        p_lobe_l = g_norm * _pow_const(
+                            jnp.maximum(cos_mu_l, 0.0), g_k
+                        )
                         p_b_s = (
                             beta_eff * p_lobe_l
                             + (np.float32(1.0) - beta_eff) * p_b_s
@@ -2794,22 +2823,13 @@ def _build_render_budgets(scene: Scene, cam: CameraParams,
     return fn
 
 
-def pack_guide_planes(guide):
-    """(mu (V,3), use (V,)) from path_guiding.guide_lobes -> ONE
-    (rows, 128) int32 VMEM plane, entry i at (i >> 7, i & 127), rows
-    padded to a multiple of 8 sublanes with GUIDE_SENTINEL.
-
-    Each entry is the lobe direction's octahedral chart point quantized to
-    two int16 in [-32767, 32767] (low 16 = u, high 16 = v); unguided
-    voxels (and padding) hold GUIDE_SENTINEL, which no real entry can
-    pattern to. One int32 gather per bounce replaces three f32 gathers —
-    see _gather_vmem_table for why that dominates the guiding cost. The
-    quantization is ~2e-5 rad of lobe aim and introduces NO bias: the
-    kernel's mixture pdf is computed from the decoded mu (_oct_decode),
-    which dequantize_guide exposes for the jnp parity path."""
+def pack_guide_entries(guide) -> "np.ndarray":
+    """(mu (V,3), use (V,)) -> per-voxel packed int32 lobes (V,): the
+    octahedral two-int16 code of pack_guide_planes, without the VMEM
+    plane layout (the per-LANE primary-lobe path indexes these per
+    pixel)."""
     mu = np.asarray(guide[0], np.float64)
     use = np.asarray(guide[1]).astype(bool)
-    v = mu.shape[0]
     n = np.linalg.norm(mu, axis=1)
     n = np.where(n > 0, n, 1.0)
     m = mu / n[:, None]
@@ -2825,7 +2845,24 @@ def pack_guide_planes(guide):
     iv = np.clip(np.rint(wf * 32767.0), -32767, 32767).astype(np.int64)
     packed = (iu & 0xFFFF) | ((iv & 0xFFFF) << 16)  # uint32 bit pattern
     packed = np.where(packed >= 2 ** 31, packed - 2 ** 32, packed)
-    packed = np.where(use, packed, int(GUIDE_SENTINEL)).astype(np.int32)
+    return np.where(use, packed, int(GUIDE_SENTINEL)).astype(np.int32)
+
+
+def pack_guide_planes(guide):
+    """(mu (V,3), use (V,)) from path_guiding.guide_lobes -> ONE
+    (rows, 128) int32 VMEM plane, entry i at (i >> 7, i & 127), rows
+    padded to a multiple of 8 sublanes with GUIDE_SENTINEL.
+
+    Each entry is the lobe direction's octahedral chart point quantized to
+    two int16 in [-32767, 32767] (low 16 = u, high 16 = v); unguided
+    voxels (and padding) hold GUIDE_SENTINEL, which no real entry can
+    pattern to. One int32 gather per bounce replaces three f32 gathers —
+    see _gather_vmem_table for why that dominates the guiding cost. The
+    quantization is ~2e-5 rad of lobe aim and introduces NO bias: the
+    kernel's mixture pdf is computed from the decoded mu (_oct_decode),
+    which dequantize_guide exposes for the jnp parity path."""
+    packed = pack_guide_entries(guide)
+    v = packed.shape[0]
     n_chunks = -(-v // 128)
     rows = -(-n_chunks // 8) * 8
     buf = np.full((rows * 128,), GUIDE_SENTINEL, np.int32)
@@ -2955,6 +2992,145 @@ def _build_render_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
         )(
             seed.reshape(1),
             gpk,
+            padto(px, 0.0), padto(py, 0.0), padto(pid_base, 0),
+            padto(s_start, 0), padto(s_stop, 0),
+        )
+        L = jnp.stack(
+            [lr.reshape(-1)[:n_lanes], lg.reshape(-1)[:n_lanes],
+             lb.reshape(-1)[:n_lanes]],
+            axis=-1,
+        )
+        img = L.reshape(n_pix, g, 3).sum(axis=1).reshape(
+            cfg.height, cfg.width, 3
+        )
+        return img, traces[0]
+
+    return run
+
+
+def pixel_primary_lobes(scene: Scene, cam: CameraParams,
+                        cfg: RenderConfig, guide) -> jnp.ndarray:
+    """Per-PIXEL packed primary-vertex lobes (n_pix,) int32: trace one
+    CENTER ray per pixel (jnp — n_pix rays, microseconds next to a
+    render), find its hit voxel, and look up the trained table's lobe.
+    The center-ray voxel is an approximation of where each jittered
+    sample's first vertex lands — harmless for bias (any per-lane lobe
+    is valid; the kernel's mixture pdf uses the lobe it sampled with),
+    only for guiding aim near geometry edges."""
+    from ..camera.pinhole import primary_rays
+    from ..experiment.path_guiding import voxel_id
+    from ..geometry.intersect import shade_info, trace as _trace
+
+    w, h = cfg.width, cfg.height
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    px = pix % jnp.int32(w)
+    py = pix // jnp.int32(w)
+    half = jnp.full((w * h,), 0.5, jnp.float32)
+    o, d = primary_rays(cam, w, h, px, py, half, half)
+    hit = _trace(scene, o, d)
+    sh = shade_info(scene, o, d, hit)
+    vids = voxel_id(sh.x)                          # (n_pix,)
+    entries = jnp.asarray(pack_guide_entries(guide))  # (V,)
+    return entries[vids]
+
+
+def render_pallas_guided_primary(scene: Scene, cam: CameraParams,
+                                 cfg: RenderConfig, seed, guide,
+                                 beta: float = 0.5, k: float = 8.0,
+                                 interpret: bool = False, s0=0,
+                                 n_s: int | None = None):
+    """Primary-vertex-guided megakernel render — the gather-free guiding
+    variant (PERF.md round 5): each lane carries its pixel's precomputed
+    lobe as a plain int32 lane plane and importance-samples the
+    defensive mixture ONLY at its first diffuse vertex. Zero in-kernel
+    table reads; deeper bounces are unguided cosine. Unbiased for any
+    lobe assignment (the mixture pdf reweights exactly); an all-sentinel
+    table reproduces the unguided kernel bit-for-bit.
+
+    Returns ((h, w, 3) radiance SUM over the span, traces (2,))."""
+    if not interpret and jax.devices()[0].platform != "tpu":
+        interpret = True
+    if _use_sphere_table(scene, cfg):
+        raise ValueError(
+            "the guided megakernel does not support sphere_table mode; "
+            "pass sphere_table='off' or drop guiding"
+        )
+    n_s = cfg.spp if n_s is None else int(n_s)
+    lobes = pixel_primary_lobes(scene, cam, cfg, guide)
+    key = (
+        _geom_hash(scene, cam), cfg, n_s, float(beta), float(k),
+        interpret, "guided_primary",
+    )
+    fn = _CACHE.get(key)
+    if fn is None:
+        fn = _build_render_guided_primary(
+            scene, cam, cfg, float(beta), float(k), interpret, n_s
+        )
+        _CACHE[key] = fn
+    return fn(jnp.asarray(seed, jnp.uint32), jnp.asarray(s0, jnp.uint32),
+              lobes)
+
+
+def _build_render_guided_primary(scene: Scene, cam: CameraParams,
+                                 cfg: RenderConfig, beta: float, k: float,
+                                 interpret: bool, n_s: int | None = None):
+    from ..integrator.wavefront import lane_groups
+
+    n_pix = cfg.width * cfg.height
+    n_s = cfg.spp if n_s is None else int(n_s)
+    g = lane_groups(n_pix, n_s, 1 << 18, cfg.regen_groups)
+    per = n_s // g
+    n_lanes = n_pix * g
+    pad = (-n_lanes) % TILE
+    n_total = n_lanes + pad
+    n_tiles = n_total // TILE
+
+    kernel = build_kernel(scene, cam, cfg, guide_cfg=(beta, k),
+                          guide_primary=True)
+    block = pl.BlockSpec(
+        (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    @jax.jit
+    def run(seed, s0, lobes):
+        pix = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), g)
+        px = (pix % jnp.uint32(cfg.width)).astype(jnp.float32)
+        py = (pix // jnp.uint32(cfg.width)).astype(jnp.float32)
+        pid_base = pix * jnp.uint32(cfg.spp)
+        lane_lobe = jnp.repeat(lobes, g)
+        s_start = s0 + jnp.tile(
+            jnp.arange(g, dtype=jnp.uint32) * jnp.uint32(per), n_pix
+        )
+        s_stop = s_start + jnp.uint32(per)
+
+        def padto(x, fill):
+            return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+                n_tiles * TILE_ROWS, 128
+            )
+
+        lr, lg, lb, traces = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+                block,  # per-lane packed lobes (int32)
+                block, block, block, block, block,
+            ],
+            out_specs=[
+                block, block, block,
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            seed.reshape(1),
+            padto(lane_lobe, GUIDE_SENTINEL),
             padto(px, 0.0), padto(py, 0.0), padto(pid_base, 0),
             padto(s_start, 0), padto(s_stop, 0),
         )

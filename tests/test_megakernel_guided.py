@@ -292,3 +292,63 @@ def test_guided_online_progressive(cam):
     assert np.isfinite(a).all()
     assert abs(a.mean() - b.mean()) < 0.05 * b.mean()
     assert float(np.asarray(tr).sum()) > 0
+
+
+def test_guided_primary_empty_table_matches_unguided(cam):
+    """render_pallas_guided_primary (per-PIXEL primary-vertex lobes, zero
+    in-kernel table reads — the round-5 'reopening lever' experiment,
+    PERF.md): an all-sentinel table must reproduce the unguided kernel
+    bit-for-bit under cosine (beta_eff == 0 everywhere)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from small_pathtracer_tpu import RenderConfig, get_scene
+    from small_pathtracer_tpu.experiment.path_guiding import (
+        N_VOXELS, guide_lobes,
+    )
+    from small_pathtracer_tpu.ops.megakernel import (
+        render_pallas, render_pallas_guided_primary,
+    )
+
+    scene = get_scene("cornell_alcove_baffled")
+    empty = guide_lobes(jnp.zeros((N_VOXELS, 3), jnp.float32))
+    cfg = RenderConfig(width=32, height=24, spp=4, estimator="cosine",
+                       seed=3)
+    a, ta = render_pallas(scene, cam, cfg, 3, interpret=True)
+    b, tb = render_pallas_guided_primary(
+        scene, cam, cfg, 3, empty, 0.6, 8.0, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+    # mis: identical trace structure, float-rounding-level radiance (the
+    # same contract as the voxel-guided kernel's empty-table mis case).
+    cfg_m = RenderConfig(width=32, height=24, spp=4, estimator="mis",
+                         seed=3)
+    am, tam = render_pallas(scene, cam, cfg_m, 3, interpret=True)
+    bm, tbm = render_pallas_guided_primary(
+        scene, cam, cfg_m, 3, empty, 0.6, 8.0, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(tam), np.asarray(tbm))
+    np.testing.assert_allclose(np.asarray(am), np.asarray(bm), atol=2e-6)
+
+
+def test_guided_primary_trained_consistent(cam, trained_guide):
+    """With trained lobes, the primary-guided estimator stays unbiased:
+    image means agree with the unguided kernel (the mixture pdf
+    reweights exactly; only variance changes)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from small_pathtracer_tpu import RenderConfig, get_scene
+    from small_pathtracer_tpu.ops.megakernel import (
+        render_pallas, render_pallas_guided_primary,
+    )
+
+    scene = get_scene("cornell_box")
+    cfg = RenderConfig(width=32, height=24, spp=96, estimator="mis",
+                       seed=5)
+    u, _ = render_pallas(scene, cam, cfg, 5, interpret=True)
+    gp, _ = render_pallas_guided_primary(
+        scene, cam, cfg, 5, trained_guide, 0.6, 8.0, interpret=True
+    )
+    mu = float(np.asarray(u).mean()) / cfg.spp
+    mg = float(np.asarray(gp).mean()) / cfg.spp
+    assert abs(mg - mu) / mu < 0.12, (mu, mg)
