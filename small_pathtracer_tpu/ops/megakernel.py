@@ -2899,7 +2899,7 @@ def render_pallas_guided(scene: Scene, cam: CameraParams, cfg: RenderConfig,
     input (re-rendering with an updated table does NOT recompile); beta/k
     are baked. The table is oct-quantized on upload (pack_guide_planes) —
     unbiased for any table, dequantize_guide gives the effective lobes.
-    cfg.estimator must be "cosine" or "nee_textbook".
+    cfg.estimator must be "cosine", "nee_textbook", or "mis".
 
     s0/n_s render the sample span [s0, s0+n_s) only (checkpoint/preview
     spans, utils/checkpoint.py; n_s defaults to cfg.spp, s0 is traced).

@@ -152,7 +152,8 @@ class LightList(NamedTuple):
     kind (optional, (K,) int32): per-light geometry. LIGHT_RECT (default
     when None) = parallelogram; LIGHT_SPHERE = spherical emitter stored as
     corner = center, edge_u = (radius, 0, 0), edge_v = 0 (cone-sampled,
-    see SphereLight). Mixed lists are supported on the jnp estimators;
+    see SphereLight). Mixed lists run on the jnp estimators AND the forward
+    megakernel (adjoint kernels waive them);
     sampling.make_sphere_list_entry builds the packed row."""
 
     corner: jnp.ndarray
